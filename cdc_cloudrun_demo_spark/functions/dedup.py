@@ -1,0 +1,242 @@
+"""Deduplication over `documents`: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each variant):
+* exact — one hash-groupBy on a normalized-text digest: a single shuffle
+  of (digest, doc_id), never the full text;
+* n-gram Jaccard — exact pairwise similarity *within blocking keys*
+  (lang, source): the cross-product is bounded per block, and the join is
+  shingle-equality driven (posting-list join), not a cartesian;
+* MinHash-LSH — `pyspark.ml.feature.MinHashLSH` over HashingTF shingles:
+  banding makes candidate generation subquadratic at corpus scale;
+* SimHash — 64-bit sketch via per-token xxhash64 bit votes: one pass, one
+  groupBy; candidates = equal sketches (engine-specific hash → rows-only
+  check + property tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_SQL_NORM = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def normalize_text(col: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " ")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min(doc_id) per normalized-text group; report
+    survivors with their duplicate multiplicity."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated id set itself (what a pipeline would keep)."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id", "lang", F.md5(normalize_text(F.col("text"))).alias("norm_hash")
+    )
+    keep = ranked.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id"))
+    return keep.join(ranked, ["norm_hash", "doc_id"]).select("doc_id", "lang")
+
+
+def _token_trigrams(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc: (doc_id, block keys, shingle)."""
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - 3)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    return (
+        d.filter(n >= 3)
+        .select("doc_id", "lang", "source", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for candidate pairs within
+    (lang, source) blocks, j >= 0.1. The join runs on shingle equality
+    (posting lists), so only docs sharing at least one shingle ever meet —
+    at corpus scale this is the classic similarity-join plan, with the
+    blocking keys bounding skew."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _token_trigrams(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6, num_tables: int = 16
+) -> DataFrame:
+    """MinHash-LSH approximate near-dup pairs (Jaccard distance below
+    1 - threshold_sim on hashed shingle sets). Rows-only check; recall vs
+    the exact Jaccard truth is asserted in tests/test_dedup.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _token_trigrams(d).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            (1.0 - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Low threshold: the synthetic corpus is word-salad, so true near-dups
+    # are rare; the operator contract (plumbing + banding) is what's tested.
+    return minhash_lsh_pairs(spark, sf_dir, threshold=0.05, num_tables=8)
+
+
+def simhash_sketches(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, each bit votes
+    +1/-1 weighted by token frequency; sketch bit b = sign of vote sum.
+    Pure built-in expressions (explode → groupBy → bit ops) — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias(
+            "tok"
+        ),
+    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sketch = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        contrib = F.shiftleft(bit, b)
+        sketch = contrib if sketch is None else sketch.bitwiseXOR(contrib)
+    return agg.select("doc_id", sketch.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: identical 64-bit sketches (rows-only;
+    hamming-distance banding is the scale-out extension, tests cover
+    sketch determinism and self-similarity)."""
+    sk = simhash_sketches(spark, sf_dir)
+    return (
+        sk.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_survivors": dedup_exact_survivors,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+_SQL_TRIGRAMS = """
+    SELECT doc_id, lang, source, UNNEST(list_distinct(grams)) AS shingle
+    FROM (
+        SELECT doc_id, lang, source,
+               [array_to_string(words[i:i+2], ' ')
+                FOR i IN RANGE(1, GREATEST(LENGTH(words) - 1, 1))] AS grams
+        FROM (
+            SELECT doc_id, lang, source,
+                   regexp_extract_all(LOWER(text), '[a-z]+') AS words
+            FROM documents
+        ) w
+        WHERE LENGTH(words) >= 3
+    ) g
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5({_SQL_NORM}) AS norm_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_exact_survivors": f"""
+        WITH hashed AS (
+            SELECT doc_id, lang, md5({_SQL_NORM}) AS norm_hash FROM documents
+        )
+        SELECT h.doc_id, h.lang
+        FROM hashed h
+        JOIN (SELECT norm_hash, MIN(doc_id) AS doc_id
+              FROM hashed GROUP BY norm_hash) k
+          ON h.norm_hash = k.norm_hash AND h.doc_id = k.doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH shingles AS ({_SQL_TRIGRAMS}),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.1
+    """,
+    # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
+}

@@ -1,0 +1,224 @@
+"""Similarity search over `embeddings.embedding` (array<float>, dim 64).
+
+Baseline: brute-force cosine top-k with pure built-in array expressions
+(`zip_with` + `aggregate` — JVM-side, no Python in the loop). Scale path:
+random-hyperplane LSH bucketing — candidates come from one equality join
+on (table, bucket), turning O(N·Q) into O(N + collisions); recall vs the
+brute-force truth is asserted in tests/test_similarity.py.
+
+At 100 TB the brute-force side stays viable only as a *per-bucket* kernel;
+the queries() entry broadcasts the (tiny) query set, so the scan is a
+single pass over the corpus with no shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (strict left fold, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k for query vectors vec_id < 5 against the
+    whole corpus (self excluded). Scores rounded to 6 dp *before* ranking
+    so rank boundaries are engine-stable; ties break on neighbor id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def sim_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a label block: cosine >= 0.35
+    (blocked exact search — the embedding-cosine dedup operator)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("lbl"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label").alias("lbl"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+def hyperplane_lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit pattern of `n_planes`
+    seeded hyperplane dot products. Deterministic (numpy RandomState)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, 64)).tolist()
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(F.col("embedding"), p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        contrib = F.shiftleft(bit, i)
+        bucket = contrib if bucket is None else bucket.bitwiseXOR(contrib)
+    return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+
+
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Approximate top-k: exact cosine *within* LSH buckets only.
+    Rows-only check (approximation); recall asserted in tests."""
+    bucketed = hyperplane_lsh_buckets(spark, sf_dir)
+    queries = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norms (sanity surface for the vector column)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.round(norm(F.col("embedding")), 6).alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_pairs_above": sim_pairs_above,
+    "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_embedding_stats": sim_embedding_stats,
+}
+
+# DuckDB-side exact cosine via an explicit fold over UNNEST — written from
+# scratch (list_cosine_similarity's internal summation order is not
+# guaranteed to match a left fold; the explicit form is).
+_SQL_COS = """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               q.embedding AS qv, e.embedding AS ev
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))))),
+                 6) AS cos_sim
+        FROM pairs
+    )
+"""
+
+ORACLES = {
+    "sim_cosine_topk": f"""
+        {_SQL_COS}
+        SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 10
+    """,
+    "sim_pairs_above": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                 6) >= 0.35
+    """,
+    # sim_ann_lsh_topk: rows-only (approximate); recall tested vs brute force
+    "sim_embedding_stats": """
+        WITH norms AS (
+            SELECT label,
+                   ROUND(SQRT(list_sum(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))),
+                       6) AS l2
+            FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               ROUND(MIN(l2), 6) AS min_norm,
+               ROUND(MAX(l2), 6) AS max_norm
+        FROM norms GROUP BY label
+    """,
+}

@@ -1,0 +1,209 @@
+"""Aggregation operators: group-by, distinct, rollup/cube, top-k, histograms.
+
+The reference's only aggregates are bash-loop mean/min/max
+(``unified_performance_test.sh:201-208,376-445``); SURVEY §2.2 plans the
+full surface. All partial/final aggregation splitting is Catalyst-automatic
+(map-side combine before the shuffle), which is what keeps these viable at
+100 TB: the shuffle carries one row per group per partition, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import davg, dec2, dec6, dsum, sql_davg, sql_dsum
+
+def _disc_price():
+    return dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+def _charge():
+    return dec6(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+
+
+_SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_SQL_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+# Flagship: TPC-H Q1-shaped pricing summary (scan → filter → groupBy → agg).
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") <= 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# approx_count_distinct (HLL++): values won't match DuckDB's approximation
+# → rows-only check; tests assert ≤2% relative error vs the exact count.
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region→nation with GROUPING() disambiguation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    # grouping() must be computed inside the agg (it only resolves under
+    # the Expand node Catalyst plants for rollup/cube)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+def agg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by exact revenue (sort → limit = TakeOrderedAndProject;
+    no full sort materializes at scale). Decimal sums make the ordering
+    engine-exact; o_custkey breaks ties."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    return rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(10)
+
+
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (bucket = floor(value/50))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (per-status, per-priority, grand total)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+QUERIES = {
+    "agg_pricing_summary": agg_pricing_summary,
+    "agg_distinct_counts": agg_distinct_counts,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup_revenue": agg_rollup_revenue,
+    "agg_cube_counts": agg_cube_counts,
+    "agg_top_customers": agg_top_customers,
+    "agg_value_histogram": agg_value_histogram,
+    "agg_grouping_sets": agg_grouping_sets,
+}
+
+ORACLES = {
+    "agg_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity")} AS sum_qty,
+               {sql_dsum("l_extendedprice")} AS sum_base_price,
+               {sql_dsum(_SQL_DISC_PRICE, 6)} AS sum_disc_price,
+               {sql_dsum(_SQL_CHARGE, 6)} AS sum_charge,
+               {sql_davg("l_quantity")} AS avg_qty,
+               {sql_davg("l_extendedprice")} AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_quantity <= 45
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct_counts": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_custkeys,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses,
+               COUNT(*) AS n_orders
+        FROM orders
+    """,
+    # agg_approx_distinct: rows-only (approximation differs per engine)
+    "agg_rollup_revenue": f"""
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "agg_cube_counts": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               {sql_dsum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_top_customers": f"""
+        SELECT o_custkey, {sql_dsum("o_totalprice")} AS revenue
+        FROM orders GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+    "agg_value_histogram": f"""
+        SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               {sql_davg("value")} AS avg_value
+        FROM events GROUP BY 1
+    """,
+    "agg_grouping_sets": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+}

@@ -1,0 +1,139 @@
+"""CDC materializer — the engine's core (SURVEY §1.4, §7 Phase 2).
+
+The reference's `message` table is mutated only through REST calls
+(``MessageController.java:22-45``); recast as a change log
+``{seq, op, id, content, ts}``, the queryable table is a *fold*:
+last-write-wins per key ordered by ``seq``, dropping keys whose latest op
+is DELETE (tombstone; delete-of-absent-key is silent, adopting the Quarkus
+``Message.deleteById`` semantics over Spring's throw —
+``MessageResource.java:43-48`` vs ``MessageController.java:42-45``).
+
+Batch implementation: one window pass (`row_number` per key by seq desc) —
+a single shuffle on the key; at 100 TB the change log is partitioned by
+key so the fold is shuffle-free. Streaming twin lives in
+``cdc_cloudrun_demo_spark.streaming.cdc_stream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..fixtures import MESSAGE_CHANGES_SQL, message_changes_df
+
+# DuckDB-side CTE shared by every oracle here
+_CTE = f"WITH message_changes AS ({MESSAGE_CHANGES_SQL})"
+
+
+def _fold(changes: DataFrame) -> DataFrame:
+    """LWW-per-key + tombstone drop. The canonical materialization."""
+    w = Window.partitionBy("id").orderBy(F.desc("seq"))
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("id", "content", F.col("seq").alias("last_seq"), F.col("ts").alias("updated_at"))
+    )
+
+
+def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fold(message_changes_df(spark, sf_dir))
+
+
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State as of 2024-01-15 (time travel over the log: filter then fold)."""
+    changes = message_changes_df(spark, sf_dir)
+    return _fold(changes.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")))
+
+
+def cdc_tombstone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys whose latest op is DELETE — the left_anti side of S5."""
+    changes = message_changes_df(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy(F.desc("seq"))
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "DELETE"))
+        .select("id", F.col("seq").alias("tombstone_seq"))
+    )
+
+
+def cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = message_changes_df(spark, sf_dir)
+    return changes.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("n_keys"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+def cdc_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 IDENTITY key assignment, replay-deterministic (SURVEY §7 risk #1).
+
+    New surrogate ids for INSERT events are assigned from the *event seq
+    total order*, never from wall clock or `monotonically_increasing_id`
+    (non-contiguous, partition-dependent). Continues after the 5 seed rows
+    (sequence restarts at 6, reference ``import.sql:20-21``).
+
+    Scale note: a global `row_number` sorts — at 100 TB assign per
+    micro-batch (offset = max assigned so far + partition-local ordinal
+    from a range-partitioned sort), which is exactly what the streaming
+    materializer does per batch.
+    """
+    changes = message_changes_df(spark, sf_dir)
+    inserts = changes.filter(F.col("op") == "INSERT")
+    w = Window.orderBy("seq")
+    return inserts.select(
+        "seq",
+        (F.row_number().over(w) + F.lit(5)).cast("long").alias("assigned_id"),
+        "content",
+    )
+
+
+QUERIES = {
+    "cdc_materialize": cdc_materialize,
+    "cdc_snapshot_asof": cdc_snapshot_asof,
+    "cdc_tombstone_keys": cdc_tombstone_keys,
+    "cdc_op_stats": cdc_op_stats,
+    "cdc_keygen": cdc_keygen,
+}
+
+_FOLD_SQL = """
+    SELECT id, content, seq AS last_seq, ts AS updated_at
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+        FROM {src}
+    ) f
+    WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+ORACLES = {
+    "cdc_materialize": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_snapshot_asof": f"""
+        {_CTE},
+        filtered AS (SELECT * FROM message_changes WHERE ts < TIMESTAMP '2024-01-15')
+        {_FOLD_SQL.format(src='filtered')}
+    """,
+    "cdc_tombstone_keys": f"""
+        {_CTE}
+        SELECT id, seq AS tombstone_seq
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+            FROM message_changes
+        ) f
+        WHERE rn = 1 AND op = 'DELETE'
+    """,
+    "cdc_op_stats": f"""
+        {_CTE}
+        SELECT op, COUNT(*) AS n, COUNT(DISTINCT id) AS n_keys,
+               MIN(seq) AS first_seq, MAX(seq) AS last_seq
+        FROM message_changes GROUP BY op
+    """,
+    "cdc_keygen": f"""
+        {_CTE}
+        SELECT seq,
+               CAST(ROW_NUMBER() OVER (ORDER BY seq) + 5 AS BIGINT) AS assigned_id,
+               content
+        FROM message_changes WHERE op = 'INSERT'
+    """,
+}

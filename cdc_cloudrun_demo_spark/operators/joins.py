@@ -1,0 +1,236 @@
+"""Join operators over the star schema (SURVEY §2.2 — planned surface).
+
+Strategy notes for 100 TB (verified against .explain in tests/test_plans.py):
+* dims (region/nation/part/supplier) are explicitly ``broadcast()`` — no
+  shuffle of the fact table for dim joins;
+* fact⨝fact (lineitem⨝orders) is a shuffled hash/sort-merge join on the
+  key both sides are already bucketable by — at scale, bucket both tables
+  by orderkey to make this co-located;
+* semi/anti joins use left_semi/left_anti (no payload duplication);
+* the as-of join is a union+window single-shuffle plan, not a per-row
+  subquery — O(n log n) per key-partition, no skew amplification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ._util import dec6, dsum, sql_dsum
+
+_SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price():
+    return dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand — lineitem ⨝ broadcast(part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multiway join: revenue per nation where customer and
+    supplier share the nation (fact⨝fact shuffle + broadcast dims)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers left-joined to their order aggregates (nulls → 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_cnt"), dsum("o_totalprice").alias("spend")
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("order_cnt", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one high-value order (left_semi ≍ EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order above 300k (left_anti ≍ NOT EXISTS) — the
+    same plan shape as CDC tombstone filtering (SURVEY §2 S5)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order with
+    o_orderdate <= event ts.
+
+    Spark-first plan: tag both sides, union, then one window pass per key
+    ordered by time — a single shuffle on user id, linear after sort. This
+    scales where a per-row correlated subquery (the naive translation)
+    would not. Oracle: DuckDB's native ASOF JOIN.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("is_probe"),
+    )
+    build = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.lit(0).alias("is_probe"),
+    )
+    # build rows sort before probes at equal t (is_probe asc) so an event at
+    # exactly t matches the order at t ("<=" semantics, ASOF default); ties
+    # among equal-t build rows resolve to max o_orderkey in both engines
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_probe", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = probe.unionByName(build).withColumn(
+        "matched_order",
+        F.last(F.when(F.col("is_probe") == 0, F.col("o_orderkey")), ignorenulls=True).over(w),
+    )
+    return (
+        unioned.filter(F.col("is_probe") == 1)
+        .filter(F.col("matched_order").isNotNull())
+        .select("event_id", F.col("uid").alias("user_id"), "matched_order")
+    )
+
+
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual: lineitems whose quantity falls
+    within ±5 of the part's size (theta condition evaluated post-probe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_quantity >= p.p_size - 5)
+            & (li.l_quantity <= p.p_size + 5),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_in_range"))
+    )
+
+
+QUERIES = {
+    "join_broadcast_dim": join_broadcast_dim,
+    "join_star_revenue": join_star_revenue,
+    "join_left_outer": join_left_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_asof": join_asof,
+    "join_theta_range": join_theta_range,
+}
+
+ORACLES = {
+    "join_broadcast_dim": f"""
+        SELECT p_brand,
+               {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "join_star_revenue": f"""
+        SELECT r_name, n_name, {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY r_name, n_name
+    """,
+    "join_left_outer": f"""
+        SELECT c_custkey, c_mktsegment,
+               COALESCE(order_cnt, 0) AS n_orders,
+               COALESCE(spend, CAST(0.0 AS DOUBLE)) AS total_spend
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS order_cnt,
+                   {sql_dsum("o_totalprice")} AS spend
+            FROM orders GROUP BY o_custkey
+        ) agg ON c_custkey = agg.o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_nationkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+    """,
+    # as-of semantics from first principles (arg_max over the <= window),
+    # with the same (date, orderkey) tie-break the Spark window uses —
+    # DuckDB's native ASOF JOIN leaves equal-time ties unspecified
+    "join_asof": """
+        WITH latest AS (
+            SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS d
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+            GROUP BY e.event_id, e.user_id
+        )
+        SELECT l.event_id, l.user_id, MAX(o.o_orderkey) AS matched_order
+        FROM latest l
+        JOIN orders o ON o.o_custkey = l.user_id AND o.o_orderdate = l.d
+        GROUP BY l.event_id, l.user_id
+    """,
+    "join_theta_range": """
+        SELECT p_brand, COUNT(*) AS n_in_range
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey
+         AND l_quantity >= p_size - 5
+         AND l_quantity <= p_size + 5
+        GROUP BY p_brand
+    """,
+}

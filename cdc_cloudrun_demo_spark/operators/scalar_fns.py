@@ -1,0 +1,185 @@
+"""Scalar function coverage: string / date / math / conditional / regexp / JSON.
+
+The reference's only scalar computation is formatting arithmetic in
+``MetricsController.java:53-73`` (M1); SURVEY §2.2 plans the full scalar
+surface. Cross-engine notes: transcendental fns (exp/log/pow) are not
+correctly-rounded and may differ between JVM and libm in the last ulp, so
+oracle-checked outputs stick to IEEE-exact ops (+,−,×,÷,sqrt, abs, floor,
+ceil, mod) and scale≥1 rounding (whose decimal boundaries are non-dyadic,
+hence rounding-mode-proof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.lower(F.col("p_brand")).alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+def fn_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_day"),
+        F.date_trunc("month", d).alias("month_start"),
+        # date-typed outputs are cast to timestamp: pandas materializes
+        # dates and midnight-timestamps identically, engines don't
+        F.to_date(d).cast("timestamp").alias("order_date"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.datediff(F.to_date(F.lit("2025-01-01")), F.to_date(d)).cast("long").alias(
+            "days_to_2025"
+        ),
+    )
+
+
+def fn_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    x = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        F.abs(x - 1000.0).alias("abs_diff"),
+        F.ceil(x).cast("long").alias("price_ceil"),
+        F.floor(x).cast("long").alias("price_floor"),
+        F.round(x / 7.0, 2).alias("price_div_round"),
+        F.sqrt(x).alias("price_sqrt"),
+        (F.col("l_orderkey") % 10).cast("long").alias("key_mod"),
+        (x * x).alias("price_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "overdrawn")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR"))
+        .alias("segment_renamed"),
+        F.least(bal, F.lit(1000.0)).alias("capped_bal"),
+        F.greatest(bal, F.lit(0.0)).alias("floored_bal"),
+    )
+
+
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+        F.col("text").rlike("data").alias("mentions_data"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "").substr(1, 20).alias(
+            "devoweled_prefix"
+        ),
+    )
+
+
+def fn_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("event_json"),
+    )
+
+
+QUERIES = {
+    "fn_string_ops": fn_string_ops,
+    "fn_date_ops": fn_date_ops,
+    "fn_math_ops": fn_math_ops,
+    "fn_conditional": fn_conditional,
+    "fn_regexp": fn_regexp,
+    "fn_json_ops": fn_json_ops,
+}
+
+ORACLES = {
+    "fn_string_ops": """
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               TRIM(p_name) AS name_trim
+        FROM part
+    """,
+    "fn_date_ops": """
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+               CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+               CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2025-01-01')
+                    AS BIGINT) AS days_to_2025
+        FROM orders
+    """,
+    "fn_math_ops": """
+        SELECT l_orderkey,
+               ABS(l_extendedprice - 1000.0) AS abs_diff,
+               CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+               ROUND(l_extendedprice / 7.0, 2) AS price_div_round,
+               SQRT(l_extendedprice) AS price_sqrt,
+               CAST(l_orderkey % 10 AS BIGINT) AS key_mod,
+               l_extendedprice * l_extendedprice AS price_sq,
+               SIGN(l_discount - 0.05) AS disc_sign
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    "fn_conditional": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS segment_renamed,
+               LEAST(c_acctbal, 1000.0) AS capped_bal,
+               GREATEST(c_acctbal, 0.0) AS floored_bal
+        FROM customer
+    """,
+    "fn_regexp": """
+        SELECT doc_id,
+               COALESCE(regexp_extract(text, '([A-Za-z]+)', 1), '') AS first_word,
+               CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+               regexp_matches(text, 'data') AS mentions_data,
+               SUBSTRING(regexp_replace(text, '[aeiou]', '', 'g'), 1, 20)
+                 AS devoweled_prefix
+        FROM documents
+    """,
+    "fn_json_ops": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               json_extract_string(props, '$.missing') AS missing_field,
+               '{"id":' || event_id || ',"type":"' || event_type || '"}' AS event_json
+        FROM events
+    """,
+}

@@ -1,0 +1,141 @@
+"""Event-time windowing with batch-equivalent semantics (SURVEY §7 Phase 3).
+
+``window()`` and ``session_window()`` evaluate identically in batch and
+Structured Streaming; these queries define the semantics (and the DuckDB
+oracles), while ``cdc_cloudrun_demo_spark.streaming`` runs the same folds
+as real streams with watermarks. Window starts are epoch-aligned slide
+multiples — DuckDB's ``time_bucket`` uses the same alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import davg, dsum, sql_davg, sql_dsum
+
+
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type: count + exact value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (length 2d, slide 1d): each event lands in two
+    windows; starts are the two preceding day boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user.
+
+    session_window end = last event + gap. The oracle reproduces the merge
+    with the classic lag→flag→cumulative-sum pattern — proving the Spark
+    operator against first-principles SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-hour time series (the shape a rate dashboard consumes)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )
+
+
+QUERIES = {
+    "stream_tumbling_daily": stream_tumbling_daily,
+    "stream_sliding_2d_1d": stream_sliding_2d_1d,
+    "stream_session_windows": stream_session_windows,
+    "stream_hourly_rate": stream_hourly_rate,
+}
+
+ORACLES = {
+    "stream_tumbling_daily": f"""
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+               time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+                 + INTERVAL '1 day' AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "stream_sliding_2d_1d": f"""
+        SELECT window_start, COUNT(*) AS n, {sql_davg("value")} AS avg_value
+        FROM (
+            SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+                     - (INTERVAL '1 day' * off) AS window_start,
+                   value
+            FROM events, (SELECT UNNEST([0, 1]) AS off) offsets
+        ) expanded
+        GROUP BY window_start
+    """,
+    "stream_session_windows": f"""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER
+                               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT *, SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "stream_hourly_rate": """
+        SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM events
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,158 @@
+"""Window functions (SURVEY §2.2; implicit in reference B2 drop-first and
+S3/S4 key-gen/latest-per-key shapes).
+
+All windows partition by a key — the shuffle is one exchange on the
+partition key, then sort within partitions. At 100 TB the concern is key
+skew (a user with millions of events); AQE skew handling covers joins but
+not windows, so hot keys would need salted two-phase windows — not needed
+for any operator here (all partitions are bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ._util import dec2
+
+
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number, tie-break orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order date (explicit ROWS frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event gaps (lag) and next event type (lead) — B9's
+    event-time-delta generalized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+def win_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank of suppliers by balance within nation (raw-column
+    ordering: doubles come straight from parquet, bit-identical in both
+    engines, so ranks agree)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+    )
+
+
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quartiles over orders (deterministic via orderkey tie-break)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).cast("int").alias("price_quartile")
+    )
+
+
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order per customer (full-partition frame + distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+        )
+        .distinct()
+    )
+
+
+QUERIES = {
+    "win_topn_per_group": win_topn_per_group,
+    "win_running_total": win_running_total,
+    "win_lag_lead": win_lag_lead,
+    "win_rank_in_group": win_rank_in_group,
+    "win_ntile": win_ntile,
+    "win_first_last": win_first_last,
+}
+
+ORACLES = {
+    "win_topn_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders
+        ) t WHERE rnk <= 3
+    """,
+    "win_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    "win_lag_lead": """
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+               LEAD(event_type) OVER w AS next_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    "win_rank_in_group": """
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+    """,
+    "win_ntile": """
+        SELECT o_orderkey,
+               CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+                 AS price_quartile
+        FROM orders
+    """,
+    "win_first_last": """
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER w AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+}

@@ -1,0 +1,86 @@
+"""Sources & sinks.
+
+The reference's only source/sink is JDBC/PostgreSQL + JSON-over-HTTP
+(SURVEY §2.1 "Scans/sources/sinks"); our native surface is columnar files
+(parquet primary; csv/json interchange), an optional JDBC passthrough, and
+streaming sources (file-replay for CDC logs, rate for synthetic load).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — `partition_by` keys become directory
+    pruning at read time (the 100 TB layout lever)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str, header: bool = True) -> DataFrame:
+    # Explicit schema always: schema inference is a full extra pass at scale.
+    return spark.read.csv(path, schema=schema, header=header)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.json(path, schema=schema)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, partition_column: str | None = None,
+    num_partitions: int = 8, lower_bound: int | None = None, upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC passthrough (the reference's native source). Partitioned reads
+    only — an unpartitioned JDBC scan serializes on one task."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option("upperBound", upper_bound if upper_bound is not None else 1 << 31)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def file_stream(
+    spark: SparkSession, path: str, schema: StructType | str, fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-replay streaming source — the test-time stand-in for a Kafka
+    change-log topic (one file ≈ one batch of WAL)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

@@ -1,0 +1,97 @@
+"""Replica of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet, compare
+row count + schema shape + order-insensitive values.
+
+Stricter than the driver (exact value equality after canonical
+normalization) so that passing here predicts passing there.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from cdc_cloudrun_demo_spark.catalog import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+    mismatches: list = field(default_factory=list)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        ts = v.tz_convert("UTC").tz_localize(None) if v.tzinfo else v
+        return ts.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _canon_frame(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare_one(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareResult:
+    try:
+        sdf = fn(spark, sf_dir).toPandas()
+    except Exception as e:
+        return CompareResult(name, False, f"SPARK ERROR: {type(e).__name__}: {e}")
+    try:
+        odf = con.sql(sql).df()
+    except Exception as e:
+        return CompareResult(name, False, f"ORACLE ERROR: {type(e).__name__}: {e}")
+    r = CompareResult(name, True, spark_rows=len(sdf), oracle_rows=len(odf))
+    if sorted(sdf.columns) != sorted(odf.columns):
+        r.ok = False
+        r.detail = f"COLUMNS spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+        return r
+    if len(sdf) != len(odf):
+        r.ok = False
+        r.detail = f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
+        return r
+    s_rows = _canon_frame(sdf)
+    o_rows = _canon_frame(odf)
+    if s_rows != o_rows:
+        r.ok = False
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+        ][:3]
+        r.detail = f"VALUES differ; first diffs: {diffs}"
+        r.mismatches = diffs
+    return r

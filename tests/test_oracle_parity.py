@@ -1,0 +1,50 @@
+"""The correctness gate, locally: every queries() entry with an oracle must
+match DuckDB exactly at sf0.01 (the driver's comparison scale)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_check import compare_one, duck_connection
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+ORACLE_NAMES = sorted(ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_oracle):
+    con = duck_connection(sf_oracle)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, sf_oracle, name):
+    res = compare_one(spark, duck, name, QUERIES[name], ORACLES[name], sf_oracle)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_all_queries_have_oracle_or_are_whitelisted():
+    rows_only = set(QUERIES) - set(ORACLES)
+    allowed = {
+        "s9_metadata",
+        "agg_approx_distinct",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_ann_lsh_topk",
+    }
+    assert rows_only <= allowed, f"unexpected rows-only queries: {rows_only - allowed}"
+
+
+def test_rows_only_queries_run(spark, sf_oracle):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, sf_oracle)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
