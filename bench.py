@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Protocol: warm measurement — one untimed warmup pass (codegen + JIT +
+file-footer caches), then the timed pass. This mirrors the reference's own
+benchmark discipline: its warm-performance harness excludes the cold first
+request from the mean (test_warm_performance.sh:72-76). Aggregate-shaped
+queries collect(); row-expanding ones count() (fetching millions of rows
+would time the driver pipe, not the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_cloudrun_demo_spark.operators import registry
+from cdc_cloudrun_demo_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> action ("collect" for small outputs, "count" for row-expanding)
+HEADLINE: dict[str, str] = {
+    "agg_pricing_summary": "collect",     # flagship scan→filter→group
+    "join_star_revenue": "collect",       # multiway fact⨝fact + dims
+    "join_asof": "count",                 # union+window as-of join
+    "cdc_materialize": "count",           # the CDC fold
+    "win_running_total": "count",         # partitioned window frame
+    "agg_top_customers": "collect",       # top-k (TakeOrderedAndProject)
+    "stream_session_windows": "count",    # gap sessionization
+    "stream_tumbling_daily": "collect",   # event-time windows
+    "b8_json_extract": "collect",         # JSON path extraction
+    "dedup_exact": "count",               # normalize+hash groupBy
+    "dedup_ngram_jaccard": "count",       # shingle similarity join
+    "sim_cosine_topk": "collect",         # brute-force ANN baseline
+    "text_quality_score": "count",        # regex-heavy text scoring
+    "multimodal_features": "count",       # mapInPandas Arrow pipeline
+}
+
+
+def main() -> None:
+    queries, _ = registry()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.collect() if HEADLINE[name] == "collect" else df.count()
+        return round(time.perf_counter() - t0, 4)
+
+    for name in HEADLINE:  # cold pass, untimed (warm protocol, see docstring)
+        run(name)
+    timings = {name: run(name) for name in HEADLINE}
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

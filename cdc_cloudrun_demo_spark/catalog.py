@@ -50,6 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_for_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across the cluster for CPU-heavy per-row
+    work (regex tokenization, UDF decode, vector math).
+
+    Parquet compresses text/vectors so densely that one file split can
+    hold the whole table — the scan then runs as a single task and the
+    expensive expression pipeline above it serializes. One cheap
+    round-robin shuffle of the raw rows buys full parallelism for the
+    orders-of-magnitude-heavier compute stage. (At real scale the input
+    has many files; this also protects against few-large-files layouts.)
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

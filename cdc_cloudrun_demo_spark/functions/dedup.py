@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 
 _SQL_NORM = (
     "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
@@ -79,8 +79,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posting lists), so only docs sharing at least one shingle ever meet —
     at corpus scale this is the classic similarity-join plan, with the
     blocking keys bounding skew."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _token_trigrams(d)
+    d = load_for_compute(spark, sf_dir, "documents")
+    # persist: the exploded shingle set feeds both self-join sides and the
+    # size table — without it the regex tokenization runs 3×. At corpus
+    # scale this becomes a materialized (bucketed-by-shingle) table.
+    sh = _token_trigrams(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -116,7 +119,7 @@ def minhash_lsh_pairs(
     the exact Jaccard truth is asserted in tests/test_dedup.py."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_for_compute(spark, sf_dir, "documents")
     sh = _token_trigrams(d).groupBy("doc_id").agg(
         F.collect_set("shingle").alias("shingles")
     )

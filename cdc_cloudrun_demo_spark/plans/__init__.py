@@ -44,10 +44,25 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count in the optimized physical plan (lower = better)."""
+    """Shuffle-Exchange count in the physical plan (lower = better).
+    Broadcast exchanges are excluded — shipping a dim to every executor is
+    the cheap alternative to shuffling the fact table. Counts the
+    formatted plan's detail headers ('(N) Exchange') so each node is
+    counted once."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in formatted_plan(df)
+    """True if the *executed* plan ran through whole-stage codegen (under
+    AQE the pre-execution formatted plan hides codegen stages). Executes
+    THIS plan (collect, not count — count builds a different plan whose
+    execution would leave this one unfinalized)."""
+    import re
+
+    df.collect()
+    plan = physical_plan(df)
+    # codegen stages render as "*(N) Operator" in the plan string
+    return "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan) is not None

@@ -1,0 +1,87 @@
+"""Physical-plan property tests — the 100 TB checklist (SURVEY §4).
+
+Correctness says the operator computes the right answer; these say the
+*plan* is the one that survives a 100× scale-up: filters reach the scan,
+projections prune columns, dims broadcast, hot paths stay in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_cloudrun_demo_spark.catalog import load_table
+from cdc_cloudrun_demo_spark.operators.aggregates import agg_pricing_summary
+from cdc_cloudrun_demo_spark.operators.joins import (
+    join_asof,
+    join_broadcast_dim,
+    join_star_revenue,
+)
+from cdc_cloudrun_demo_spark.operators.relational import (
+    s1_scan_projection,
+    s2_point_lookup,
+)
+from cdc_cloudrun_demo_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_pushed_filter,
+    has_whole_stage_codegen,
+    reads_columns,
+    uses_broadcast_join,
+)
+
+
+def test_point_lookup_pushes_predicate(spark, sf_smoke):
+    df = s2_point_lookup(spark, sf_smoke)
+    assert has_pushed_filter(df, "o_orderkey"), formatted_plan(df)
+
+
+def test_projection_prunes_columns(spark, sf_smoke):
+    df = s1_scan_projection(spark, sf_smoke)
+    cols = reads_columns(df)
+    assert set(cols) == {"c_custkey", "c_mktsegment"}, cols
+
+
+def test_pricing_summary_pushes_filter_and_codegens(spark, sf_smoke):
+    df = agg_pricing_summary(spark, sf_smoke)
+    assert has_pushed_filter(df, "l_quantity"), formatted_plan(df)
+    assert has_whole_stage_codegen(df)
+    # scan must not read unused columns (e.g. l_partkey, l_shipdate)
+    cols = set(reads_columns(df))
+    assert "l_partkey" not in cols and "l_shipdate" not in cols, cols
+
+
+def test_dim_join_broadcasts(spark, sf_smoke):
+    assert uses_broadcast_join(join_broadcast_dim(spark, sf_smoke))
+
+
+def test_star_join_broadcasts_dims(spark, sf_smoke):
+    df = join_star_revenue(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the lineitem⨝orders fact join shuffles; everything else should not:
+    # allow the fact-join exchanges + one for the final agg, nothing more
+    assert count_exchanges(df) <= 5, plan
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_smoke):
+    """The as-of plan is union→window: one Exchange for the window
+    partitioning (plus scan-side coalesces), never a join explosion."""
+    df = join_asof(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_filter_stays_jvm_side(spark, sf_smoke):
+    """No Python UDF (BatchEvalPython) in built-in operator plans."""
+    for fn in (agg_pricing_summary, join_star_revenue, join_asof):
+        plan = formatted_plan(fn(spark, sf_smoke))
+        assert "BatchEvalPython" not in plan, (fn.__name__, plan)
+
+
+def test_events_ts_is_timestamp(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # conversion must be lossless to the µs
+    row = ev.select(F.max("ts").alias("m")).collect()[0]
+    assert row["m"].microsecond != 0  # data has sub-second precision

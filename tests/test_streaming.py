@@ -1,0 +1,154 @@
+"""Streaming end-to-end: the CDC materializer replayed as a real stream
+must converge to the batch fold, regardless of micro-batch slicing
+(SURVEY §5 test pyramid, tier 2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_cloudrun_demo_spark.fixtures import message_changes_df
+from cdc_cloudrun_demo_spark.operators.cdc import cdc_materialize
+from cdc_cloudrun_demo_spark.sources import file_stream
+from cdc_cloudrun_demo_spark.streaming.cdc_stream import (
+    CHANGE_SCHEMA,
+    fold_batch,
+    materialize_foreach_batch,
+    materialize_with_state,
+    merge_states,
+)
+from cdc_cloudrun_demo_spark.streaming.event_windows import (
+    run_to_memory,
+    tumbling_counts,
+)
+
+
+def _write_change_log_files(spark, sf_dir: str, out_dir: str, n_slices: int = 5) -> None:
+    """Slice the change log into n sequential files (≈ WAL segments)."""
+    changes = message_changes_df(spark, sf_dir).orderBy("seq")
+    total = changes.count()
+    per = (total + n_slices - 1) // n_slices
+    rows = changes.collect()
+    for i in range(n_slices):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema=changes.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"slice_{i:03d}"))
+
+
+def _expected_state(spark, sf_dir: str):
+    return {
+        r["id"]: (r["content"], r["last_seq"])
+        for r in cdc_materialize(spark, sf_dir).collect()
+    }
+
+
+def test_foreach_batch_materializer_converges(spark, sf_smoke, tmp_path):
+    log_dir = str(tmp_path / "log")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_change_log_files(spark, sf_smoke, log_dir, n_slices=4)
+
+    stream = file_stream(
+        spark, os.path.join(log_dir, "slice_*"), CHANGE_SCHEMA, max_files_per_trigger=1
+    )
+    q = materialize_foreach_batch(stream, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["content"], r["last_seq"])
+        for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+    }
+    assert got == _expected_state(spark, sf_smoke)
+
+
+def test_foreach_batch_replay_idempotent(spark, sf_smoke):
+    """Re-merging an already-applied delta must not change state."""
+    changes = message_changes_df(spark, sf_smoke)
+    folded = fold_batch(changes)
+    state1 = merge_states(
+        spark.createDataFrame([], "id long, content string, last_seq long, updated_at timestamp"),
+        folded,
+    )
+    state2 = merge_states(state1, folded)  # replay
+    assert sorted(state1.collect()) == sorted(state2.collect())
+
+
+def test_apply_in_pandas_with_state_matches_batch(spark, sf_smoke, tmp_path):
+    log_dir = str(tmp_path / "log2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_change_log_files(spark, sf_smoke, log_dir, n_slices=3)
+
+    stream = file_stream(
+        spark, os.path.join(log_dir, "slice_*"), CHANGE_SCHEMA, max_files_per_trigger=1
+    )
+    updates = materialize_with_state(stream)
+    q = run_to_memory(updates, "cdc_state_updates", ckpt, output_mode="update")
+    q.awaitTermination(120)
+
+    # last update per key across all micro-batches == final state
+    final = (
+        spark.table("cdc_state_updates")
+        .groupBy("id")
+        .agg(F.max_by("content", "last_seq").alias("content"),
+             F.max("last_seq").alias("last_seq"),
+             F.max_by("is_deleted", "last_seq").alias("is_deleted"))
+        .filter(~F.col("is_deleted"))
+    )
+    got = {r["id"]: (r["content"], r["last_seq"]) for r in final.collect()}
+    assert got == _expected_state(spark, sf_smoke)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_smoke, tmp_path):
+    """Windowed streaming agg over the full (on-time) replay equals the
+    batch computation — watermark only drops genuinely late data."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    ev_dir = str(tmp_path / "events_replay")
+    ev.write.mode("overwrite").parquet(ev_dir)
+
+    stream = file_stream(
+        spark, ev_dir, ev.schema, max_files_per_trigger=100
+    )
+    # complete mode: append-mode windows only finalize when a LATER batch
+    # advances the watermark past them, so a finite replay would drop the
+    # tail windows; complete emits the whole result table every trigger.
+    agg = tumbling_counts(stream, "1 day", watermark="1 day")
+    q = run_to_memory(agg, "tumbling_out", str(tmp_path / "ckpt3"), output_mode="complete")
+    q.awaitTermination(120)
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("tumbling_out").collect()
+    }
+    want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("n_slices", [1, 7])
+def test_slicing_invariance(spark, sf_smoke, tmp_path, n_slices):
+    """Final state is independent of how the log is micro-batched."""
+    log_dir = str(tmp_path / f"log_{n_slices}")
+    state_dir = str(tmp_path / f"state_{n_slices}")
+    ckpt = str(tmp_path / f"ckpt_{n_slices}")
+    _write_change_log_files(spark, sf_smoke, log_dir, n_slices=n_slices)
+    stream = file_stream(
+        spark, os.path.join(log_dir, "slice_*"), CHANGE_SCHEMA, max_files_per_trigger=1
+    )
+    q = materialize_foreach_batch(stream, state_dir, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["content"], r["last_seq"])
+        for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+    }
+    assert got == _expected_state(spark, sf_smoke)
