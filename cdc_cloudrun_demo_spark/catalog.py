@@ -51,18 +51,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_for_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a table and spread it across the cluster for CPU-heavy per-row
-    work (regex tokenization, UDF decode, vector math).
+    """Load a table and ensure the cluster-wide parallelism needed for
+    CPU-heavy per-partition work above the scan: regex tokenization, UDF
+    decode, vector math, and *partial aggregation* (which runs before the
+    first exchange, inside the scan stage).
 
-    Parquet compresses text/vectors so densely that one file split can
-    hold the whole table — the scan then runs as a single task and the
-    expensive expression pipeline above it serializes. One cheap
-    round-robin shuffle of the raw rows buys full parallelism for the
-    orders-of-magnitude-heavier compute stage. (At real scale the input
-    has many files; this also protects against few-large-files layouts.)
+    Adaptive: parquet can only parallelize down to the row group, so a
+    few-large-row-groups layout (like the testdata's one-row-group files)
+    pins the whole pipeline to a handful of tasks. When the scan's natural
+    split count is far below the core count, one cheap round-robin shuffle
+    of the raw rows buys full parallelism for the orders-of-magnitude-
+    heavier compute stage. When the layout already parallelizes (the
+    normal case at scale: thousands of files), this is a no-op — no extra
+    shuffle is ever added to a well-laid-out input.
     """
     df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        scan_parts = df.rdd.getNumPartitions()
+    except Exception:
+        scan_parts = cores
+    if scan_parts * 2 < cores:
+        df = df.repartition(cores)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -41,7 +41,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k for query vectors vec_id < 5 against the
     whole corpus (self excluded). Scores rounded to 6 dp *before* ranking
     so rank boundaries are engine-stable; ties break on neighbor id."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -93,7 +93,7 @@ def hyperplane_lsh_buckets(
 
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, 64)).tolist()
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     bucket = None
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])

@@ -13,14 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, dec2, dec6, dsum, sql_davg, sql_dsum
+from ._util import davg, dsum, sql_davg, sql_dsum
 
 def _disc_price():
-    return dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def _charge():
-    return dec6(
+    return (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     )
 
@@ -38,8 +38,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            dsum(_disc_price(), 6).alias("sum_disc_price"),
+            dsum(_charge(), 6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -84,7 +84,7 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(
         F.grouping("r_name").cast("int").alias("g_region"),
         F.grouping("n_name").cast("int").alias("g_nation"),
-        F.sum(_disc_price()).cast("double").alias("revenue"),
+        dsum(_disc_price(), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

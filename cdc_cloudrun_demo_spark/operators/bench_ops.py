@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_for_compute
 from ..fixtures import SERVICE_SAMPLES_SQL, service_samples_df
 from ._util import davg, sql_davg
 
@@ -118,7 +118,7 @@ def b7_validity_gated_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # B8 — JSON field extraction (jq -r '.k // default'; compare_services.sh:71-75)
 def b8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_for_compute(spark, sf_dir, "events")
     k = F.coalesce(
         F.get_json_object(F.col("props"), "$.k").cast("int"), F.lit(-1)
     )
@@ -231,9 +231,7 @@ ORACLES = {
                MAX(http_code) < 400 AS all_ok,
                CASE WHEN MAX(http_code) < 400
                     THEN {sql_davg("duration_s", 6)} END AS gated_mean_s,
-               CAST(SUM(CAST(CASE WHEN http_code < 400 THEN duration_s END
-                             AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(CASE WHEN http_code < 400 THEN duration_s END)
+               {sql_davg("CASE WHEN http_code < 400 THEN duration_s END", 6)}
                  AS valid_mean_s
         FROM service_samples GROUP BY service
     """,

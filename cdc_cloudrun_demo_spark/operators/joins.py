@@ -18,13 +18,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ._util import dec6, dsum, sql_dsum
+from ._util import dsum, sql_dsum
 
 _SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
 
 def _disc_price():
-    return dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,7 +35,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(_disc_price()).cast("double").alias("revenue"),
+            dsum(_disc_price(), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -58,7 +58,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(dsum(_disc_price(), 6).alias("revenue"))
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ._util import dec2
+from ._util import scaled_long
 
 
 def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +40,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        (F.sum(scaled_long("o_totalprice", 2)).over(w) / F.lit(100.0)).alias("running_spend"),
     )
 
 
@@ -120,10 +120,10 @@ ORACLES = {
     """,
     "win_running_total": """
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               (CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_spend
+               ) AS DOUBLE) / 100.0) AS running_spend
         FROM orders
     """,
     "win_lag_lead": """

@@ -21,7 +21,7 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 day",
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0)).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"), "event_type", "n", "sum_value")
     )
