@@ -75,27 +75,43 @@ def _token_trigrams(d: DataFrame) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for candidate pairs within
-    (lang, source) blocks, j >= 0.1. The join runs on shingle equality
-    (posting lists), so only docs sharing at least one shingle ever meet —
-    at corpus scale this is the classic similarity-join plan, with the
-    blocking keys bounding skew."""
+    (lang, source) blocks, j >= 0.1.
+
+    Plan: posting lists, not a self-join — group shingles by
+    (block, shingle), emit each list's ordered pairs, count co-occurrences
+    per pair. One shuffle of the shingle set instead of two copies through
+    a sort-merge join, and only docs sharing a shingle ever meet. The
+    per-doc set sizes are a doc-count-sized table, joined by broadcast.
+    Scale notes: hot (non-discriminative) shingles make quadratic posting
+    lists — production pipelines cap document frequency before pairing;
+    the cap is omitted here because the oracle computes uncapped Jaccard.
+    At corpus scale the shingle table is materialized/bucketed instead of
+    persist()ed, and the sizes join falls back to shuffle automatically
+    once it exceeds the broadcast threshold."""
     d = load_for_compute(spark, sf_dir, "documents")
-    # persist: the exploded shingle set feeds both self-join sides and the
-    # size table — without it the regex tokenization runs 3×. At corpus
-    # scale this becomes a materialized (bucketed-by-shingle) table.
+    # persist: the exploded shingle set feeds both the posting lists and
+    # the size table — without it the regex tokenization runs twice.
     sh = _token_trigrams(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    post = sh.groupBy("lang", "source", "shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    n = F.size(ids)
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    inter = (
+        post.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
@@ -104,8 +120,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
