@@ -131,6 +131,70 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
     )
 
 
+def sim_ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the ``n_probe`` lists closest to
+    each query, exact cosine within candidates.
+
+    Centroids are the first ``n_clusters`` corpus vectors (deterministic;
+    a production build trains k-means on a sample — the plan is identical,
+    only the centroid values change). Scale shape: assignment is one
+    broadcast (N×K dots, embarrassingly parallel, no shuffle of the
+    corpus); the probe is an equality join on cluster id, so each query
+    touches n_probe/n_clusters of the data — the IVF speedup. Approximate
+    → rows-only check; recall vs brute force asserted in tests.
+    """
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, rank_limit: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "cid",
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
+        return scored.withColumn("crnk", F.row_number().over(w)).filter(
+            F.col("crnk") <= rank_limit
+        )
+
+    corpus = assign(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", 1
+    ).select("vec_id", "embedding", "cid")
+    queries = assign(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "qvec",
+        n_probe,
+    ).select("query_id", "qvec", "cid")
+    cand = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norms (sanity surface for the vector column)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -149,6 +213,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_pairs_above": sim_pairs_above,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_embedding_stats": sim_embedding_stats,
 }
 
