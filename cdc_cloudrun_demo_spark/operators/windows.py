@@ -29,6 +29,45 @@ def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant top-3 per customer: identical result to
+    ``win_topn_per_group`` via a salted two-phase plan.
+
+    Phase 1 ranks within (key, salt) — a hot key's rows spread over
+    ``n_salt`` tasks, each keeping only its local top-3. Phase 2 re-ranks
+    the ≤ 3·n_salt survivors per key. The second shuffle carries only
+    survivors, so a key with millions of rows costs O(rows/n_salt) per
+    task instead of serializing one reducer — the salting pattern SURVEY
+    §4 prescribes for window skew (AQE covers joins, not windows).
+    Oracle: same SQL as win_topn_per_group (results are identical)."""
+    n_salt = 8
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    w_local = Window.partitionBy("o_custkey", "_salt").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    survivors = (
+        salted.withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= 3)
+        .drop("_salt", "lrnk")
+    )
+    w_final = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer over order date (explicit ROWS frame)."""
     o = load_table(spark, sf_dir, "orders")
@@ -101,6 +140,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "win_topn_per_group": win_topn_per_group,
+    "win_topn_salted": win_topn_salted,
     "win_running_total": win_running_total,
     "win_lag_lead": win_lag_lead,
     "win_rank_in_group": win_rank_in_group,
@@ -108,8 +148,7 @@ QUERIES = {
     "win_first_last": win_first_last,
 }
 
-ORACLES = {
-    "win_topn_per_group": """
+_TOPN_SQL = """
         SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
@@ -117,7 +156,12 @@ ORACLES = {
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
             FROM orders
         ) t WHERE rnk <= 3
-    """,
+    """
+
+ORACLES = {
+    "win_topn_per_group": _TOPN_SQL,
+    # the salted two-phase plan must produce the exact same rows
+    "win_topn_salted": _TOPN_SQL,
     "win_running_total": """
         SELECT o_custkey, o_orderkey,
                (CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (

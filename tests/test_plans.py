@@ -79,6 +79,29 @@ def test_filter_stays_jvm_side(spark, sf_smoke):
         assert "BatchEvalPython" not in plan, (fn.__name__, plan)
 
 
+def test_jaccard_is_not_cartesian(spark, sf_smoke):
+    """The similarity join must stay a posting-list plan: no cartesian or
+    nested-loop join may appear, whatever the optimizer decides."""
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_ngram_jaccard
+
+    plan = formatted_plan(dedup_ngram_jaccard(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_never_shuffles_corpus_for_probing(spark, sf_smoke):
+    """IVF candidate generation is broadcast-driven: centroid assignment
+    and query probing reach the corpus via broadcast, so the only
+    exchanges are the tiny argmax windows — never a corpus-wide join
+    shuffle."""
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_ann_ivf_topk
+
+    df = sim_ann_ivf_topk(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_events_ts_is_timestamp(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"

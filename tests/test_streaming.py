@@ -135,6 +135,45 @@ def test_streaming_tumbling_matches_batch(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+def test_watermark_finalizes_windows_and_drops_late_events(spark, tmp_path):
+    """Append-mode watermark contract: once the watermark passes a window's
+    end the window is emitted exactly once, and a later-arriving event for
+    that window is dropped — it must NOT re-open the window or produce a
+    duplicate emission. (The late-data policy the reference never had to
+    define; its "stream" was synchronous REST.)"""
+    from datetime import datetime
+
+    schema = "ts timestamp, event_type string, value double"
+    day = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    batches = [
+        [(day(10, h), "click", 1.0) for h in range(5)],  # window [10, 11)
+        [(day(13), "view", 1.0)],   # watermark → day 12, strictly past [10, 11)
+        [(day(14), "view", 1.0)],   # [10, 11) evicted + emitted this batch
+        [(day(10, 6), "click", 1.0)],  # late: window already finalized → dropped
+    ]
+    log_dir = tmp_path / "late_log"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(log_dir / f"slice_{i:03d}"))
+
+    stream = file_stream(
+        spark, str(log_dir / "slice_*"), schema, max_files_per_trigger=1
+    )
+    agg = tumbling_counts(stream, "1 day", watermark="1 day")
+    q = run_to_memory(agg, "late_out", str(tmp_path / "ckpt_late"), output_mode="append")
+    q.awaitTermination(120)
+
+    rows = [
+        r
+        for r in spark.table("late_out").collect()
+        if r["window_start"].day == 10 and r["event_type"] == "click"
+    ]
+    # exactly one emission, counting only the 5 on-time events
+    assert len(rows) == 1, rows
+    assert rows[0]["n"] == 5, rows
+
+
 @pytest.mark.parametrize("n_slices", [1, 7])
 def test_slicing_invariance(spark, sf_smoke, tmp_path, n_slices):
     """Final state is independent of how the log is micro-batched."""
