@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 
 FEATURE_SCHEMA = (
     "doc_id bigint, byte_len bigint, n_chunks bigint, header_hex string"
@@ -80,6 +80,42 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_fake_decode_batch, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint, frame_hash string"
+
+
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic frame sampler: treat the payload as fixed-size 256-byte
+    'frames' and keep every 4th (what a video pipeline does with ffmpeg's
+    select filter — STUB per module docstring; swapping in a real decoder
+    changes only the bytes-to-frames step)."""
+    import hashlib
+
+    frame_size, stride = 256, 4
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n_frames = -(-len(data) // frame_size)
+            for idx in range(0, n_frames, stride):
+                chunk = data[idx * frame_size : (idx + 1) * frame_size]
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["frame_len"].append(len(chunk))
+                out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: mapInPandas expands each blob
+    into its sampled frames (row-expanding Arrow UDF — the shape a video
+    frame-extraction stage has). Oracle-checkable because the sampler is a
+    pure function of the payload bytes (DuckDB: generate_series over
+    substrings)."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only scan (no payload decode) — the cheap pre-filter pass
     a real pipeline runs first; column pruning keeps payload bytes unread."""
@@ -94,6 +130,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_metadata": multimodal_metadata,
 }
 
@@ -105,6 +142,25 @@ ORACLES = {
                  AS n_chunks,
                SUBSTRING(LOWER(HEX(CAST(text AS BLOB))), 1, 8) AS header_hex
         FROM documents
+    """,
+    # payloads are utf-8 of ASCII-only text (verified), so character
+    # chunking equals byte chunking and md5(varchar) hashes the same bytes
+    "multimodal_frame_sample": """
+        WITH fr AS (
+            SELECT doc_id, text,
+                   CAST(CEIL(length(text) / 256.0) AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, text, UNNEST(range(0, n_frames, 4)) AS frame_idx
+            FROM fr
+        )
+        SELECT doc_id, frame_idx,
+               CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
+                 AS BIGINT) AS frame_len,
+               md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
+                 AS frame_hash
+        FROM ex
     """,
     "multimodal_metadata": """
         SELECT doc_id,
