@@ -1,0 +1,37 @@
+"""Regenerate docs/PLANS.md: formatted physical plans + scale commentary
+for the headline queries. Usage: python tools/gen_plans.py > docs/PLANS.md"""
+import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cdc_cloudrun_demo_spark.operators import registry
+from cdc_cloudrun_demo_spark.session import get_spark
+
+spark = get_spark(app_name="planaudit")
+spark.sparkContext.setLogLevel("ERROR")
+q, _ = registry()
+SF = "/root/testdata/sf0.01"
+
+COMMENTARY = {
+ "agg_pricing_summary": "Filter pushed to the parquet scan (`PushedFilters: [LE(l_quantity,45)]`), 6-column `ReadSchema` out of 16, scaled-long partial aggregation inside the scan-side codegen stage, one exchange for the final merge. At 100 TB nothing changes: partial aggs carry 6 group rows per task to the shuffle.",
+ "join_star_revenue": "All five dimension-side joins run as BroadcastHashJoin; the only exchange is the final group-by. On a cluster where `orders` outgrows the broadcast threshold, AQE demotes exactly that join to sort-merge at runtime - no code change.",
+ "join_asof": "The union-then-window as-of plan: ONE hash exchange on the key, one sort, one window pass. The naive per-row correlated lookup would be O(events x orders); this is O(n log n) with a single shuffle.",
+ "cdc_materialize": "The CDC fold is one exchange on the key + row_number - last-write-wins and tombstone drop are filters above the window, so the log is never joined against itself. Partition the log by key at write time and the exchange disappears.",
+ "dedup_ngram_jaccard": "Posting-list similarity join: shingles shuffle ONCE to group by (block, shingle); pairs explode from each list; set sizes ride a broadcast. No CartesianProduct/BroadcastNestedLoopJoin anywhere in the plan (guarded by tests/test_plans.py).",
+ "sim_ann_ivf_topk": "Both centroid assignment and query probing reach the corpus via BroadcastHashJoin - the corpus itself is never shuffled for candidate generation; the only exchanges are the tiny per-id argmax windows.",
+ "multimodal_frame_sample": "Binary payloads flow through ArrowEvalPython (mapInPandas) in one pass after the adaptive rebalance; the expansion to frames happens inside the Arrow batch, never on the driver.",
+}
+
+print("# Plan audit — headline queries\n")
+print("Generated with `df.explain(\"formatted\")` at sf0.01 (plans are scale-independent;")
+print("AQE may re-plan exchanges at runtime). What each plan must show — and why it")
+print("survives a 100x scale-up — is noted above each dump. Regenerate with")
+print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
+for name in COMMENTARY:
+    df = q[name](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    print(f"## {name}\n")
+    print(COMMENTARY[name] + "\n")
+    print("```")
+    print(plan.strip())
+    print("```\n")
