@@ -126,6 +126,72 @@ def _lww_state_fn(
     )
 
 
+def materialize_transform_with_state(changes_stream: DataFrame):
+    """Same LWW fold on Spark 4's `transformWithStateInPandas` — the
+    successor API to applyInPandasWithState: explicit typed state handles,
+    per-key timers, and first-class RocksDB backing. The processor keeps
+    one ValueState per key; replayed events (seq <= last seen) are
+    idempotently skipped, DELETE leaves a tombstone flag the reader
+    filters. Output mode: update (changed keys per micro-batch).
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and a working
+    protobuf runtime (the TWS state-server protocol); environments
+    without protobuf should use ``materialize_with_state`` — identical
+    fold semantics on the older API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "id long, content string, last_seq long, updated_at timestamp, is_deleted boolean"
+    )
+
+    class LwwProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "lww", "content string, last_seq long, ts_us long, deleted boolean"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                content, last_seq, ts_us, deleted = self._state.get()
+            else:
+                content, last_seq, ts_us, deleted = None, -1, 0, False
+            for pdf in rows:
+                pdf = pdf.sort_values("seq")
+                for row in pdf.itertuples(index=False):
+                    if row.seq <= last_seq:
+                        continue  # replayed event: idempotent skip
+                    last_seq = int(row.seq)
+                    ts_us = int(pd.Timestamp(row.ts).value // 1000)
+                    if row.op == "DELETE":
+                        deleted, content = True, None
+                    else:
+                        deleted, content = False, row.content
+            self._state.update((content, last_seq, ts_us, deleted))
+            yield pd.DataFrame(
+                {
+                    "id": [key[0]],
+                    "content": [content],
+                    "last_seq": [last_seq],
+                    "updated_at": [pd.Timestamp(ts_us * 1000)],
+                    "is_deleted": [deleted],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return changes_stream.groupBy("id").transformWithStateInPandas(
+        statefulProcessor=LwwProcessor(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="None",
+    )
+
+
 def materialize_with_state(changes_stream: DataFrame):
     """Keyed-state materializer: emits the updated row per key per batch
     (update mode). Filter ``is_deleted`` downstream for the live view."""

@@ -16,6 +16,7 @@ from cdc_cloudrun_demo_spark.streaming.cdc_stream import (
     CHANGE_SCHEMA,
     fold_batch,
     materialize_foreach_batch,
+    materialize_transform_with_state,
     materialize_with_state,
     merge_states,
 )
@@ -93,6 +94,49 @@ def test_apply_in_pandas_with_state_matches_batch(spark, sf_smoke, tmp_path):
     # last update per key across all micro-batches == final state
     final = (
         spark.table("cdc_state_updates")
+        .groupBy("id")
+        .agg(F.max_by("content", "last_seq").alias("content"),
+             F.max("last_seq").alias("last_seq"),
+             F.max_by("is_deleted", "last_seq").alias("is_deleted"))
+        .filter(~F.col("is_deleted"))
+    )
+    got = {r["id"]: (r["content"], r["last_seq"]) for r in final.collect()}
+    assert got == _expected_state(spark, sf_smoke)
+
+
+def test_transform_with_state_matches_batch(spark, sf_smoke, tmp_path):
+    """Spark 4 transformWithStateInPandas fold converges to the batch
+    oracle, same as the applyInPandasWithState twin."""
+    # the TWS state-server protocol needs a working protobuf runtime;
+    # without it the Python driver worker crashes at query start
+    pytest.importorskip("google.protobuf.descriptor")
+    log_dir = str(tmp_path / "log_tws")
+    ckpt = str(tmp_path / "ckpt_tws")
+    _write_change_log_files(spark, sf_smoke, log_dir, n_slices=3)
+
+    # transformWithState requires the RocksDB state store (checked at
+    # query start; HDFS-backed provider is rejected)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    stream = file_stream(
+        spark, os.path.join(log_dir, "slice_*"), CHANGE_SCHEMA, max_files_per_trigger=1
+    )
+    try:
+        updates = materialize_transform_with_state(stream)
+        q = run_to_memory(updates, "cdc_tws_updates", ckpt, output_mode="update")
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    final = (
+        spark.table("cdc_tws_updates")
         .groupBy("id")
         .agg(F.max_by("content", "last_seq").alias("content"),
              F.max("last_seq").alias("last_seq"),
