@@ -83,6 +83,23 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, how many of their orders fall within
+    ±1000.00 of each order's price (value-based frame bounds, not row
+    counts — the frame spec §2.2 plans beyond ROWS BETWEEN)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_near_price"),
+    )
+
+
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event gaps (lag) and next event type (lead) — B9's
     event-time-delta generalized."""
@@ -141,6 +158,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "win_topn_per_group": win_topn_per_group,
     "win_topn_salted": win_topn_salted,
+    "win_range_frame": win_range_frame,
     "win_running_total": win_running_total,
     "win_lag_lead": win_lag_lead,
     "win_rank_in_group": win_rank_in_group,
@@ -162,6 +180,13 @@ ORACLES = {
     "win_topn_per_group": _TOPN_SQL,
     # the salted two-phase plan must produce the exact same rows
     "win_topn_salted": _TOPN_SQL,
+    "win_range_frame": """
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                 AS n_near_price
+        FROM orders
+    """,
     "win_running_total": """
         SELECT o_custkey, o_orderkey,
                (CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (

@@ -22,6 +22,7 @@ from cdc_cloudrun_demo_spark.streaming.cdc_stream import (
 )
 from cdc_cloudrun_demo_spark.streaming.event_windows import (
     run_to_memory,
+    session_aggregates,
     tumbling_counts,
 )
 
@@ -216,6 +217,43 @@ def test_watermark_finalizes_windows_and_drops_late_events(spark, tmp_path):
     # exactly one emission, counting only the 5 on-time events
     assert len(rows) == 1, rows
     assert rows[0]["n"] == 5, rows
+
+
+def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
+    """Gap-merged session windows computed as a stream (stateful window
+    merge) equal the batch session_window fold over the same events."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("ts", "user_id")
+    ev_dir = str(tmp_path / "events_sess")
+    ev.write.mode("overwrite").parquet(ev_dir)
+
+    stream = file_stream(spark, ev_dir, ev.schema, max_files_per_trigger=100)
+    agg = session_aggregates(stream, gap="30 minutes", watermark="1 hour")
+    q = run_to_memory(
+        agg, "sessions_out", str(tmp_path / "ckpt_sess"), output_mode="complete"
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.table("sessions_out").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
 
 
 @pytest.mark.parametrize("n_slices", [1, 7])
