@@ -41,8 +41,11 @@ HEADLINE: dict[str, str] = {
     "dedup_exact": "count",               # normalize+hash groupBy
     "dedup_ngram_jaccard": "count",       # shingle similarity join
     "sim_cosine_topk": "collect",         # brute-force ANN baseline
+    "sim_ann_ivf_topk": "collect",        # IVF probing (broadcast-only)
+    "win_topn_salted": "count",           # skew-resistant two-phase top-k
     "text_quality_score": "count",        # regex-heavy text scoring
     "multimodal_features": "count",       # mapInPandas Arrow pipeline
+    "multimodal_frame_sample": "count",   # row-expanding Arrow UDF
 }
 
 

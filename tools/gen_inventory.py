@@ -1,0 +1,27 @@
+"""Regenerate the SURVEY.md §2.3 implemented-surface inventory from the
+live registry. Usage: python tools/gen_inventory.py (prints markdown)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cdc_cloudrun_demo_spark.operators import registry
+from cdc_cloudrun_demo_spark.functions import dedup, similarity, text
+from cdc_cloudrun_demo_spark.sources import multimodal
+from cdc_cloudrun_demo_spark.operators import (aggregates, bench_ops, cdc, joins,
+    metrics, relational, scalar_fns, setops, streaming_batch, windows)
+
+q, o = registry()
+groups = [
+ ("Relational surface (S1-S9)", relational), ("Metrics (M1-M3)", metrics),
+ ("Benchmark analytics (B1-B9)", bench_ops), ("CDC fold", cdc),
+ ("Joins", joins), ("Aggregations", aggregates), ("Windows", windows),
+ ("Set ops", setops), ("Scalar functions", scalar_fns),
+ ("Event-time windows (batch twins)", streaming_batch),
+ ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
+ ("Multimodal", multimodal),
+]
+print("### 2.3 Implemented surface (generated from the registry; regenerate via tools/gen_inventory.py)\n")
+print(f"**{len(q)} `queries()` entries, {len(o)} with DuckDB oracles** (the rest are")
+print("approximate/engine-specific → rows-only check + property tests, marked †).\n")
+for title, mod in groups:
+    names = sorted(mod.QUERIES)
+    cells = [n + ("" if n in o else " †") for n in names]
+    print(f"- **{title}** ({len(names)}): " + ", ".join(f"`{c}`" for c in cells))
