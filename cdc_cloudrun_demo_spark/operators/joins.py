@@ -77,6 +77,20 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer and supplier counts — rows
+    survive from either side (nation sets need not coincide)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    sn = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one high-value order (left_semi ≍ EXISTS)."""
     c = load_table(spark, sf_dir, "customer")
@@ -161,6 +175,7 @@ QUERIES = {
     "join_broadcast_dim": join_broadcast_dim,
     "join_star_revenue": join_star_revenue,
     "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_asof": join_asof,
@@ -185,6 +200,17 @@ ORACLES = {
         JOIN region   ON n_regionkey = r_regionkey
         WHERE c_nationkey = s_nationkey
         GROUP BY r_name, n_name
+    """,
+    "join_full_outer": """
+        SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+               COALESCE(cn.n_customers, 0) AS n_customers,
+               COALESCE(sn.n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey, COUNT(*) AS n_customers
+              FROM customer GROUP BY c_nationkey) cn
+        FULL OUTER JOIN
+             (SELECT s_nationkey, COUNT(*) AS n_suppliers
+              FROM supplier GROUP BY s_nationkey) sn
+          ON cn.c_nationkey = sn.s_nationkey
     """,
     "join_left_outer": f"""
         SELECT c_custkey, c_mktsegment,

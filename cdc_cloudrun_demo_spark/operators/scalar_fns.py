@@ -110,7 +110,29 @@ def fn_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection functions over the embedding vectors: size,
+    element access (both ends), extrema, and a slice-sum — raw floats come
+    bit-identical from parquet in both engines, so double-cast results
+    compare exactly (sum over a 4-element slice is one rounding chain,
+    deterministic left fold in both engines)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_el"),
+        F.element_at(emb, -1).cast("double").alias("last_el"),
+        F.array_max(emb).cast("double").alias("max_el"),
+        F.array_min(emb).cast("double").alias("min_el"),
+        F.aggregate(
+            F.slice(emb, 1, 4), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("head4_sum"),
+    )
+
+
 QUERIES = {
+    "fn_array_ops": fn_array_ops,
     "fn_string_ops": fn_string_ops,
     "fn_date_ops": fn_date_ops,
     "fn_math_ops": fn_math_ops,
@@ -120,6 +142,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_array_ops": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_el,
+               CAST(embedding[-1] AS DOUBLE) AS last_el,
+               CAST(list_max(embedding) AS DOUBLE) AS max_el,
+               CAST(list_min(embedding) AS DOUBLE) AS min_el,
+               CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+                 AS head4_sum
+        FROM embeddings
+    """,
     "fn_string_ops": """
         SELECT p_partkey,
                UPPER(p_name) AS name_upper,

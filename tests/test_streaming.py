@@ -219,6 +219,45 @@ def test_watermark_finalizes_windows_and_drops_late_events(spark, tmp_path):
     assert rows[0]["n"] == 5, rows
 
 
+def test_foreach_batch_restart_from_checkpoint(spark, sf_smoke, tmp_path):
+    """Stop the materializer mid-log, deliver more WAL segments, restart
+    with the same checkpoint: the fold resumes from the committed offset
+    and converges — no duplicates, no lost updates (exactly-once effect
+    via idempotent merge + offset tracking)."""
+    log_dir = str(tmp_path / "log_restart")
+    state_dir = str(tmp_path / "state_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+    _write_change_log_files(spark, sf_smoke, log_dir, n_slices=5)
+    # phase 1: only the first 3 segments exist in a staged dir
+    staged = str(tmp_path / "staged_log")
+    os.makedirs(staged)
+    import shutil
+
+    names = sorted(os.listdir(log_dir))
+    for n in names[:3]:
+        shutil.copytree(os.path.join(log_dir, n), os.path.join(staged, n))
+    stream = file_stream(
+        spark, os.path.join(staged, "slice_*"), CHANGE_SCHEMA, max_files_per_trigger=1
+    )
+    q = materialize_foreach_batch(stream, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    # phase 2: the rest of the log arrives; restart from the same checkpoint
+    for n in names[3:]:
+        shutil.copytree(os.path.join(log_dir, n), os.path.join(staged, n))
+    stream2 = file_stream(
+        spark, os.path.join(staged, "slice_*"), CHANGE_SCHEMA, max_files_per_trigger=1
+    )
+    q2 = materialize_foreach_batch(stream2, state_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["content"], r["last_seq"])
+        for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+    }
+    assert got == _expected_state(spark, sf_smoke)
+
+
 def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
     """Gap-merged session windows computed as a stream (stateful window
     merge) equal the batch session_window fold over the same events."""
