@@ -117,6 +117,21 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order status (median + p90).
+    Spark `percentile` and DuckDB `quantile_cont` both linearly
+    interpolate on the sorted values; 6-dp rounding absorbs the last-ulp
+    interpolation drift. At 100 TB exact percentile sorts per group —
+    switch to `approx_percentile` (t-digest) when groups stop fitting a
+    task; the oracle contract then weakens to rows-only like the HLL op."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL (per-status, per-priority, grand total)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -141,6 +156,7 @@ QUERIES = {
     "agg_cube_counts": agg_cube_counts,
     "agg_top_customers": agg_top_customers,
     "agg_value_histogram": agg_value_histogram,
+    "agg_percentiles": agg_percentiles,
     "agg_grouping_sets": agg_grouping_sets,
 }
 
@@ -190,6 +206,13 @@ ORACLES = {
         SELECT o_custkey, {sql_dsum("o_totalprice")} AS revenue
         FROM orders GROUP BY o_custkey
         ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+    "agg_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
     """,
     "agg_value_histogram": f"""
         SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,

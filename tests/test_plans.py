@@ -102,6 +102,34 @@ def test_ivf_never_shuffles_corpus_for_probing(spark, sf_smoke):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bucketed_join_needs_no_exchange(spark, sf_smoke, tmp_path):
+    """Co-located joins via bucketing: writing both sides bucketed by the
+    join key lets the sort-merge join run with ZERO exchanges — the
+    pre-shuffled layout every repeated 100 TB fact⨝fact join should use."""
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_smoke, "customer").select("c_custkey", "c_mktsegment")
+    warehouse = str(tmp_path / "wh")
+    for name, df, key in [("b_orders", o, "o_custkey"), ("b_cust", c, "c_custkey")]:
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).option(
+            "path", f"{warehouse}/{name}"
+        ).saveAsTable(name)
+    try:
+        # disable broadcast so the join exercises the bucketed SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_cust"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        joined.collect()
+        assert count_exchanges(joined) == 0, formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        for name in ("b_orders", "b_cust"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_events_ts_is_timestamp(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
