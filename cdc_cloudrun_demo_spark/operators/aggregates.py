@@ -132,6 +132,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG shape): region names per
+    region-group of nations. Sorting inside the aggregate makes the
+    result order-deterministic across engines and partitionings."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL (per-status, per-priority, grand total)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -157,6 +168,7 @@ QUERIES = {
     "agg_top_customers": agg_top_customers,
     "agg_value_histogram": agg_value_histogram,
     "agg_percentiles": agg_percentiles,
+    "agg_string_concat": agg_string_concat,
     "agg_grouping_sets": agg_grouping_sets,
 }
 
@@ -206,6 +218,12 @@ ORACLES = {
         SELECT o_custkey, {sql_dsum("o_totalprice")} AS revenue
         FROM orders GROUP BY o_custkey
         ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+    "agg_string_concat": """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation GROUP BY n_regionkey
     """,
     "agg_percentiles": """
         SELECT o_orderstatus,

@@ -35,6 +35,24 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).union(_supp_nations(spark, sf_dir)).distinct()
 
 
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schema-mismatched sides align
+    by column name, absent columns null-fill — the additive-schema-
+    evolution shape (SURVEY §1.2) as a set operation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return (
+        c.withColumn("kind", F.lit("customer"))
+        .unionByName(s.withColumn("kind", F.lit("supplier")), allowMissingColumns=True)
+    )
+
+
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nations having both customers and suppliers."""
     return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
@@ -53,12 +71,22 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "setop_union_all": setop_union_all,
     "setop_union_distinct": setop_union_distinct,
+    "setop_union_by_name": setop_union_by_name,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
     "setop_except_all": setop_except_all,
 }
 
 ORACLES = {
+    "setop_union_by_name": """
+        SELECT c_custkey AS entity_id, c_mktsegment AS segment,
+               NULL AS balance, 'customer' AS kind
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS entity_id, NULL AS segment,
+               s_acctbal AS balance, 'supplier' AS kind
+        FROM supplier
+    """,
     "setop_union_all": """
         SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
         UNION ALL
