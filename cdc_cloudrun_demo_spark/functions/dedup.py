@@ -199,12 +199,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: drop any vector that has an earlier
+    (lower vec_id) neighbor with cosine >= 0.35 inside its label block;
+    return the survivors. The label block is the blocking key that bounds
+    the pairwise kernel — at corpus scale the same plan runs with
+    hyperplane LSH buckets (similarity.hyperplane_lsh_buckets) as the
+    block key instead, keeping candidate generation subquadratic."""
+    from .similarity import cosine
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("id_keep"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("id_drop"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "lbl")
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.35)
+        .select(F.col("id_drop").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 _SQL_TRIGRAMS = """
@@ -258,4 +289,23 @@ ORACLES = {
         WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.1
     """,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
+    # Explicit left-fold cosine (matches Spark's aggregate() fold order;
+    # list_cosine_similarity's internal summation order is unspecified).
+    "dedup_embedding_cosine": """
+        WITH dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND(
+                list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                / (SQRT(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                 * SQRT(list_sum(list_transform(range(1, 65),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                6) >= 0.35
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
 }

@@ -142,12 +142,37 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_chunking(spark: SparkSession, sf_dir: str, size: int = 200, stride: int = 150) -> DataFrame:
+    """Overlapping document chunking (size 200, stride 150) — the LLM
+    context-window splitter. Pure built-ins (sequence → posexplode →
+    substr): the row expansion happens JVM-side inside whole-stage
+    codegen, no Python, and each document chunks independently, so the
+    operator is embarrassingly parallel at corpus scale (narrow — the
+    explode never shuffles)."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride)
+    )
+    exploded = d.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.col("text").substr(F.col("start"), F.lit(size))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
 _SQL_NORM = (
     "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
     " ' +', ' ', 'g'))"
 )
 
 QUERIES = {
+    "text_chunking": text_chunking,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -182,6 +207,19 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_chunking": """
+        SELECT doc_id,
+               CAST((start - 1) // 150 AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS start,
+               substr(text, start, 200) AS chunk,
+               CAST(LENGTH(substr(text, start, 200)) AS BIGINT) AS chunk_len
+        FROM (
+            SELECT doc_id, text,
+                   UNNEST(generate_series(1, GREATEST(LENGTH(text), 1), 150))
+                     AS start
+            FROM documents
+        ) t
+    """,
     "text_token_stats": """
         SELECT doc_id, lang,
                CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,

@@ -20,6 +20,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         joins,
         metrics,
         relational,
+        sampling,
         scalar_fns,
         setops,
         streaming_batch,
@@ -38,6 +39,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         windows,
         setops,
         scalar_fns,
+        sampling,
         streaming_batch,
         dedup,
         similarity,

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import davg, dsum, scaled_long, sql_davg, sql_dsum
 
 def _disc_price():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -143,6 +143,63 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_conditional_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause-style conditional aggregation: several differently-
+    predicated aggregates in ONE pass over the fact table (the alternative
+    — one scan per predicate — is a 100 TB anti-pattern). Spark spells it
+    count/sum(CASE WHEN); the oracle uses SQL FILTER; identical values."""
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    high_disc = F.col("l_discount") >= 0.05
+    return l.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(returned, 1)).alias("n_returned"),
+        (F.sum(F.when(high_disc, scaled_long("l_extendedprice"))).cast("double")
+         / F.lit(100.0)).alias("high_disc_price"),
+        F.count(F.when(returned & high_disc, 1)).alias("n_both"),
+    )
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev / variance / correlation /
+    covariance / regression slope) computed from exact scaled-long power
+    sums rather than the engines' native stddev/corr aggregates: the
+    native single-pass moment algorithms accumulate doubles in partition
+    order, so their last ulps differ across engines AND across runs. The
+    power sums (Σx, Σx², Σy, Σy², Σxy on 10^2-scaled integers) are exact
+    and order-insensitive; the closed-form combination into moments is one
+    identical double expression on both sides. Same map-side-combine
+    scalability as any hash aggregate — the shuffle carries 6 longs per
+    group per partition."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = scaled_long("l_quantity")   # quantity × 100, exact integer
+    y = scaled_long("l_discount")   # discount × 100, exact integer
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))  # of 100·x
+    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(F.sqrt(var_x) / F.lit(100.0), 6).alias("sd_qty"),
+        F.round(var_x / F.lit(10000.0), 6).alias("var_qty"),
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_qty_disc"),
+        F.round(cov / F.lit(10000.0), 6).alias("covar_qty_disc"),
+        F.round(cov / var_x, 6).alias("slope_disc_on_qty"),
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL (per-status, per-priority, grand total)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -169,8 +226,16 @@ QUERIES = {
     "agg_value_histogram": agg_value_histogram,
     "agg_percentiles": agg_percentiles,
     "agg_string_concat": agg_string_concat,
+    "agg_conditional_sums": agg_conditional_sums,
+    "agg_stats_moments": agg_stats_moments,
     "agg_grouping_sets": agg_grouping_sets,
 }
+
+# Shared double sub-expressions for the moments oracle — identical shape to
+# the Spark column expressions so both engines run one IEEE-754 chain.
+_SQL_VX = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+_SQL_VY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+_SQL_COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
 
 ORACLES = {
     "agg_pricing_summary": f"""
@@ -224,6 +289,42 @@ ORACLES = {
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
                COUNT(*) AS n_nations
         FROM nation GROUP BY n_regionkey
+    """,
+    "agg_conditional_sums": """
+        SELECT l_linestatus,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_discount >= 0.05) AS DOUBLE) / 100.0
+                 AS high_disc_price,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R' AND l_discount >= 0.05)
+                 AS n_both
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "agg_stats_moments": f"""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(x * x) AS sxx,
+                   SUM(y) AS sy, SUM(y * y) AS syy,
+                   SUM(x * y) AS sxy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                       CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y
+                FROM lineitem
+            ) t
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n AS n_rows,
+               ROUND(SQRT({_SQL_VX}) / 100.0, 6) AS sd_qty,
+               ROUND({_SQL_VX} / 10000.0, 6) AS var_qty,
+               ROUND({_SQL_COV} / (SQRT({_SQL_VX}) * SQRT({_SQL_VY})), 6)
+                 AS corr_qty_disc,
+               ROUND({_SQL_COV} / 10000.0, 6) AS covar_qty_disc,
+               ROUND({_SQL_COV} / {_SQL_VX}, 6) AS slope_disc_on_qty
+        FROM sums
     """,
     "agg_percentiles": """
         SELECT o_orderstatus,

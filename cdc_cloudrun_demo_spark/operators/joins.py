@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ._util import dsum, sql_dsum
+from ._util import dsum, scaled_long, sql_dsum
 
 _SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
@@ -171,6 +171,28 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: orders priced above the global mean, counted
+    per status. The mean is a 1-row aggregate broadcast into the scan (no
+    shuffle of the fact side, one extra pass). The comparison is done in
+    exact integers — ``price·n > Σprice`` on 10^2-scaled longs — so no row
+    near the float threshold can flip between engines."""
+    o = load_table(spark, sf_dir, "orders")
+    tot = o.agg(
+        F.sum(scaled_long("o_totalprice")).alias("s_total"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        o.join(F.broadcast(tot))
+        .filter(scaled_long("o_totalprice") * F.col("n_total") > F.col("s_total"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            dsum("o_totalprice").alias("sum_above"),
+        )
+    )
+
+
 QUERIES = {
     "join_broadcast_dim": join_broadcast_dim,
     "join_star_revenue": join_star_revenue,
@@ -180,9 +202,23 @@ QUERIES = {
     "join_anti": join_anti,
     "join_asof": join_asof,
     "join_theta_range": join_theta_range,
+    "join_scalar_subquery": join_scalar_subquery,
 }
 
 ORACLES = {
+    "join_scalar_subquery": f"""
+        WITH t AS (
+            SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s_total,
+                   COUNT(*) AS n_total
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               {sql_dsum("o_totalprice")} AS sum_above
+        FROM orders, t
+        WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * n_total > s_total
+        GROUP BY o_orderstatus
+    """,
     "join_broadcast_dim": f"""
         SELECT p_brand,
                {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue,

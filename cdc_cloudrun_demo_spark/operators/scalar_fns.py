@@ -131,7 +131,28 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and access (create_map / getItem /
+    map_contains_key / size). The map is built and consumed JVM-side;
+    outputs are scalars so the oracle compares plain columns (DuckDB's
+    MAP ordering/rendering differs, values don't)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        m.getItem("name").alias("map_name"),
+        m.getItem("region").alias("map_region"),
+        m.getItem("absent").alias("map_absent"),
+        F.map_contains_key(m, "region").alias("has_region"),
+        F.size(m).cast("long").alias("map_size"),
+    )
+
+
 QUERIES = {
+    "fn_map_ops": fn_map_ops,
     "fn_array_ops": fn_array_ops,
     "fn_string_ops": fn_string_ops,
     "fn_date_ops": fn_date_ops,
@@ -142,6 +163,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_map_ops": """
+        SELECT n_nationkey,
+               MAP(['name', 'region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)])['name'] AS map_name,
+               MAP(['name', 'region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)])['region'] AS map_region,
+               CAST(NULL AS VARCHAR) AS map_absent,
+               TRUE AS has_region,
+               CAST(2 AS BIGINT) AS map_size
+        FROM nation
+    """,
     "fn_array_ops": """
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,

@@ -155,7 +155,23 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution functions (percent_rank / cume_dist) over order
+    price within status. Both are pure rank ratios — (rank-1)/(n-1) and
+    peers/n — so the doubles are single exact divisions, identical in any
+    engine; ties collapse to equal ranks deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").asc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 QUERIES = {
+    "win_distribution": win_distribution,
     "win_topn_per_group": win_topn_per_group,
     "win_topn_salted": win_topn_salted,
     "win_range_frame": win_range_frame,
@@ -177,6 +193,13 @@ _TOPN_SQL = """
     """
 
 ORACLES = {
+    "win_distribution": """
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC)
+    """,
     "win_topn_per_group": _TOPN_SQL,
     # the salted two-phase plan must produce the exact same rows
     "win_topn_salted": _TOPN_SQL,

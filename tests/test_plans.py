@@ -136,3 +136,40 @@ def test_events_ts_is_timestamp(spark, sf_smoke):
     # conversion must be lossless to the µs
     row = ev.select(F.max("ts").alias("m")).collect()[0]
     assert row["m"].microsecond != 0  # data has sub-second precision
+
+
+def test_systematic_sample_is_narrow(spark, sf_smoke):
+    """Deterministic sampling must not shuffle: one codegen stage, scan→out."""
+    from cdc_cloudrun_demo_spark.operators.sampling import sample_systematic
+
+    df = sample_systematic(spark, sf_smoke)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert has_whole_stage_codegen(df)
+    cols = set(reads_columns(df))
+    assert "l_extendedprice" not in cols, cols  # projection pruned
+
+
+def test_chunking_is_narrow_and_pruned(spark, sf_smoke):
+    """Chunk explosion is per-document: no Exchange, scan reads 2 columns."""
+    from cdc_cloudrun_demo_spark.functions.text import text_chunking
+
+    df = text_chunking(spark, sf_smoke)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert set(reads_columns(df)) == {"doc_id", "text"}, reads_columns(df)
+
+
+def test_scalar_subquery_broadcasts_not_shuffles_fact(spark, sf_smoke):
+    """The 1-row global aggregate must broadcast into the fact scan; the
+    only Exchange in the plan is the final group-by (plus the scalar agg's
+    own single-partition exchange if AQE inserts one) — the fact table is
+    never hash-repartitioned for the comparison itself."""
+    from cdc_cloudrun_demo_spark.operators.joins import join_scalar_subquery
+
+    df = join_scalar_subquery(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # orders appears twice (scalar agg + probe), never more
+    import re
+
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, plan

@@ -6,7 +6,7 @@ from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, similarity, text
 from cdc_cloudrun_demo_spark.sources import multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, bench_ops, cdc, joins,
-    metrics, relational, scalar_fns, setops, streaming_batch, windows)
+    metrics, relational, sampling, scalar_fns, setops, streaming_batch, windows)
 
 q, o = registry()
 groups = [
@@ -14,6 +14,7 @@ groups = [
  ("Benchmark analytics (B1-B9)", bench_ops), ("CDC fold", cdc),
  ("Joins", joins), ("Aggregations", aggregates), ("Windows", windows),
  ("Set ops", setops), ("Scalar functions", scalar_fns),
+ ("Sampling & reshape", sampling),
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
  ("Multimodal", multimodal),
