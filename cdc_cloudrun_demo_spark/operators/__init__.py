@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from . import (
         aggregates,
+        analytics,
         bench_ops,
         cdc,
         joins,
@@ -36,6 +37,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         cdc,
         joins,
         aggregates,
+        analytics,
         windows,
         setops,
         scalar_fns,

@@ -312,3 +312,34 @@ def test_slicing_invariance(spark, sf_smoke, tmp_path, n_slices):
         for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
     }
     assert got == _expected_state(spark, sf_smoke)
+
+
+def test_streaming_drop_duplicates_matches_batch(spark, sf_smoke, tmp_path):
+    """State-backed streaming dedup: replay the change log TWICE through a
+    file stream (1 file per micro-batch) with dropDuplicates on the
+    logical key — every record must be emitted exactly once even when its
+    duplicate arrives in a later micro-batch (cross-batch state, unlike a
+    per-batch distinct). This is the streaming twin of dedup_exact; at
+    scale the state store bounds memory via watermark-scoped retention
+    (dropDuplicatesWithinWatermark)."""
+    changes = message_changes_df(spark, sf_smoke)
+    src = str(tmp_path / "dups")
+    changes.coalesce(1).write.mode("append").parquet(src)
+    changes.coalesce(1).write.mode("append").parquet(src)  # full replay
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.dropDuplicates(["id", "seq"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("dedup_stream_sink").count()
+    assert got == changes.count(), f"{got} != {changes.count()}"

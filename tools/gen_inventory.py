@@ -5,14 +5,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, similarity, text
 from cdc_cloudrun_demo_spark.sources import multimodal
-from cdc_cloudrun_demo_spark.operators import (aggregates, bench_ops, cdc, joins,
-    metrics, relational, sampling, scalar_fns, setops, streaming_batch, windows)
+from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
+    cdc, joins, metrics, relational, sampling, scalar_fns, setops,
+    streaming_batch, windows)
 
 q, o = registry()
 groups = [
  ("Relational surface (S1-S9)", relational), ("Metrics (M1-M3)", metrics),
  ("Benchmark analytics (B1-B9)", bench_ops), ("CDC fold", cdc),
- ("Joins", joins), ("Aggregations", aggregates), ("Windows", windows),
+ ("Joins", joins), ("Aggregations", aggregates),
+ ("Composite analytics (TPC-H-shaped)", analytics), ("Windows", windows),
  ("Set ops", setops), ("Scalar functions", scalar_fns),
  ("Sampling & reshape", sampling),
  ("Event-time windows (batch twins)", streaming_batch),
