@@ -206,23 +206,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise kernel — at corpus scale the same plan runs with
     hyperplane LSH buckets (similarity.hyperplane_lsh_buckets) as the
     block key instead, keeping candidate generation subquadratic."""
-    from .similarity import cosine
+    from .similarity import dot, norm
 
     emb = load_for_compute(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # Precompute each vector's norm ONCE (O(N) folds); inside the join
+    # condition it would be re-folded per candidate pair (O(pairs)). Same
+    # expression tree as cosine() — dot/(‖a‖·‖b‖) — so values (and the
+    # round-6 threshold) are bit-identical to the oracle's.
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = with_norm.select(
         F.col("label").alias("lbl"),
         F.col("vec_id").alias("id_keep"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
+    b = with_norm.select(
         F.col("label").alias("lbl"),
         F.col("vec_id").alias("id_drop"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "lbl")
         .filter(F.col("id_keep") < F.col("id_drop"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.35)
+        .filter(F.round(cos, 6) >= 0.35)
         .select(F.col("id_drop").alias("vec_id"))
         .distinct()
     )

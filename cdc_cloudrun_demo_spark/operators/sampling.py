@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 
 
 def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,19 +39,37 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sample_stratified(spark: SparkSession, sf_dir: str, per_stratum: int = 200) -> DataFrame:
     """Fixed-size (200/stratum) sample per returnflag, hash-ordered."""
-    l = load_table(spark, sf_dir, "lineitem")
+    n_salt = 8
+    # md5 over every row is the dominant cost — load_for_compute spreads
+    # the scan beyond the parquet row-group count before the hash stage.
+    l = load_for_compute(spark, sf_dir, "lineitem")
     hkey = F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
     # (orderkey, linenumber) is NOT unique in the synthetic data — extend
     # the tie-break to the full unique key so ranks are engine-stable.
-    w = Window.partitionBy("l_returnflag").orderBy(
-        hkey.asc(),
+    order_cols = [
+        F.col("_hkey").asc(),
         F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
         F.col("l_quantity").asc(),
         F.col("l_extendedprice").asc(),
+    ]
+    # Two-phase (salted) selection: with only a handful of strata, a single
+    # window would serialize the whole table through #strata reducers. The
+    # local phase keeps ≤ per_stratum rows per (stratum, salt) — the global
+    # top-k is a subset of the union of local top-ks — so the final window
+    # ranks ≤ 8·per_stratum rows per stratum.
+    salted = l.withColumn("_hkey", hkey).withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
     )
+    w_local = Window.partitionBy("l_returnflag", "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= per_stratum)
+        .drop("_salt", "lrn")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(*order_cols)
     return (
-        l.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= per_stratum)
         .select(
             "l_returnflag",
