@@ -40,6 +40,9 @@ HEADLINE: dict[str, str] = {
     "b8_json_extract": "collect",         # JSON path extraction
     "dedup_exact": "count",               # normalize+hash groupBy
     "dedup_ngram_jaccard": "count",       # shingle similarity join
+    "dedup_embedding_cosine": "count",    # blocked pairwise cosine dedup
+    "qx_custdist": "collect",             # outer-join distribution (Q13)
+    "agg_stats_moments": "collect",       # exact power-sum moments
     "sim_cosine_topk": "collect",         # brute-force ANN baseline
     "sim_ann_ivf_topk": "collect",        # IVF probing (broadcast-only)
     "win_topn_salted": "count",           # skew-resistant two-phase top-k

@@ -199,6 +199,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components of the 3-gram
+    Jaccard pair graph (j >= 0.1), labeled by the component's min doc_id —
+    the step a production dedup pipeline runs after pairwise scoring to
+    pick one survivor per duplicate *group* (pairwise drop alone breaks
+    transitive chains A~B~C).
+
+    Algorithm: Pregel-style min-label propagation — each round every node
+    takes min(own label, neighbors' labels); fixpoint in O(component
+    diameter) rounds (near-dup clusters are tiny, so 2-4 in practice).
+    Each round is one join + one aggregate on the (small) edge list, never
+    a shuffle of the documents table; the driver loop only reads a scalar
+    convergence count per round. This is the idiomatic Spark shape for
+    iterative graph algorithms (GraphX/GraphFrames do the same joins);
+    labels are persisted per round and lineage is cut with localCheckpoint
+    so the plan doesn't grow with the iteration count."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: drop any vector that has an earlier
     (lower vec_id) neighbor with cosine >= 0.35 inside its label block;
@@ -246,6 +300,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_ngram_clusters": dedup_ngram_clusters,
 }
 
 _SQL_TRIGRAMS = """
@@ -299,6 +354,41 @@ ORACLES = {
         WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.1
     """,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
+    # Connected components as a recursive CTE: transitive closure over the
+    # symmetrized pair graph, component label = min reachable doc_id.
+    "dedup_ngram_clusters": f"""
+        WITH RECURSIVE shingles AS ({_SQL_TRIGRAMS}),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE)
+                  / (sa.set_size + sb.set_size - n_common) >= 0.1
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(mr.m, d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN minreach mr ON mr.src = d.doc_id
+    """,
     # Explicit left-fold cosine (matches Spark's aggregate() fold order;
     # list_cosine_similarity's internal summation order is unspecified).
     "dedup_embedding_cosine": """

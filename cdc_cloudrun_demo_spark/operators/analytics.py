@@ -89,14 +89,42 @@ def qx_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar subquery): customers holding the
+    maximum account balance of their nation. Decorrelated the way Catalyst
+    itself would: the per-nation max is a tiny aggregate (one row per
+    nation) joined back by broadcast — the customer table streams through
+    once, no per-row subquery execution. Balance equality is exact (both
+    engines read identical parquet doubles)."""
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        c.groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("max_bal"))
+        .select(F.col("c_nationkey").alias("nk"), "max_bal")
+    )
+    return c.join(
+        F.broadcast(per_nation),
+        (F.col("c_nationkey") == F.col("nk")) & (F.col("c_acctbal") == F.col("max_bal")),
+    ).select(
+        "c_custkey", "c_name", F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+
+
 QUERIES = {
     "qx_priority_exists": qx_priority_exists,
+    "qx_correlated_max": qx_correlated_max,
     "qx_custdist": qx_custdist,
     "qx_having": qx_having,
     "qx_nested_agg": qx_nested_agg,
 }
 
 ORACLES = {
+    "qx_correlated_max": """
+        SELECT c_custkey, c_name, c_nationkey AS nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
     "qx_priority_exists": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders

@@ -50,3 +50,39 @@ def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_attribution(clicks: DataFrame, purchases: DataFrame,
+                              horizon: str = "2 hours",
+                              watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding `horizon`. Both sides carry watermarks
+    and the join condition bounds event-time distance, so Spark can expire
+    buffered rows — state stays O(traffic within horizon), never the whole
+    stream. The same function runs in batch (withWatermark is a no-op
+    there), which is what the convergence test exploits."""
+    c = clicks.select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_uid").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_cloudrun_demo_spark.fixtures import message_changes_df
 from cdc_cloudrun_demo_spark.operators.cdc import cdc_materialize
@@ -343,3 +344,58 @@ def test_streaming_drop_duplicates_matches_batch(spark, sf_smoke, tmp_path):
     q.awaitTermination(180)
     got = spark.table("dedup_stream_sink").count()
     assert got == changes.count(), f"{got} != {changes.count()}"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    """The purchase→click attribution join, replayed as two file streams
+    (time-ordered slices, 1 file per micro-batch), must emit exactly the
+    batch join's result set — the interval condition + watermarks only
+    bound state, never change inner-join semantics for in-order input."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.streaming.event_windows import (
+        interval_join_attribution,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "slices")
+    # 4 time-ordered slices so the watermark advances monotonically
+    sliced = events.orderBy("ts").withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_attribution(*sides(events)).collect()
+    }
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        interval_join_attribution(*sides(stream))
+        .writeStream.format("memory")
+        .queryName("attribution_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("attribution_sink").collect()
+    }
+    assert got == expected and len(expected) > 0, (
+        f"stream={len(got)} batch={len(expected)}"
+    )

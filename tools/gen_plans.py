@@ -19,6 +19,10 @@ COMMENTARY = {
  "dedup_ngram_jaccard": "Posting-list similarity join: shingles shuffle ONCE to group by (block, shingle); pairs explode from each list; set sizes ride a broadcast. No CartesianProduct/BroadcastNestedLoopJoin anywhere in the plan (guarded by tests/test_plans.py).",
  "sim_ann_ivf_topk": "Both centroid assignment and query probing reach the corpus via BroadcastHashJoin - the corpus itself is never shuffled for candidate generation; the only exchanges are the tiny per-id argmax windows.",
  "multimodal_frame_sample": "Binary payloads flow through ArrowEvalPython (mapInPandas) in one pass after the adaptive rebalance; the expansion to frames happens inside the Arrow batch, never on the driver.",
+ "dedup_embedding_cosine": "Each vector's norm is projected ONCE before the label-blocked join (O(N) folds); only the dot product remains in the join condition, evaluated per candidate pair. The small side broadcasts; the anti-join back to the corpus is the only exchange of the full table. At corpus scale the block key switches to LSH buckets - same plan shape.",
+ "join_scalar_subquery": "The global mean is a 1-row aggregate joined by BroadcastNestedLoopJoin - the fact table streams once and is never repartitioned for the comparison; the threshold test is exact integer math (scaled longs), so no float boundary flip at any scale.",
+ "qx_custdist": "Left-outer join shuffles both sides on the customer key once; the per-customer count and the distribution count are consecutive hash aggregates - the second one runs on #distinct-counts rows (tiny). Bucketing customer+orders by custkey removes the join exchange entirely.",
+ "sample_stratified": "Two-phase salted selection: the (stratum, salt) window bounds every reducer at per_stratum rows kept; the final window ranks only n_salt*per_stratum survivors per stratum - no single reducer ever sorts a whole stratum. The md5 ordering key is computed in the scan-parallel stage (load_for_compute spreads the row-group-bound scan).",
 }
 
 print("# Plan audit — headline queries\n")
