@@ -151,8 +151,26 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions over integer keys (&, |, xor, shifts) —
+    the bit-twiddling surface sketch/bitmap operators build on."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    r = F.col("n_regionkey").cast("long")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(r).alias("k_and_r"),
+        k.bitwiseOR(r).alias("k_or_r"),
+        k.bitwiseXOR(r).alias("k_xor_r"),
+        F.shiftleft(k, 3).cast("long").alias("k_shl3"),
+        F.shiftright(k, 1).cast("long").alias("k_shr1"),
+        F.bit_count(k).cast("long").alias("k_popcount"),
+    )
+
+
 QUERIES = {
     "fn_map_ops": fn_map_ops,
+    "fn_bitwise": fn_bitwise,
     "fn_array_ops": fn_array_ops,
     "fn_string_ops": fn_string_ops,
     "fn_date_ops": fn_date_ops,
@@ -163,6 +181,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_bitwise": """
+        SELECT n_nationkey,
+               CAST(n_nationkey AS BIGINT) & CAST(n_regionkey AS BIGINT) AS k_and_r,
+               CAST(n_nationkey AS BIGINT) | CAST(n_regionkey AS BIGINT) AS k_or_r,
+               xor(CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)) AS k_xor_r,
+               CAST(n_nationkey AS BIGINT) << 3 AS k_shl3,
+               CAST(n_nationkey AS BIGINT) >> 1 AS k_shr1,
+               CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS k_popcount
+        FROM nation
+    """,
     "fn_map_ops": """
         SELECT n_nationkey,
                MAP(['name', 'region'],

@@ -58,6 +58,18 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
 
 
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the sides):
+    nation keys counted once per customer vs once per supplier."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nations with customers but no suppliers (set semantics)."""
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
@@ -73,11 +85,17 @@ QUERIES = {
     "setop_union_distinct": setop_union_distinct,
     "setop_union_by_name": setop_union_by_name,
     "setop_intersect": setop_intersect,
+    "setop_intersect_all": setop_intersect_all,
     "setop_except": setop_except,
     "setop_except_all": setop_except_all,
 }
 
 ORACLES = {
+    "setop_intersect_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
     "setop_union_by_name": """
         SELECT c_custkey AS entity_id, c_mktsegment AS segment,
                NULL AS balance, 'customer' AS kind

@@ -128,13 +128,55 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_len bigint, resized_len bigint, resized_md5 string"
+)
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in resize: crop the payload to its first 1024
+    bytes (a real image resize keeps the same binary-in/binary-derived-out
+    contract; only the PIL call differs — STUB per module docstring)."""
+    import hashlib
+
+    target = 1024
+    for pdf in batches:
+        data = pdf["payload"].map(bytes)
+        resized = data.map(lambda b: b[:target])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "orig_len": data.map(len).astype("int64"),
+                "resized_len": resized.map(len).astype("int64"),
+                "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode stage: binary payload → mapInPandas → new derived
+    payload (summarized here by length + md5 so the oracle can check the
+    exact bytes without shipping them twice)."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInPandas(_fake_resize_batch, schema=RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_metadata": multimodal_metadata,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
+    "multimodal_resize": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS orig_len,
+               CAST(LEAST(length(text), 1024) AS BIGINT) AS resized_len,
+               md5(substring(text, 1, 1024)) AS resized_md5
+        FROM documents
+    """,
     "multimodal_features": """
         SELECT doc_id,
                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

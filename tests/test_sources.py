@@ -65,3 +65,19 @@ def test_json_roundtrip_with_explicit_schema(spark, sf_smoke, tmp_path):
         spark, path, "n_nationkey bigint, n_name string, n_regionkey bigint"
     )
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    """ORC as an alternate columnar source: write/read round-trip preserves
+    schema and values (ORC ships in Spark's distribution; at scale it's
+    interchangeable with parquet for the engine's batch surface)."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_orc")
+    n.write.format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == n.schema
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in n.collect()
+    )
