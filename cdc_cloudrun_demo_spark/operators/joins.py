@@ -171,6 +171,49 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self interval join via time-bucketing: pairs of events by the same
+    user within 5 minutes of each other. The naive form is a per-user
+    theta join (quadratic in a hot user's events); bucketing by
+    floor(t/300s) and probing the 3 adjacent buckets turns it into an
+    equi join on (user, bucket) — the standard trick that makes interval
+    joins hash-partitionable at any scale. Each qualifying pair matches in
+    EXACTLY one bucket combination (the right row's own bucket), so no
+    post-join dedup is needed. Timestamps compare as exact microseconds."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    width = 300 * 1_000_000  # 5 minutes in µs
+    bucket = F.floor(F.col("us") / F.lit(width))
+    left = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bkt"),
+    )
+    right = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        bucket.alias("bkt"),
+    )
+    return (
+        left.join(right, ["uid", "bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= width)
+        )
+        .select(
+            F.col("uid").alias("user_id"),
+            "id_a",
+            "id_b",
+            ((F.col("us_b") - F.col("us_a")) / F.lit(1_000_000.0)).alias("gap_sec"),
+        )
+    )
+
+
 def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery shape: orders priced above the global mean, counted
     per status. The mean is a 1-row aggregate broadcast into the scan (no
@@ -203,9 +246,22 @@ QUERIES = {
     "join_asof": join_asof,
     "join_theta_range": join_theta_range,
     "join_scalar_subquery": join_scalar_subquery,
+    "join_interval_bucketed": join_interval_bucketed,
 }
 
 ORACLES = {
+    # the oracle is the NAIVE theta join — the bucketed plan must produce
+    # the identical pair set
+    "join_interval_bucketed": """
+        SELECT a.user_id,
+               a.event_id AS id_a, b.event_id AS id_b,
+               (epoch_us(CAST(b.ts AS TIMESTAMP))
+                - epoch_us(CAST(a.ts AS TIMESTAMP))) / 1000000.0 AS gap_sec
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND ABS(epoch_us(CAST(a.ts AS TIMESTAMP))
+                 - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 300000000
+    """,
     "join_scalar_subquery": f"""
         WITH t AS (
             SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s_total,

@@ -76,14 +76,78 @@ def stream_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: resample each user's events to an hourly
+    grid (dense between their first and last active hour) and forward-
+    fill the last observed value into silent hours — the regularization
+    step before any rolling/ML feature computation.
+
+    Spark has no native gap-fill; this is the idiomatic composition:
+    per-key bounds → sequence()+explode builds the grid JVM-side (narrow,
+    no shuffle beyond the agg) → left join observations → last(...,
+    ignorenulls) over an ever-growing frame for the fill. Grid size is
+    bounded per key, so the explode never amplifies a skewed key beyond
+    its own time span."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
 QUERIES = {
     "stream_tumbling_daily": stream_tumbling_daily,
+    "stream_gap_fill": stream_gap_fill,
     "stream_sliding_2d_1d": stream_sliding_2d_1d,
     "stream_session_windows": stream_session_windows,
     "stream_hourly_rate": stream_hourly_rate,
 }
 
 ORACLES = {
+    "stream_gap_fill": f"""
+        WITH hourly AS (
+            SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT g.user_id, g.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
     "stream_tumbling_daily": f"""
         SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
                time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
