@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 from ..operators._util import davg, sql_davg
 
 _WORD_RE = "[A-Za-z]+"
@@ -166,12 +166,38 @@ def text_chunking(spark: SparkSession, sf_dir: str, size: int = 200, stride: int
     )
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: token frequencies + document frequencies, top-k
+    by count (ties broken lexically) — the vocab-building pass of a
+    tokenizer pipeline. Tokenize→explode→count is the canonical word-count:
+    partial aggregation runs scan-side, the shuffle carries one row per
+    distinct token per partition, and the top-k is a TakeOrdered on the
+    already-aggregated (tiny) table."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(k)
+    )
+
+
 _SQL_NORM = (
     "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
     " ' +', ' ', 'g'))"
 )
 
 QUERIES = {
+    "text_vocab_topk": text_vocab_topk,
     "text_chunking": text_chunking,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -207,6 +233,18 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_vocab_topk": """
+        SELECT word, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (
+            SELECT doc_id,
+                   UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+            FROM documents
+        ) w
+        GROUP BY word
+        ORDER BY n_occurrences DESC, word ASC
+        LIMIT 50
+    """,
     "text_chunking": """
         SELECT doc_id,
                CAST((start - 1) // 150 AS BIGINT) AS chunk_id,

@@ -90,8 +90,34 @@ def cdc_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: every version of every key with its validity
+    interval [valid_from_seq, valid_to_seq) and a current-version flag —
+    the audit/time-travel table a warehouse derives from a CDC log.
+    One window pass (lead over seq per key); DELETE closes the interval
+    and contributes no version row itself. Single shuffle on the key, so
+    the plan is identical at any log size; partition the log by key and
+    even that exchange disappears."""
+    changes = message_changes_df(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("seq")
+    versions = changes.withColumn("next_seq", F.lead("seq").over(w)).withColumn(
+        "next_op", F.lead("op").over(w)
+    )
+    return (
+        versions.filter(F.col("op") != "DELETE")
+        .select(
+            "id",
+            "content",
+            F.col("seq").alias("valid_from_seq"),
+            F.col("next_seq").alias("valid_to_seq"),
+            F.col("next_seq").isNull().alias("is_current"),
+        )
+    )
+
+
 QUERIES = {
     "cdc_materialize": cdc_materialize,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_snapshot_asof": cdc_snapshot_asof,
     "cdc_tombstone_keys": cdc_tombstone_keys,
     "cdc_op_stats": cdc_op_stats,
@@ -109,6 +135,19 @@ _FOLD_SQL = """
 
 ORACLES = {
     "cdc_materialize": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_scd2_history": f"""
+        {_CTE},
+        v AS (
+            SELECT id, content, op, seq,
+                   LEAD(seq) OVER (PARTITION BY id ORDER BY seq) AS next_seq
+            FROM message_changes
+        )
+        SELECT id, content,
+               seq AS valid_from_seq,
+               next_seq AS valid_to_seq,
+               next_seq IS NULL AS is_current
+        FROM v WHERE op <> 'DELETE'
+    """,
     "cdc_snapshot_asof": f"""
         {_CTE},
         filtered AS (SELECT * FROM message_changes WHERE ts < TIMESTAMP '2024-01-15')
