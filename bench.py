@@ -65,7 +65,11 @@ def main() -> None:
 
     for name in HEADLINE:  # cold pass, untimed (warm protocol, see docstring)
         run(name)
+    # best-of-2 timed passes: single-pass numbers swing ±30% with JVM/GC
+    # and page-cache state; the min is the reproducible engine cost
     timings = {name: run(name) for name in HEADLINE}
+    for name in HEADLINE:
+        timings[name] = min(timings[name], run(name))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
