@@ -173,3 +173,31 @@ def test_scalar_subquery_broadcasts_not_shuffles_fact(spark, sf_smoke):
 
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 2, plan
+
+
+def test_cosine_dedup_norms_precomputed_once(spark, sf_smoke):
+    """The pairwise-cosine join condition must reference each side's
+    PREcomputed norm, not re-fold the 64-element vector per pair: exactly
+    one aggregate(zip_with(...)) — the dot product — may appear in the
+    join condition (a regression here triples the per-pair flops)."""
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_embedding_cosine
+
+    plan = (
+        dedup_embedding_cosine(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the pairwise join is the BroadcastHashJoin; its condition is the
+    # first line of that fragment
+    join_frag = plan.split("BroadcastHashJoin")[1].split("\n")[0]
+    assert join_frag.count("aggregate(zip_with") == 1, join_frag[:800]
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_smoke):
+    """The bucketed interval self-join must plan as an equi hash/SMJ join,
+    never a nested-loop/cartesian over per-user event pairs."""
+    from cdc_cloudrun_demo_spark.operators.joins import join_interval_bucketed
+
+    plan = formatted_plan(join_interval_bucketed(spark, sf_smoke))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

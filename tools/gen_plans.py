@@ -23,6 +23,9 @@ COMMENTARY = {
  "join_scalar_subquery": "The global mean is a 1-row aggregate joined by BroadcastNestedLoopJoin - the fact table streams once and is never repartitioned for the comparison; the threshold test is exact integer math (scaled longs), so no float boundary flip at any scale.",
  "qx_custdist": "Left-outer join shuffles both sides on the customer key once; the per-customer count and the distribution count are consecutive hash aggregates - the second one runs on #distinct-counts rows (tiny). Bucketing customer+orders by custkey removes the join exchange entirely.",
  "sample_stratified": "Two-phase salted selection: the (stratum, salt) window bounds every reducer at per_stratum rows kept; the final window ranks only n_salt*per_stratum survivors per stratum - no single reducer ever sorts a whole stratum. The md5 ordering key is computed in the scan-parallel stage (load_for_compute spreads the row-group-bound scan).",
+ "join_interval_bucketed": "The interval self-join is an EQUI hash join on (user, 5-min bucket) - the 3-bucket explode triples the probe side, not the build side, and the exact |dt|<=300s residual filters post-probe. No BroadcastNestedLoopJoin/CartesianProduct: the quadratic blowup of a naive theta join never appears in the plan, so a hot user costs O(events-in-adjacent-buckets), not O(events^2).",
+ "stream_gap_fill": "Gap-fill is agg -> sequence/explode (narrow, per-key) -> left join -> one window. The grid explode happens AFTER aggregation, so it expands one row per key-hour, never raw events; the forward-fill window shuffles on user_id once and reuses the join's partitioning when bucketed.",
+ "cdc_scd2_history": "SCD2 is ONE window pass over the log (lead per key): one hash exchange on the key, one sort, filters above - the history table costs the same shuffle as the LWW fold itself. No self-join of the log against its own next version.",
 }
 
 print("# Plan audit — headline queries\n")
