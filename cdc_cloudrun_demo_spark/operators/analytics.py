@@ -110,15 +110,55 @@ def qx_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    quantity exceeds 100, joined back to the customer. The qualifying key
+    set is an aggregate-then-filter (tiny), which then SEMI-joins the
+    detail — the detail table is aggregated once and never re-scanned per
+    qualifying order. Quantity threshold compares exact scaled longs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(scaled_long("l_quantity")).alias("qty_s")
+    )
+    big = per_order.filter(F.col("qty_s") > 100 * 100)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("qty_s").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
 QUERIES = {
     "qx_priority_exists": qx_priority_exists,
     "qx_correlated_max": qx_correlated_max,
+    "qx_large_orders": qx_large_orders,
     "qx_custdist": qx_custdist,
     "qx_having": qx_having,
     "qx_nested_agg": qx_nested_agg,
 }
 
 ORACLES = {
+    "qx_large_orders": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_s
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(qty_s AS DOUBLE) / 100.0 AS total_qty
+        FROM orders
+        JOIN per_order ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE qty_s > 10000
+    """,
     "qx_correlated_max": """
         SELECT c_custkey, c_name, c_nationkey AS nationkey, c_acctbal
         FROM customer c

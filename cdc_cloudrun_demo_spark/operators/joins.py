@@ -214,6 +214,36 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str, n_salt: int = 8) -> DataFrame:
+    """Skew-mitigated fact⨝dim join by explicit salting — the manual
+    fallback when AQE's runtime skew split can't apply (e.g. the skewed
+    side feeds a window, or the engine runs with AQE off). The big side
+    tags each row with hash%n_salt; the small side replicates n_salt ways;
+    the join key becomes (key, salt), so one hot key spreads over n_salt
+    reducers. Result is IDENTICAL to the plain join (oracle = unsalted
+    SQL); only the partitioning changes. Per-nation revenue through the
+    supplier dim, deliberately forced through the shuffle path."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    s_rep = s.crossJoin(F.broadcast(salts))
+    return (
+        li.hint("shuffle_hash")
+        .join(
+            s_rep,
+            (li.l_suppkey == s_rep.s_suppkey) & (li._salt == s_rep._salt),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            dsum(_disc_price(), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery shape: orders priced above the global mean, counted
     per status. The mean is a 1-row aggregate broadcast into the scan (no
@@ -247,9 +277,18 @@ QUERIES = {
     "join_theta_range": join_theta_range,
     "join_scalar_subquery": join_scalar_subquery,
     "join_interval_bucketed": join_interval_bucketed,
+    "join_salted_skew": join_salted_skew,
 }
 
 ORACLES = {
+    # salting must not change the result: oracle is the plain join
+    "join_salted_skew": f"""
+        SELECT s_nationkey,
+               {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
     # the oracle is the NAIVE theta join — the bucketed plan must produce
     # the identical pair set
     "join_interval_bucketed": """
