@@ -399,3 +399,87 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
     assert got == expected and len(expected) > 0, (
         f"stream={len(got)} batch={len(expected)}"
     )
+
+
+def test_stream_stream_left_outer_join_watermark_semantics(spark, sf_smoke, tmp_path):
+    """Left-outer stream-stream join: matched rows must equal the batch
+    join exactly; NULL (unmatched) rows may only emit once the watermark
+    closes a click's join window, so every batch-unmatched click safely
+    older than max_ts - horizon - watermark-delay must appear, and no
+    stream null row may contradict the batch result."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "slices")
+    sliced = events.orderBy("ts").withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def join(df):
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        ).withWatermark("click_ts", "1 hour")
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        ).withWatermark("purchase_ts", "1 hour")
+        return c.join(
+            p,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left_outer",
+        )
+
+    batch = join(events).collect()
+    batch_matched = {(r["click_id"], r["purchase_id"]) for r in batch if r["purchase_id"] is not None}
+    batch_unmatched = {r["click_id"] for r in batch if r["purchase_id"] is None}
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        join(stream)
+        .writeStream.format("memory")
+        .queryName("louter_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("louter_sink").collect()
+    got_matched = {(r["click_id"], r["purchase_id"]) for r in got if r["purchase_id"] is not None}
+    got_null = {r["click_id"] for r in got if r["purchase_id"] is None}
+
+    assert got_matched == batch_matched
+    # null rows never contradict batch
+    assert got_null <= batch_unmatched, got_null - batch_unmatched
+    # clicks whose window closed well before end-of-stream must have emitted
+    import datetime
+
+    # the global watermark is the MIN across both inputs (each max_ts - 1h
+    # delay); a click emits null only once watermark > click_ts + 2h horizon
+    side_max = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    final_wm = min(r["m"] for r in side_max) - datetime.timedelta(hours=1)
+    cutoff = final_wm - datetime.timedelta(hours=2, minutes=10)  # horizon + margin
+    must_emit = {
+        r["click_id"]
+        for r in join(events).collect()
+        if r["purchase_id"] is None and r["click_ts"] < cutoff
+    }
+    assert must_emit <= got_null, f"missing {len(must_emit - got_null)} closed-window nulls"
