@@ -75,3 +75,82 @@ def test_cdc_merge_is_incremental(spark, raw_a, raw_b):
     staged = merge_states(merge_states(empty, fold_batch(df_a)), fold_batch(df_b))
     got = {r["id"]: (r["content"], r["last_seq"]) for r in staged.collect()}
     assert got == whole
+
+
+def test_stratified_sample_invariants(spark, sf_smoke):
+    """≤ per_stratum rows per stratum; deterministic across runs; every
+    sampled row exists in the source."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.sampling import sample_stratified
+
+    s1 = sample_stratified(spark, sf_smoke).collect()
+    s2 = sample_stratified(spark, sf_smoke).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # deterministic
+    per = {}
+    for r in s1:
+        per[r["l_returnflag"]] = per.get(r["l_returnflag"], 0) + 1
+    assert all(n <= 200 for n in per.values()), per
+    src = {
+        (r["l_orderkey"], r["l_linenumber"], r["l_quantity"])
+        for r in load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    }
+    assert all((r["l_orderkey"], r["l_linenumber"], r["l_quantity"]) in src for r in s1)
+
+
+def test_gap_fill_conserves_events_and_fills_forward(spark, sf_smoke):
+    """Gap-fill must neither invent nor lose events (Σ n_events equals the
+    raw count), the grid must be hour-dense per user, and filled_value is
+    non-null from each user's first observation on."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import stream_gap_fill
+
+    ev = load_table(spark, sf_smoke, "events")
+    out = stream_gap_fill(spark, sf_smoke)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    # dense grid: rows per user == hours between first and last hour + 1
+    spans = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            ((F.unix_timestamp(F.max("hour")) - F.unix_timestamp(F.min("hour")))
+             / 3600 + 1).alias("n_hours"),
+        )
+        .filter(F.col("n_rows") != F.col("n_hours"))
+        .count()
+    )
+    assert spans == 0
+    assert out.filter(F.col("filled_value").isNull()).count() == 0
+
+
+def test_connected_components_are_consistent(spark, sf_smoke):
+    """Cluster labels must be idempotent under the edge relation: both
+    endpoints of every near-dup edge share a label, every label is the min
+    doc_id of its own cluster, and non-edge docs label themselves."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.functions.dedup import (
+        dedup_ngram_clusters,
+        dedup_ngram_jaccard,
+    )
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_ngram_clusters(spark, sf_smoke).collect()}
+    edges = [(r["id_a"], r["id_b"]) for r in dedup_ngram_jaccard(spark, sf_smoke).collect()]
+    for a, b in edges:
+        assert labels[a] == labels[b], (a, b, labels[a], labels[b])
+    touched = {x for e in edges for x in e}
+    for doc, lbl in labels.items():
+        if doc not in touched:
+            assert lbl == doc
+    # every cluster's label is its own minimum member
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, lbl in labels.items():
+        members[lbl].append(doc)
+    assert all(min(v) == k for k, v in members.items())
