@@ -40,8 +40,9 @@ def oracle_sql() -> dict[str, str]:
     Missing keys (vs queries()) are the genuinely non-SQL-expressible /
     approximate ops — s9_metadata (catalog introspection),
     agg_approx_distinct (HLL), dedup_minhash_lsh / dedup_simhash
-    (engine-specific hashes), sim_ann_lsh_topk (approximate ANN) — which
-    get the driver's rows-only check; their semantics are covered by
-    dedicated tests instead (recall vs exact truth).
+    (engine-specific hashes), sim_ann_lsh_topk / sim_ann_ivf_topk
+    (approximate ANN) — which get the driver's rows-only check; their
+    semantics are covered by dedicated tests instead (recall vs exact
+    truth).
     """
     return dict(_ORACLES)
