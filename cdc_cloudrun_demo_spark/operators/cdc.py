@@ -115,8 +115,59 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming materializer, driver-checkable: the
+    change log is written as file slices, replayed through the
+    applyInPandasWithState LWW fold one file per micro-batch
+    (availableNow), and the final state is returned as a batch DataFrame —
+    so the streaming fold itself hash-matches the same SQL oracle as the
+    batch `cdc_materialize`. Slicing order doesn't matter (LWW keys on
+    seq, asserted exhaustively in tests/test_streaming.py); at production
+    scale the identical query runs unbounded with RocksDB state."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.cdc_stream import CHANGE_SCHEMA, materialize_with_state
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_q_")
+    log_dir = os.path.join(tmp, "log")
+    message_changes_df(spark, sf_dir).orderBy("seq").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    sink = f"cdc_stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        materialize_with_state(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.table(sink)
+    return (
+        updates.groupBy("id")
+        .agg(
+            F.max_by("content", "last_seq").alias("content"),
+            F.max("last_seq").alias("last_seq"),
+            F.max_by("updated_at", "last_seq").alias("updated_at"),
+            F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+        )
+        .filter(~F.col("is_deleted"))
+        .select("id", "content", "last_seq", "updated_at")
+    )
+
+
 QUERIES = {
     "cdc_materialize": cdc_materialize,
+    "cdc_materialize_streaming": cdc_materialize_streaming,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_snapshot_asof": cdc_snapshot_asof,
     "cdc_tombstone_keys": cdc_tombstone_keys,
@@ -135,6 +186,8 @@ _FOLD_SQL = """
 
 ORACLES = {
     "cdc_materialize": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    # the streaming fold must converge to the identical batch state
+    "cdc_materialize_streaming": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""
         {_CTE},
         v AS (
