@@ -28,8 +28,9 @@ print("entry idempotent: OK")
 # 3. queries() at a DIFFERENT sf than the oracle sweep used (sf0.001) —
 #    probes that nothing is hardwired to one directory
 q = em.queries()
-for name in ["cdc_materialize", "join_star_revenue", "stream_session_windows",
-             "dedup_exact", "sim_cosine_topk", "multimodal_features"]:
+for name in ["cdc_materialize", "cdc_materialize_streaming", "join_star_revenue",
+             "stream_session_windows", "dedup_exact", "sim_cosine_topk",
+             "multimodal_features"]:
     n = q[name](spark, "/root/testdata/sf0.001").count()
     print(f"{name} @sf0.001 -> {n} rows")
     assert n > 0, name
