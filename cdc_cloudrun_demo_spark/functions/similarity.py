@@ -41,17 +41,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k for query vectors vec_id < 5 against the
     whole corpus (self excluded). Scores rounded to 6 dp *before* ranking
     so rank boundaries are engine-stable; ties break on neighbor id."""
-    emb = load_for_compute(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
+        # corpus norms once per row, not once per (row × query)
+        "nrm", norm(F.col("embedding"))
     )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -64,22 +70,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
 def sim_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within a label block: cosine >= 0.35
-    (blocked exact search — the embedding-cosine dedup operator)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label").alias("lbl"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    (blocked exact search — the embedding-cosine dedup operator).
+    Norms are projected once per vector (O(N) folds) instead of being
+    re-folded inside the pairwise expression (O(pairs)); dot/(‖a‖·‖b‖) is
+    the same expression tree as cosine(), so round-6 values are unchanged."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    b = emb.select(
-        F.col("label").alias("lbl"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    a = with_norm.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
+    b = with_norm.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "lbl")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )
 
@@ -108,19 +123,23 @@ def hyperplane_lsh_buckets(
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Approximate top-k: exact cosine *within* LSH buckets only.
     Rows-only check (approximation); recall asserted in tests."""
-    bucketed = hyperplane_lsh_buckets(spark, sf_dir)
+    bucketed = hyperplane_lsh_buckets(spark, sf_dir).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     queries = bucketed.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
+    cos = dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     cand = (
         bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -150,17 +169,24 @@ def sim_ann_ivf_topk(
     touches n_probe/n_clusters of the data — the IVF speedup. Approximate
     → rows-only check; recall vs brute force asserted in tests.
     """
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
+        # each vector's norm once — reused by assignment AND candidate scoring
+        "nrm", norm(F.col("embedding"))
+    )
     cents = emb.filter(F.col("vec_id") < n_clusters).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
     )
 
-    def assign(df: DataFrame, id_col: str, vec_col: str, rank_limit: int) -> DataFrame:
+    def assign(df: DataFrame, id_col: str, vec_col: str, nrm_col: str, rank_limit: int) -> DataFrame:
+        c_sim = dot(F.col(vec_col), F.col("cvec")) / (F.col(nrm_col) * F.col("cnrm"))
         scored = df.crossJoin(F.broadcast(cents)).select(
             id_col,
             vec_col,
+            nrm_col,
             "cid",
-            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("c_sim"),
+            F.round(c_sim, 6).alias("c_sim"),
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
         return scored.withColumn("crnk", F.row_number().over(w)).filter(
@@ -168,23 +194,27 @@ def sim_ann_ivf_topk(
         )
 
     corpus = assign(
-        emb.select("vec_id", "embedding"), "vec_id", "embedding", 1
-    ).select("vec_id", "embedding", "cid")
+        emb.select("vec_id", "embedding", "nrm"), "vec_id", "embedding", "nrm", 1
+    ).select("vec_id", "embedding", "nrm", "cid")
     queries = assign(
         emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
         ),
         "query_id",
         "qvec",
+        "qnrm",
         n_probe,
-    ).select("query_id", "qvec", "cid")
+    ).select("query_id", "qvec", "qnrm", "cid")
+    cos = dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     cand = (
         corpus.join(F.broadcast(queries), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
