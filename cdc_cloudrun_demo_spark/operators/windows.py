@@ -39,7 +39,15 @@ def win_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, so a key with millions of rows costs O(rows/n_salt) per
     task instead of serializing one reducer — the salting pattern SURVEY
     §4 prescribes for window skew (AQE covers joins, not windows).
-    Oracle: same SQL as win_topn_per_group (results are identical)."""
+
+    Caveat (checked in the executed plan): Spark ≥3.5 already inserts
+    WindowGroupLimit for rank/row_number ≤ k filters — a map-side top-k
+    per input partition BEFORE the shuffle — which caps a hot key's
+    reducer input at k·#map-partitions on its own. Manual salting remains
+    the tool for window computations the optimizer can't group-limit:
+    percent_rank/cume_dist, sliding aggregates, or rank filters hidden
+    behind joins. Oracle: same SQL as win_topn_per_group (identical
+    results)."""
     n_salt = 8
     o = load_table(spark, sf_dir, "orders")
     salted = o.withColumn(
