@@ -136,16 +136,49 @@ def qx_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from lineitems where the customer and the
+    supplier share a nation, per nation. The same-nation predicate is a
+    cross-dimension equality evaluated after the dim joins — all dims
+    broadcast, the fact side shuffles only for the lineitem⨝orders key
+    and the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(_disc_price(), 6).alias("revenue"))
+    )
+
+
 QUERIES = {
     "qx_priority_exists": qx_priority_exists,
     "qx_correlated_max": qx_correlated_max,
     "qx_large_orders": qx_large_orders,
+    "qx_local_supplier_volume": qx_local_supplier_volume,
     "qx_custdist": qx_custdist,
     "qx_having": qx_having,
     "qx_nested_agg": qx_nested_agg,
 }
 
 ORACLES = {
+    "qx_local_supplier_volume": f"""
+        SELECT n_name, {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
     "qx_large_orders": """
         WITH per_order AS (
             SELECT l_orderkey,
