@@ -15,6 +15,14 @@ names = only or sorted(O)
 fails = 0
 for name in names:
     t0 = time.time()
+    if name not in O:  # rows-only op (no oracle): run + count, like the driver
+        try:
+            n = Q[name](spark, sf).count()
+            print(f"OK† {name:28s} {time.time()-t0:5.1f}s rows={n} (rows-only)")
+        except Exception as e:
+            print(f"FAIL {name:27s} {time.time()-t0:5.1f}s {e}")
+            fails += 1
+        continue
     r = compare_one(spark, con, name, Q[name], O[name], sf)
     dt = time.time() - t0
     status = "OK  " if r.ok else "FAIL"
