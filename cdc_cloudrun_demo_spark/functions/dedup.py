@@ -293,7 +293,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def pipeline_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data kept-set: quality gate (≥5 words,
+    exact integer compare — no float threshold) → exact-dedup survivor
+    (min doc_id per normalized-text hash) → near-dup canonical (doc is
+    its own connected-component label). This is the composition a real
+    corpus pipeline ships; each stage is individually oracled elsewhere
+    (text_quality_score, dedup_exact_survivors, dedup_ngram_clusters) and
+    the composition hash-matches the same stages chained in SQL."""
+    from .text import word_count
+
+    d = load_for_compute(spark, sf_dir, "documents")
+    gated = d.filter(word_count(F.col("text")) >= 5)
+    hashed = gated.select(
+        "doc_id", "lang", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    exact_keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    survivors = exact_keep.join(hashed, ["h", "doc_id"]).select("doc_id", "lang")
+    canonical = (
+        dedup_ngram_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return survivors.join(canonical, "doc_id")
+
+
 QUERIES = {
+    "pipeline_dedup_kept": pipeline_dedup_kept,
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -317,6 +343,43 @@ _SQL_TRIGRAMS = """
         WHERE LENGTH(words) >= 3
     ) g
 """
+
+# Connected-components CTE chain (shared by the clusters oracle and the
+# end-to-end pipeline oracle). Use after `WITH RECURSIVE`; exposes `labels`
+# (doc_id, cluster_id = min doc_id of the component).
+_SQL_CC_CTES = f"""shingles AS ({_SQL_TRIGRAMS}),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE)
+                  / (sa.set_size + sb.set_size - n_common) >= 0.1
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src),
+        labels AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(mr.m, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN minreach mr ON mr.src = d.doc_id
+        )"""
 
 ORACLES = {
     "dedup_exact": f"""
@@ -357,37 +420,21 @@ ORACLES = {
     # Connected components as a recursive CTE: transitive closure over the
     # symmetrized pair graph, component label = min reachable doc_id.
     "dedup_ngram_clusters": f"""
-        WITH RECURSIVE shingles AS ({_SQL_TRIGRAMS}),
-        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-            FROM shingles a JOIN shingles b
-              ON a.lang = b.lang AND a.source = b.source
-             AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        WITH RECURSIVE {_SQL_CC_CTES}
+        SELECT doc_id, cluster_id FROM labels
+    """,
+    "pipeline_dedup_kept": f"""
+        WITH RECURSIVE {_SQL_CC_CTES},
+        gated AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE LENGTH(regexp_extract_all(text, '[A-Za-z]+')) >= 5
         ),
-        edges AS (
-            SELECT id_a, id_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_common AS DOUBLE)
-                  / (sa.set_size + sb.set_size - n_common) >= 0.1
-        ),
-        sym AS (
-            SELECT id_a AS src, id_b AS dst FROM edges
-            UNION
-            SELECT id_b AS src, id_a AS dst FROM edges
-        ),
-        reach(src, dst) AS (
-            SELECT src, dst FROM sym
-            UNION
-            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-        ),
-        minreach AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
-        SELECT d.doc_id,
-               LEAST(d.doc_id, COALESCE(mr.m, d.doc_id)) AS cluster_id
-        FROM documents d LEFT JOIN minreach mr ON mr.src = d.doc_id
+        hashed AS (SELECT doc_id, lang, md5({_SQL_NORM}) AS h FROM gated),
+        keepers AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h)
+        SELECT hd.doc_id, hd.lang
+        FROM hashed hd
+        JOIN keepers k ON k.h = hd.h AND k.doc_id = hd.doc_id
+        JOIN labels l ON l.doc_id = hd.doc_id AND l.cluster_id = hd.doc_id
     """,
     # Explicit left-fold cosine (matches Spark's aggregate() fold order;
     # list_cosine_similarity's internal summation order is unspecified).

@@ -200,6 +200,21 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL-style percentile_approx sketch
+    (mergeable partial sketches → one pass, bounded memory — the 100 TB
+    path where exact percentiles' full sort is off the table). Sketch
+    output is engine-specific → rows-only check; accuracy vs the exact
+    quantiles is asserted in tests/test_llm_ops.py."""
+    o = load_table(spark, sf_dir, "orders")
+    pa = F.percentile_approx("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10000)
+    return o.groupBy("o_orderstatus").agg(
+        pa.getItem(0).alias("approx_p50"),
+        pa.getItem(1).alias("approx_p90"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL (per-status, per-priority, grand total)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -227,6 +242,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_string_concat": agg_string_concat,
     "agg_conditional_sums": agg_conditional_sums,
+    "agg_approx_percentiles": agg_approx_percentiles,
     "agg_stats_moments": agg_stats_moments,
     "agg_grouping_sets": agg_grouping_sets,
 }

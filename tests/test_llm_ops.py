@@ -89,3 +89,29 @@ def test_lsh_buckets_are_stable(spark, sf_smoke):
     a = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(spark, sf_smoke).collect()}
     b = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(spark, sf_smoke).collect()}
     assert a == b
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_oracle):
+    """percentile_approx (accuracy 10000) must land within 1% relative
+    error of the exact quantiles per group."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.aggregates import agg_approx_percentiles
+
+    approx = {r["o_orderstatus"]: (r["approx_p50"], r["approx_p90"])
+              for r in agg_approx_percentiles(spark, sf_oracle).collect()}
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in load_table(spark, sf_oracle, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.01, (k, a, e)

@@ -35,6 +35,7 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "dedup_simhash",
         "sim_ann_lsh_topk",
         "sim_ann_ivf_topk",
+        "agg_approx_percentiles",
     }
     assert rows_only <= allowed, f"unexpected rows-only queries: {rows_only - allowed}"
 
