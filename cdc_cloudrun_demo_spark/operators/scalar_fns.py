@@ -168,9 +168,33 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parsing (parse_url HOST/PATH/QUERY-key): the log
+    analytics surface. The URL is synthesized from table columns, so the
+    oracle can state each component directly — what parse_url must
+    recover."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
 QUERIES = {
     "fn_map_ops": fn_map_ops,
     "fn_bitwise": fn_bitwise,
+    "fn_url_ops": fn_url_ops,
     "fn_array_ops": fn_array_ops,
     "fn_string_ops": fn_string_ops,
     "fn_date_ops": fn_date_ops,
@@ -181,6 +205,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_url_ops": """
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                 || '?lang=' || lang AS url,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS lang_param
+        FROM documents
+    """,
     "fn_bitwise": """
         SELECT n_nationkey,
                CAST(n_nationkey AS BIGINT) & CAST(n_regionkey AS BIGINT) AS k_and_r,

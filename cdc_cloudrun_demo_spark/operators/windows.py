@@ -163,6 +163,30 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+    """Sessionization as a window computation: a new session starts when
+    the gap to the user's previous event exceeds 30 minutes; session_id =
+    running count of session starts (lag + cumulative sum — two passes
+    over ONE partitioning, so a single shuffle on user_id). Unlike
+    `session_window` this keeps every event row with its session ordinal —
+    the form feature pipelines join back to. Gap comparison is exact
+    integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_min * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_new).over(wc).cast("long").alias("session_id"),
+    )
+
+
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-distribution functions (percent_rank / cume_dist) over order
     price within status. Both are pure rank ratios — (rank-1)/(n-1) and
@@ -179,6 +203,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "win_sessionize": win_sessionize,
     "win_distribution": win_distribution,
     "win_topn_per_group": win_topn_per_group,
     "win_topn_salted": win_topn_salted,
@@ -201,6 +226,29 @@ _TOPN_SQL = """
     """
 
 ORACLES = {
+    "win_sessionize": """
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us
+                                > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, event_id, ts,
+                       LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                       ) AS prev_us
+                FROM events
+            ) g
+        ) s
+    """,
     "win_distribution": """
         SELECT o_orderkey, o_orderstatus,
                ROUND(percent_rank() OVER w, 6) AS pct_rank,
