@@ -75,17 +75,51 @@ def cdc_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-contiguous, partition-dependent). Continues after the 5 seed rows
     (sequence restarts at 6, reference ``import.sql:20-21``).
 
-    Scale note: a global `row_number` sorts — at 100 TB assign per
-    micro-batch (offset = max assigned so far + partition-local ordinal
-    from a range-partitioned sort), which is exactly what the streaming
-    materializer does per batch.
+    Two-phase global rank — no single-reducer sort of the data anywhere:
+      1. bucket by value range: pid = floor((seq - min) · P / span). The
+         bounds come from one map-side-combined min/max aggregate
+         broadcast back in (its exchange carries one row per task, never
+         the data). Unlike ``repartitionByRange``, the bucket is a pure
+         *function of seq* — deterministic across the plan's two
+         evaluations of this subtree (range sampling is not, and skewed
+         the offsets). Buckets are ordered and disjoint by construction.
+      2. partition-local ordinal (window keyed on pid — every bucket ranks
+         in parallel), then offset each bucket by the total row count of
+         the buckets before it: a P-row aggregate joined back by
+         broadcast. offset + local ordinal is the exact global rank
+         because ``seq`` is unique and buckets are ordered.
+    ``seq`` is a dense event id, so value-range buckets are balanced; a
+    skewed key would call for sampled boundaries materialized once. (Plan
+    asserted shuffle-parallel in
+    tests/test_plans.py::test_keygen_has_no_single_partition_exchange.)
     """
     changes = message_changes_df(spark, sf_dir)
-    inserts = changes.filter(F.col("op") == "INSERT")
-    w = Window.orderBy("seq")
-    return inserts.select(
+    inserts = changes.filter(F.col("op") == "INSERT").select("seq", "content")
+    n_parts = max(spark.sparkContext.defaultParallelism // 2, 4)
+    bounds = inserts.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+    span = F.col("hi") - F.col("lo") + 1
+    pid = F.least(
+        F.lit(n_parts - 1),
+        F.floor(((F.col("seq") - F.col("lo")) * n_parts) / span),
+    ).cast("int")
+    ranged = inserts.crossJoin(F.broadcast(bounds)).select(
+        "seq", "content", pid.alias("pid")
+    )
+    local = ranged.withColumn(
+        "local_rn", F.row_number().over(Window.partitionBy("pid").orderBy("seq"))
+    )
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # offset(pid) = Σ cnt of earlier partitions; triangular broadcast join
+    # over the P-row counts table keeps even this step off a single reducer.
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
         "seq",
-        (F.row_number().over(w) + F.lit(5)).cast("long").alias("assigned_id"),
+        (F.col("offset") + F.col("local_rn") + F.lit(5)).cast("long").alias("assigned_id"),
         "content",
     )
 
@@ -119,16 +153,23 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming materializer, driver-checkable: the
     change log is written as file slices, replayed through the
     applyInPandasWithState LWW fold one file per micro-batch
-    (availableNow), and the final state is returned as a batch DataFrame —
-    so the streaming fold itself hash-matches the same SQL oracle as the
-    batch `cdc_materialize`. Slicing order doesn't matter (LWW keys on
+    (availableNow), and the per-batch updates are merged into a parquet
+    state snapshot by a foreachBatch sink — so the streaming fold itself
+    hash-matches the same SQL oracle as the batch `cdc_materialize`.
+    Nothing passes through the driver: the former memory-sink bridge is
+    gone; the sink's merge is a distributed keyed aggregate and the final
+    state is read straight off the snapshot (the local stand-in for MERGE
+    INTO a Delta/Iceberg table). Slicing order doesn't matter (LWW keys on
     seq, asserted exhaustively in tests/test_streaming.py); at production
     scale the identical query runs unbounded with RocksDB state."""
     import os
     import tempfile
-    import uuid
 
-    from ..streaming.cdc_stream import CHANGE_SCHEMA, materialize_with_state
+    from ..streaming.cdc_stream import (
+        CHANGE_SCHEMA,
+        materialize_with_state,
+        state_snapshot_sink,
+    )
 
     tmp = tempfile.mkdtemp(prefix="cdc_stream_q_")
     log_dir = os.path.join(tmp, "log")
@@ -140,28 +181,15 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(log_dir)
     )
-    sink = f"cdc_stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        materialize_with_state(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    q = state_snapshot_sink(
+        materialize_with_state(stream),
+        state_dir=os.path.join(tmp, "state"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
     )
     q.awaitTermination(120)
-    updates = spark.table(sink)
-    return (
-        updates.groupBy("id")
-        .agg(
-            F.max_by("content", "last_seq").alias("content"),
-            F.max("last_seq").alias("last_seq"),
-            F.max_by("updated_at", "last_seq").alias("updated_at"),
-            F.max_by("is_deleted", "last_seq").alias("is_deleted"),
-        )
-        .filter(~F.col("is_deleted"))
-        .select("id", "content", "last_seq", "updated_at")
+    snapshot = spark.read.parquet(os.path.join(tmp, "state", "current"))
+    return snapshot.filter(~F.col("is_deleted")).select(
+        "id", "content", "last_seq", "updated_at"
     )
 
 

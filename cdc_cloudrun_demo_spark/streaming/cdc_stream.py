@@ -36,6 +36,10 @@ from pyspark.sql.window import Window
 
 CHANGE_SCHEMA = "seq long, op string, id long, content string, ts timestamp"
 STATE_SCHEMA = "id long, content string, last_seq long, updated_at timestamp"
+# update-mode output of the keyed-state materializer (tombstones flagged)
+UPDATES_SCHEMA = (
+    "id long, content string, last_seq long, updated_at timestamp, is_deleted boolean"
+)
 
 
 def fold_batch(changes: DataFrame) -> DataFrame:
@@ -89,6 +93,51 @@ def materialize_foreach_batch(
 
     return (
         changes_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def state_snapshot_sink(
+    updates_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+):
+    """foreachBatch sink for the keyed-state materializer: merge each
+    micro-batch's updated keys into a parquet state snapshot (LWW per key
+    by ``last_seq``; tombstone rows are *retained* in the snapshot so a
+    replayed older update can never resurrect a deleted key — readers
+    filter ``is_deleted``). Returns the StreamingQuery.
+
+    This replaces the memory-sink + driver re-aggregation bridge: the
+    update stream never passes through the driver; each merge is a
+    distributed keyed aggregate. On a real deployment the merge is a
+    MERGE INTO on a Delta/Iceberg table — identical fold, transactional
+    swap instead of the local snapshot-rename."""
+    spark = updates_stream.sparkSession
+    current_path = os.path.join(state_dir, "current")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            cur = spark.read.parquet(current_path)
+        except Exception:
+            cur = spark.createDataFrame([], UPDATES_SCHEMA)
+        merged = (
+            cur.unionByName(batch_df)
+            .groupBy("id")
+            .agg(
+                F.max_by("content", "last_seq").alias("content"),
+                F.max("last_seq").alias("last_seq"),
+                F.max_by("updated_at", "last_seq").alias("updated_at"),
+                F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+            )
+        )
+        tmp = os.path.join(state_dir, f"next_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(current_path)
+
+    return (
+        updates_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

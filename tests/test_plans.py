@@ -194,6 +194,34 @@ def test_cosine_dedup_norms_precomputed_once(spark, sf_smoke):
     assert join_frag.count("aggregate(zip_with") == 1, join_frag[:800]
 
 
+def test_keygen_has_no_single_partition_exchange(spark, sf_smoke):
+    """cdc_keygen's global rank must be two-phase (range partitions +
+    partition-local ordinal + broadcast offsets) — the plan may never
+    funnel the data through an Exchange SinglePartition, which is what a
+    naive Window.orderBy(seq) global row_number compiles to."""
+    from cdc_cloudrun_demo_spark.operators.cdc import cdc_keygen
+
+    plan = formatted_plan(cdc_keygen(spark, sf_smoke))
+    # the ranking window must be keyed on the bucket id, never global
+    assert "windowspecdefinition(pid" in plan, plan
+    # the only single-partition exchange allowed is the 1-row min/max
+    # bounds aggregate (one row per task after partial agg) — the data
+    # itself may never funnel through one task
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_streaming_materializer_has_no_memory_sink(spark, sf_smoke):
+    """The streaming materializer's state must live in a parquet snapshot
+    merged by foreachBatch — never a memory sink collected on the driver."""
+    import inspect
+
+    from cdc_cloudrun_demo_spark.operators import cdc
+
+    src = inspect.getsource(cdc.cdc_materialize_streaming)
+    assert 'format("memory")' not in src
+    assert "state_snapshot_sink" in src
+
+
 def test_interval_join_is_hash_not_nested_loop(spark, sf_smoke):
     """The bucketed interval self-join must plan as an equi hash/SMJ join,
     never a nested-loop/cartesian over per-user event pairs."""
