@@ -25,6 +25,13 @@ _SQL_NORM = (
     " ' +', ' ', 'g'))"
 )
 
+# Hot-shingle document-frequency cap: a shingle held by > MAX_SHINGLE_DF
+# docs in a block is non-discriminative (stopword-like) and would emit an
+# O(df²) posting list — the classic quadratic blowup at corpus scale. Both
+# the Spark plan and every oracle drop such shingles BEFORE pairing; set
+# sizes (the Jaccard denominator) stay uncapped.
+MAX_SHINGLE_DF = 50
+
 
 def normalize_text(col: Column) -> Column:
     return F.trim(
@@ -82,9 +89,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair. One shuffle of the shingle set instead of two copies through
     a sort-merge join, and only docs sharing a shingle ever meet. The
     per-doc set sizes are a doc-count-sized table, joined by broadcast.
-    Scale notes: hot (non-discriminative) shingles make quadratic posting
-    lists — production pipelines cap document frequency before pairing;
-    the cap is omitted here because the oracle computes uncapped Jaccard.
+    Hot (non-discriminative) shingles would make quadratic posting lists,
+    so postings longer than MAX_SHINGLE_DF are dropped before pairing —
+    mirrored in the oracle — bounding pair emission per shingle at
+    O(MAX_SHINGLE_DF²) regardless of corpus size (property-tested in
+    tests/test_llm_ops.py). Set sizes stay uncapped, so reported Jaccard
+    for surviving pairs only counts discriminative shingles in the
+    numerator — the standard production trade.
     At corpus scale the shingle table is materialized/bucketed instead of
     persist()ed, and the sizes join falls back to shuffle automatically
     once it exceeds the broadcast threshold."""
@@ -108,7 +119,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        post.filter(n >= 2)
+        post.filter((n >= 2) & (n <= MAX_SHINGLE_DF))
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
@@ -344,14 +355,25 @@ _SQL_TRIGRAMS = """
     ) g
 """
 
+# Capped posting set: shingles whose block document frequency exceeds
+# MAX_SHINGLE_DF never participate in pairing (mirrors the Spark cap).
+_SQL_POSTED = f"""
+    SELECT s.doc_id, s.lang, s.source, s.shingle
+    FROM shingles s
+    JOIN (SELECT lang, source, shingle FROM shingles
+          GROUP BY 1, 2, 3 HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok
+    USING (lang, source, shingle)
+"""
+
 # Connected-components CTE chain (shared by the clusters oracle and the
 # end-to-end pipeline oracle). Use after `WITH RECURSIVE`; exposes `labels`
 # (doc_id, cluster_id = min doc_id of the component).
 _SQL_CC_CTES = f"""shingles AS ({_SQL_TRIGRAMS}),
+        posted AS ({_SQL_POSTED}),
         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-            FROM shingles a JOIN shingles b
+            FROM posted a JOIN posted b
               ON a.lang = b.lang AND a.source = b.source
              AND a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -400,10 +422,11 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH shingles AS ({_SQL_TRIGRAMS}),
+        posted AS ({_SQL_POSTED}),
         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-            FROM shingles a JOIN shingles b
+            FROM posted a JOIN posted b
               ON a.lang = b.lang AND a.source = b.source
              AND a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2

@@ -40,6 +40,41 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_oracle):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def _write_documents(spark, path, rows):
+    """rows: (doc_id, text). Writes a documents.parquet matching the
+    testdata schema so sf_dir-shaped operators can read it."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_hot_shingle_df_cap_bounds_pair_emission(spark, tmp_path):
+    """A single stopword-like shingle shared by every document must NOT
+    produce O(n²) candidate pairs: postings longer than MAX_SHINGLE_DF are
+    dropped before pairing. Control corpus under the cap still pairs."""
+    from cdc_cloudrun_demo_spark.functions.dedup import MAX_SHINGLE_DF
+
+    # 80 docs (> cap): only common shingle is the hot one -> zero pairs
+    hot_dir = str(tmp_path / "hot")
+    n_hot = MAX_SHINGLE_DF + 30
+    _write_documents(
+        spark, hot_dir, [(i, f"alpha beta gamma unique{i}") for i in range(n_hot)]
+    )
+    hot_pairs = dedup_ngram_jaccard(spark, hot_dir).count()
+    assert hot_pairs == 0, f"hot shingle emitted {hot_pairs} pairs (uncapped would be {n_hot*(n_hot-1)//2})"
+
+    # 40 docs (< cap): the same corpus shape must still produce all pairs
+    ok_dir = str(tmp_path / "ok")
+    n_ok = 40
+    _write_documents(
+        spark, ok_dir, [(i, f"alpha beta gamma unique{i}") for i in range(n_ok)]
+    )
+    ok_pairs = dedup_ngram_jaccard(spark, ok_dir).count()
+    assert ok_pairs == n_ok * (n_ok - 1) // 2, ok_pairs
+
+
 def test_simhash_deterministic_and_complete(spark, sf_smoke):
     a = {r["doc_id"]: r["simhash"] for r in simhash_sketches(spark, sf_smoke).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash_sketches(spark, sf_smoke).collect()}
