@@ -200,13 +200,63 @@ def simhash_sketches(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFr
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: identical 64-bit sketches (rows-only;
-    hamming-distance banding is the scale-out extension, tests cover
+    `dedup_simhash_banded` is the hamming-tolerant extension, tests cover
     sketch determinism and self-similarity)."""
     sk = simhash_sketches(spark, sf_dir)
     return (
         sk.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_simhash_banded(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-match pairs via 4×16-bit banding: candidates are pairs
+    agreeing on at least one band, verified by exact popcount of the
+    sketch XOR. The pigeonhole principle makes this LOSSLESS for the
+    hamming ≤ 3 radius — 3 differing bits cannot touch all 4 bands, so
+    every qualifying pair collides somewhere (asserted by exact set
+    equality vs brute force in tests/test_llm_ops.py).
+
+    Scale shape: one explode to 4 rows/doc, one equality self-join on
+    (band, key) — candidate generation is O(collisions), never all-pairs;
+    the 16-bit key space keeps bucket sizes small on random-ish corpora.
+    Rows-only check (engine-specific hash)."""
+    sk = simhash_sketches(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sk.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sk_a")
+    )
+    b2 = bands.select(
+        "band", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sk_b")
+    )
+    cand = (
+        a.join(b2, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sk_a", "sk_b")
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -336,6 +386,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_banded": dedup_simhash_banded,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_ngram_clusters": dedup_ngram_clusters,
 }

@@ -33,6 +33,7 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "agg_approx_distinct",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_simhash_banded",
         "sim_ann_lsh_topk",
         "sim_ann_ivf_topk",
         "agg_approx_percentiles",
