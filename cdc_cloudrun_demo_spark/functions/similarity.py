@@ -99,52 +99,122 @@ def sim_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit pattern of seeded hyperplane dot products → long bucket id."""
+    bucket = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        contrib = F.shiftleft(bit, i)
+        bucket = contrib if bucket is None else bucket.bitwiseXOR(contrib)
+    return bucket
+
+
 def hyperplane_lsh_buckets(
     spark: SparkSession, sf_dir: str, n_planes: int = 12, seed: int = 42
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit pattern of `n_planes`
-    seeded hyperplane dot products. Deterministic (numpy RandomState)."""
+    """Single-table random-hyperplane LSH: bucket = sign-bit pattern of
+    `n_planes` seeded hyperplane dot products. Deterministic (numpy
+    RandomState). Kept as the bucketing primitive; candidate generation
+    for ANN uses the multi-table postings below (one table's buckets are
+    singletons on isotropic data — useless recall)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, 64)).tolist()
     emb = load_for_compute(spark, sf_dir, "embeddings")
-    bucket = None
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(F.col("embedding"), p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        contrib = F.shiftleft(bit, i)
-        bucket = contrib if bucket is None else bucket.bitwiseXOR(contrib)
-    return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
-
-
-def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Approximate top-k: exact cosine *within* LSH buckets only.
-    Rows-only check (approximation); recall asserted in tests."""
-    bucketed = hyperplane_lsh_buckets(spark, sf_dir).withColumn(
-        "nrm", norm(F.col("embedding"))
+    return emb.select(
+        "vec_id", "label", "embedding", _sign_bucket(F.col("embedding"), planes).alias("bucket")
     )
-    queries = bucketed.filter(F.col("vec_id") < 5).select(
+
+
+def hyperplane_lsh_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH posting list: one row per (vector, table) with that
+    table's bucket id. All `n_tables × bits_per_table` hyperplane dots are
+    evaluated in a single corpus pass (one projection, then a 1→n_tables
+    explode) — the OR-construction that fixes single-table LSH's
+    singleton-bucket recall collapse: a true neighbor is a candidate if it
+    collides in ANY table, P = 1-(1-p^bits)^tables.
+
+    Scale shape: output is N·n_tables rows of (ids + bucket) — the same
+    posting-list discipline as dedup_simhash_banded (dedup.py); candidate
+    pairing downstream is an equality join on (tbl, bucket), never
+    all-pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * bits_per_table, 64)).tolist()
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"),
+                _sign_bucket(
+                    F.col("embedding"),
+                    planes[t * bits_per_table : (t + 1) * bits_per_table],
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        emb.select("vec_id", "embedding", F.explode(tables).alias("tb"))
+        .select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+    )
+
+
+def sim_ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine over candidates that share an LSH
+    bucket with the query in ANY of `n_tables` hash tables (band-OR, the
+    classic LSH OR-construction). Rows-only check (approximation);
+    recall@10 >= 0.5 on a clustered corpus asserted in tests.
+
+    Plan shape: posting-list equality join on (tbl, bucket) with the tiny
+    query posting side broadcast → O(collisions) candidates; duplicate
+    (query, neighbor) hits across tables are dropped BEFORE the cosine is
+    evaluated, so each candidate pair is scored exactly once."""
+    postings = hyperplane_lsh_postings(
+        spark, sf_dir, n_tables=n_tables, bits_per_table=bits_per_table
+    )
+    qpost = postings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
-        F.col("nrm").alias("qnrm"),
     )
-    cos = dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     cand = (
-        bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
+        postings.join(
+            F.broadcast(qpost),
+            (F.col("tbl") == F.col("qtbl")) & (F.col("bucket") == F.col("qbucket")),
         )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = dot(F.col("qvec"), F.col("embedding")) / (
+        norm(F.col("qvec")) * norm(F.col("embedding"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
