@@ -186,7 +186,12 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_dir=os.path.join(tmp, "state"),
         checkpoint_dir=os.path.join(tmp, "ckpt"),
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming materializer did not finish within 300s")
+    if q.exception() is not None:
+        raise q.exception()
     snapshot = spark.read.parquet(os.path.join(tmp, "state", "current"))
     return snapshot.filter(~F.col("is_deleted")).select(
         "id", "content", "last_seq", "updated_at"

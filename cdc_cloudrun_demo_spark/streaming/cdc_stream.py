@@ -25,6 +25,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -72,24 +73,40 @@ def materialize_foreach_batch(
 ):
     """Start the foreachBatch materializer; returns the StreamingQuery.
 
-    State lives at ``{state_dir}/current`` as parquet; each batch writes a
-    new snapshot and swaps it in (atomic at the directory-rename level
-    locally; on a real deployment this is MERGE INTO a Delta/Iceberg
-    table, same fold)."""
+    State lives at ``{state_dir}/current`` as parquet; each batch stages a
+    new snapshot then swaps it in via directory rename (atomic on a local
+    FS; on a real deployment this is MERGE INTO a Delta/Iceberg table,
+    same fold). A missing snapshot means "no state yet"; any OTHER read
+    failure (corrupt files, transient FS error) propagates — silently
+    resetting the fold to empty would report success with missing keys."""
     spark = changes_stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         current_path = os.path.join(state_dir, "current")
+        old = os.path.join(state_dir, "old")
+        # Crash recovery for the rename-swap below: if we died between the
+        # two renames, `current` is missing but `old` is intact — restore
+        # it (the checkpoint replays the interrupted batch; the merge is
+        # idempotent). If both exist, `current` is the newer one.
+        if os.path.exists(current_path):
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, current_path)
         folded = fold_batch(batch_df)
-        try:
+        if os.path.exists(current_path):
             current = spark.read.parquet(current_path)
-        except Exception:
+        else:
             current = spark.createDataFrame([], STATE_SCHEMA)
         new_state = merge_states(current, folded)
-        tmp = os.path.join(state_dir, f"next_{batch_id}")
-        new_state.write.mode("overwrite").parquet(tmp)
-        snapshot = spark.read.parquet(tmp)
-        snapshot.write.mode("overwrite").parquet(current_path)
+        # Stage while `current` is still readable, then rename-swap; one
+        # reused staging dir, no per-batch snapshot copies accumulate.
+        stage = os.path.join(state_dir, "stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        new_state.write.mode("overwrite").parquet(stage)
+        if os.path.exists(current_path):
+            os.rename(current_path, old)
+        os.rename(stage, current_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         changes_stream.writeStream.foreachBatch(process_batch)
@@ -99,8 +116,14 @@ def materialize_foreach_batch(
     )
 
 
+N_STATE_BUCKETS = 16
+
+
 def state_snapshot_sink(
-    updates_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+    updates_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = N_STATE_BUCKETS,
 ):
     """foreachBatch sink for the keyed-state materializer: merge each
     micro-batch's updated keys into a parquet state snapshot (LWW per key
@@ -108,32 +131,63 @@ def state_snapshot_sink(
     replayed older update can never resurrect a deleted key — readers
     filter ``is_deleted``). Returns the StreamingQuery.
 
-    This replaces the memory-sink + driver re-aggregation bridge: the
-    update stream never passes through the driver; each merge is a
-    distributed keyed aggregate. On a real deployment the merge is a
-    MERGE INTO on a Delta/Iceberg table — identical fold, transactional
-    swap instead of the local snapshot-rename."""
+    The snapshot is hash-partitioned by key bucket
+    (``bucket = pmod(xxhash64(id), n_buckets)``) and each batch rewrites
+    ONLY the buckets its keys touch, via dynamic partition overwrite — the
+    local analog of MERGE INTO's file-level pruning. Per-batch I/O is
+    O(touched state), not O(total state): an untouched bucket's files are
+    left byte-identical (asserted in tests/test_streaming.py). A missing
+    snapshot dir means "no state yet"; any other read error propagates
+    rather than silently resetting the fold to empty. A crash mid-commit
+    can leave a mix of old/new buckets — the checkpoint then replays the
+    batch and the keyed LWW merge is idempotent, so recovery converges.
+    On a real deployment this is MERGE INTO a Delta/Iceberg table —
+    identical fold, transactional commit instead of per-bucket overwrite."""
     spark = updates_stream.sparkSession
     current_path = os.path.join(state_dir, "current")
+    bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("bucket", bucket_of).persist()
         try:
-            cur = spark.read.parquet(current_path)
-        except Exception:
-            cur = spark.createDataFrame([], UPDATES_SCHEMA)
-        merged = (
-            cur.unionByName(batch_df)
-            .groupBy("id")
-            .agg(
-                F.max_by("content", "last_seq").alias("content"),
-                F.max("last_seq").alias("last_seq"),
-                F.max_by("updated_at", "last_seq").alias("updated_at"),
-                F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+            # ≤ n_buckets ints — bounded metadata, not data
+            touched = [r["bucket"] for r in batch_df.select("bucket").distinct().collect()]
+            if not touched:
+                return
+            if os.path.exists(current_path):
+                # partition pruning: only touched buckets are read
+                cur = spark.read.parquet(current_path).filter(
+                    F.col("bucket").isin(touched)
+                )
+            else:
+                cur = spark.createDataFrame([], UPDATES_SCHEMA).withColumn(
+                    "bucket", F.lit(0).cast("int")
+                )
+            merged = (
+                cur.unionByName(batch_df)
+                .groupBy("bucket", "id")
+                .agg(
+                    F.max_by("content", "last_seq").alias("content"),
+                    F.max("last_seq").alias("last_seq"),
+                    F.max_by("updated_at", "last_seq").alias("updated_at"),
+                    F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+                )
             )
-        )
-        tmp = os.path.join(state_dir, f"next_{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(current_path)
+            # Stage (materialize) before overwriting the path being read,
+            # then commit only the touched bucket partitions.
+            stage = os.path.join(state_dir, "stage")
+            shutil.rmtree(stage, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(stage)
+            (
+                spark.read.parquet(stage)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(current_path)
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+        finally:
+            batch_df.unpersist()
 
     return (
         updates_stream.writeStream.foreachBatch(process_batch)
@@ -144,6 +198,35 @@ def state_snapshot_sink(
     )
 
 
+def _lww_fold_vectorized(
+    pdf_iter: Iterator[pd.DataFrame],
+    content: str | None,
+    last_seq: int,
+    ts_us: int,
+    deleted: bool,
+) -> tuple[str | None, int, int, bool]:
+    """Vectorized LWW fold: under last-write-wins only the max-seq event
+    newer than the state matters (each event overwrites the whole value),
+    so the fold is a filter + idxmax — no Python per-row loop. Events with
+    seq <= last_seq are replays and are idempotently ignored."""
+    best: pd.Series | None = None
+    for pdf in pdf_iter:
+        fresh = pdf[pdf["seq"] > last_seq]
+        if fresh.empty:
+            continue
+        top = fresh.loc[fresh["seq"].idxmax()]
+        if best is None or top["seq"] > best["seq"]:
+            best = top
+    if best is not None:
+        last_seq = int(best["seq"])
+        ts_us = int(pd.Timestamp(best["ts"]).value // 1000)
+        if best["op"] == "DELETE":
+            deleted, content = True, None
+        else:
+            deleted, content = False, best["content"]
+    return content, last_seq, ts_us, deleted
+
+
 def _lww_state_fn(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -152,17 +235,9 @@ def _lww_state_fn(
         content, last_seq, ts_us, deleted = state.get
     else:
         content, last_seq, ts_us, deleted = None, -1, 0, False
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("seq")
-        for row in pdf.itertuples(index=False):
-            if row.seq <= last_seq:
-                continue  # replayed event: idempotent skip
-            last_seq = int(row.seq)
-            ts_us = int(pd.Timestamp(row.ts).value // 1000)
-            if row.op == "DELETE":
-                deleted, content = True, None
-            else:
-                deleted, content = False, row.content
+    content, last_seq, ts_us, deleted = _lww_fold_vectorized(
+        pdf_iter, content, last_seq, ts_us, deleted
+    )
     state.update((content, last_seq, ts_us, deleted))
     yield pd.DataFrame(
         {
@@ -208,17 +283,9 @@ def materialize_transform_with_state(changes_stream: DataFrame):
                 content, last_seq, ts_us, deleted = self._state.get()
             else:
                 content, last_seq, ts_us, deleted = None, -1, 0, False
-            for pdf in rows:
-                pdf = pdf.sort_values("seq")
-                for row in pdf.itertuples(index=False):
-                    if row.seq <= last_seq:
-                        continue  # replayed event: idempotent skip
-                    last_seq = int(row.seq)
-                    ts_us = int(pd.Timestamp(row.ts).value // 1000)
-                    if row.op == "DELETE":
-                        deleted, content = True, None
-                    else:
-                        deleted, content = False, row.content
+            content, last_seq, ts_us, deleted = _lww_fold_vectorized(
+                rows, content, last_seq, ts_us, deleted
+            )
             self._state.update((content, last_seq, ts_us, deleted))
             yield pd.DataFrame(
                 {

@@ -296,6 +296,88 @@ def test_streaming_session_windows_match_batch(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+def test_snapshot_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucketed snapshot sink must do O(touched state) I/O per batch:
+    a micro-batch updating one key rewrites ONLY that key's bucket
+    partition — every other bucket's files stay byte-identical (the local
+    analog of MERGE INTO's file-level pruning)."""
+    import hashlib
+    from datetime import datetime
+
+    from cdc_cloudrun_demo_spark.streaming.cdc_stream import (
+        materialize_with_state,
+        state_snapshot_sink,
+    )
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        q = state_snapshot_sink(materialize_with_state(stream), state_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    rows1 = [
+        (i + 1, "INSERT", i, f"content-{i}", datetime(2024, 1, 1, 0, 0, i % 60))
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows1, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_000"))
+    run_stream()
+
+    current = os.path.join(state_dir, "current")
+
+    def snapshot_files():
+        out = {}
+        for root, _dirs, files in os.walk(current):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, current)] = hashlib.sha256(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    before = snapshot_files()
+    buckets_before = {p.split("/")[0] for p in before}
+    assert len(buckets_before) > 1, "need >1 bucket for the pruning assertion"
+
+    # phase 2: a single-key update arrives; same checkpoint → one new batch
+    rows2 = [(1000, "UPDATE", 0, "updated-0", datetime(2024, 1, 2))]
+    spark.createDataFrame(rows2, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_001"))
+    run_stream()
+
+    touched_bucket = spark.sql(
+        "SELECT CAST(pmod(xxhash64(CAST(0 AS BIGINT)), 16) AS INT) AS b"
+    ).collect()[0]["b"]
+    after = snapshot_files()
+    for rel, digest in before.items():
+        bucket_dir = rel.split("/")[0]
+        if bucket_dir == f"bucket={touched_bucket}":
+            continue
+        assert rel in after and after[rel] == digest, f"untouched bucket rewritten: {rel}"
+    # the touched bucket's contents did change
+    touched_before = {p: h for p, h in before.items() if p.startswith(f"bucket={touched_bucket}/")}
+    touched_after = {p: h for p, h in after.items() if p.startswith(f"bucket={touched_bucket}/")}
+    assert touched_before != touched_after
+
+    # and the final state reflects the update
+    final = {
+        r["id"]: r["content"]
+        for r in spark.read.parquet(current).filter(~F.col("is_deleted")).collect()
+    }
+    assert final[0] == "updated-0" and len(final) == 50
+
+
 @pytest.mark.parametrize("n_slices", [1, 7])
 def test_slicing_invariance(spark, sf_smoke, tmp_path, n_slices):
     """Final state is independent of how the log is micro-batched."""
