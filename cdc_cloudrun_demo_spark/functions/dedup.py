@@ -28,8 +28,11 @@ _SQL_NORM = (
 # Hot-shingle document-frequency cap: a shingle held by > MAX_SHINGLE_DF
 # docs in a block is non-discriminative (stopword-like) and would emit an
 # O(df²) posting list — the classic quadratic blowup at corpus scale. Both
-# the Spark plan and every oracle drop such shingles BEFORE pairing; set
-# sizes (the Jaccard denominator) stay uncapped.
+# the Spark plan and every oracle drop such shingles BEFORE pairing AND
+# before the per-doc set-size count, so numerator and denominator range
+# over the same universe: the reported value is a true Jaccard over
+# discriminative shingles (a capped numerator over an uncapped denominator
+# would systematically underestimate similarity on stopword-heavy corpora).
 MAX_SHINGLE_DF = 50
 
 
@@ -93,19 +96,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so postings longer than MAX_SHINGLE_DF are dropped before pairing —
     mirrored in the oracle — bounding pair emission per shingle at
     O(MAX_SHINGLE_DF²) regardless of corpus size (property-tested in
-    tests/test_llm_ops.py). Set sizes stay uncapped, so reported Jaccard
-    for surviving pairs only counts discriminative shingles in the
-    numerator — the standard production trade.
-    At corpus scale the shingle table is materialized/bucketed instead of
+    tests/test_llm_ops.py). Set sizes are counted over the SAME capped
+    universe (see MAX_SHINGLE_DF note), so the statistic is a true Jaccard
+    over discriminative shingles; both sizes and pairs derive from one
+    persisted posting aggregate, so the shingle set shuffles once.
+    At corpus scale the posting table is materialized/bucketed instead of
     persist()ed, and the sizes join falls back to shuffle automatically
     once it exceeds the broadcast threshold."""
     d = load_for_compute(spark, sf_dir, "documents")
-    # persist: the exploded shingle set feeds both the posting lists and
-    # the size table — without it the regex tokenization runs twice.
-    sh = _token_trigrams(d).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    post = sh.groupBy("lang", "source", "shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    sh = _token_trigrams(d)
+    # persist: the capped posting lists feed both pair emission and the
+    # set-size table — one tokenization pass, one shuffle of the shingles.
+    kept = (
+        sh.groupBy("lang", "source", "shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= MAX_SHINGLE_DF)
+        .persist()
+    )
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("set_size"))
     )
     ids = F.col("ids")
     n = F.size(ids)
@@ -119,7 +130,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        post.filter((n >= 2) & (n <= MAX_SHINGLE_DF))
+        kept.filter(n >= 2)
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
@@ -421,7 +432,7 @@ _SQL_POSTED = f"""
 # (doc_id, cluster_id = min doc_id of the component).
 _SQL_CC_CTES = f"""shingles AS ({_SQL_TRIGRAMS}),
         posted AS ({_SQL_POSTED}),
-        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM posted GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
             FROM posted a JOIN posted b
@@ -474,7 +485,7 @@ ORACLES = {
     "dedup_ngram_jaccard": f"""
         WITH shingles AS ({_SQL_TRIGRAMS}),
         posted AS ({_SQL_POSTED}),
-        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM posted GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
             FROM posted a JOIN posted b

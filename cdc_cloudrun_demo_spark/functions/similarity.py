@@ -231,16 +231,23 @@ def kmeans_centroids(
     """Spherical k-means (Lloyd) centroids trained on a bounded,
     deterministic sample — the IVF coarse quantizer.
 
-    The sample is FIXED-SIZE (first ``sample_size`` vec_ids via a
-    distributed top-k, never a data-scaled collect), so the driver-side
-    fit is O(sample·k·iter) flops — trivial next to one corpus pass and
+    The sample is FIXED-SIZE (``sample_size`` rows via a distributed
+    top-k, never a data-scaled collect), so the driver-side fit is
+    O(sample·k·iter) flops — trivial next to one corpus pass and
     independent of corpus size; a 100 TB build samples ~10⁵ vectors, same
-    shape. Vectors and centroids are L2-normalized, so argmax dot =
-    argmax cosine and downstream cnrm ≡ 1."""
+    shape. Rows are picked by ``xxhash64(vec_id)`` order — a seeded
+    pseudo-random shuffle of ids, so the sample is uniform even when the
+    corpus is ordered by source/time (a head-of-table sample would train
+    on one source, leave clusters empty, and sink IVF recall). Vectors
+    and centroids are L2-normalized, so argmax dot = argmax cosine and
+    downstream cnrm ≡ 1."""
     import numpy as np
 
     sample = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_size).collect()
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
     )
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
