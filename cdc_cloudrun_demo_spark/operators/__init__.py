@@ -89,18 +89,23 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         relational,
         sampling,
         scalar_fns,
+        schema_evolution,
         setops,
         streaming_batch,
         windows,
     )
     from ..functions import dedup, similarity, text
-    from ..sources import multimodal
+    from ..sources import jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
     # cosmetic within the verified tail). aggregates sits right after
     # streaming_batch so its one unverified entry (agg_grouping_sets)
     # lands inside the driver's 50-entry window.
+    # jdbc_io / schema_evolution lead: brand-new code is the highest-risk
+    # content for this round's driver sweep.
     modules = [
+        jdbc_io,
+        schema_evolution,
         dedup,
         similarity,
         text,
