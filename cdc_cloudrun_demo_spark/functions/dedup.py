@@ -365,6 +365,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """Embedding near-dup dedup with LSH-bucket blocking — the 100 TB
+    path promised in dedup_embedding_cosine's docstring, made real: drop
+    any vector with an earlier (lower vec_id) neighbor at cosine >=
+    ``threshold`` among candidates that share a hyperplane-LSH bucket in
+    ANY of ``n_tables`` tables; return the survivors.
+
+    Scale shape: candidate generation is an equality self-join on
+    (table, bucket) over the posting list (similarity.
+    hyperplane_lsh_postings) — O(bucket collisions), never all-pairs —
+    then each candidate pair is verified with the exact cosine, so
+    precision is 1 by construction and only recall is approximate.
+    Duplicate pair hits across tables are dropped BEFORE the cosine.
+
+    The high default threshold is load-bearing: sign-LSH collision
+    probability is (1 − θ/π)^bits per table, so banding only recalls
+    HIGH-similarity pairs (≈0.85 OR-recall per 0.86-cosine pair here;
+    a 0.35 threshold would recall ~15% and must use exact blocked
+    search, which is what dedup_embedding_cosine is). Approximate →
+    rows-only check; drop-recall ≥ 0.9 vs brute force on a clustered
+    corpus and survivor-superset vs exact asserted in tests."""
+    from .similarity import cosine, hyperplane_lsh_postings
+
+    post = hyperplane_lsh_postings(
+        spark, sf_dir, n_tables=n_tables, bits_per_table=bits_per_table
+    )
+    a = post.select(
+        "tbl", "bucket", F.col("vec_id").alias("id_keep"), F.col("embedding").alias("va")
+    )
+    b = post.select(
+        "tbl", "bucket", F.col("vec_id").alias("id_drop"), F.col("embedding").alias("vb")
+    )
+    dropped = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        # dedup (pair) hits across tables before the exact verify: each
+        # candidate pair pays the cosine fold exactly once
+        .dropDuplicates(["id_keep", "id_drop"])
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_drop").alias("vec_id"))
+        .distinct()
+    )
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def pipeline_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data kept-set: quality gate (≥5 words,
     exact integer compare — no float threshold) → exact-dedup survivor
@@ -399,6 +451,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_banded": dedup_simhash_banded,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_ngram_clusters": dedup_ngram_clusters,
 }
 

@@ -266,6 +266,51 @@ def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⨝fact join via bucketed tables — the 100 TB lever
+    the other join entries can't show: when BOTH sides are bucketed (and
+    sort-ordered) on the join key with the same bucket count, the
+    SortMergeJoin consumes the buckets' hash distribution directly and
+    the plan has ZERO Exchange before the join (asserted in
+    tests/test_plans.py). At scale this is the difference between
+    re-shuffling 100 TB on every join and paying the shuffle ONCE at
+    ingest; any number of subsequent key-joins reuse the layout free.
+
+    Local mechanics: both facts are written to the session warehouse with
+    ``bucketBy(8, key).sortBy(key)`` each call (the test-scale stand-in
+    for the one-time ingest layout), then joined with a merge hint — the
+    broadcast path would win at sf0.01 and hide the bucketing proof. The
+    aggregate after the join shuffles only the tiny grouped result."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    return (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(_disc_price(), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "join_broadcast_dim": join_broadcast_dim,
     "join_star_revenue": join_star_revenue,
@@ -278,9 +323,18 @@ QUERIES = {
     "join_scalar_subquery": join_scalar_subquery,
     "join_interval_bucketed": join_interval_bucketed,
     "join_salted_skew": join_salted_skew,
+    "join_bucketed_colocated": join_bucketed_colocated,
 }
 
 ORACLES = {
+    # bucketing must not change the result: oracle is the plain join
+    "join_bucketed_colocated": f"""
+        SELECT o_orderpriority,
+               {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     # salting must not change the result: oracle is the plain join
     "join_salted_skew": f"""
         SELECT s_nationkey,

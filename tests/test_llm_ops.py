@@ -221,3 +221,37 @@ def test_approx_percentiles_close_to_exact(spark, sf_oracle):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / e < 0.01, (k, a, e)
+
+
+def test_embedding_lsh_dedup_recall_on_clustered_corpus(spark, tmp_path):
+    """LSH-blocked near-dup dedup: precision is exact by construction
+    (every candidate pair is cosine-verified), so assert the two
+    approximate properties: survivors are a SUPERSET of the exact
+    all-pairs survivors (LSH can only miss drops, never over-drop), and
+    drop-recall >= 0.9 on a corpus with real near-dup structure."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_embedding_lsh
+
+    sf = str(tmp_path)
+    _write_clustered_corpus(spark, sf)
+    # brute-force ground truth (500×500 numpy, exact same drop rule)
+    rows = sorted(
+        spark.read.parquet(f"{sf}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(X @ X.T, 6)
+    exact_dropped = {
+        rows[j]["vec_id"]
+        for j in range(len(rows))
+        if any(sims[i, j] >= 0.8 for i in range(j))
+    }
+    survivors = {r["vec_id"] for r in dedup_embedding_lsh(spark, sf).collect()}
+    lsh_dropped = {r["vec_id"] for r in rows} - survivors
+    assert lsh_dropped <= exact_dropped  # never over-drops
+    assert len(lsh_dropped) >= 0.9 * len(exact_dropped), (
+        len(lsh_dropped),
+        len(exact_dropped),
+    )

@@ -229,3 +229,23 @@ def test_interval_join_is_hash_not_nested_loop(spark, sf_smoke):
 
     plan = formatted_plan(join_interval_bucketed(spark, sf_smoke))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """Co-located bucketed join: both facts bucketed+sorted on the key →
+    the SortMergeJoin must consume the bucket layout directly, with ZERO
+    Exchange (and zero extra Sort of the big sides) before the join. One
+    Exchange total is allowed: the post-join groupBy of the tiny result."""
+    from cdc_cloudrun_demo_spark.operators.joins import join_bucketed_colocated
+
+    df = join_bucketed_colocated(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    # the tree prints top-down, so everything below the SortMergeJoin line
+    # (until the blank line ending the tree) is the join's input side —
+    # nothing there may shuffle: the bucket layout IS the exchange, paid
+    # once at ingest
+    tree = plan.split("\n\n")[0]
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join, below_join
+    assert count_exchanges(df) <= 2, plan  # partial+final agg of grouped rows
