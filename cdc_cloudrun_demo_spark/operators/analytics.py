@@ -158,6 +158,146 @@ def qx_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+def qx_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped BUILDING-
+    segment orders by revenue. The revenue rank is computed on exact
+    scaled longs, with (o_orderdate, l_orderkey) tie-breaks, so the
+    LIMIT boundary is engine-deterministic; the top-10 compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-06-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-06-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(scaled_long(_disc_price(), 2)).alias("rev_s"))
+        .orderBy(F.desc("rev_s"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("rev_s").cast("double") / F.lit(100.0)).alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+def qx_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one scalar —
+    Σ extendedprice·discount over a shipdate year, a discount band and a
+    quantity cap. Pure scan+filter+agg: every predicate pushes to the
+    parquet scan, no joins, no shuffle beyond the 1-row final agg. The
+    discount band compares exact scaled ints (0.05..0.07 on doubles
+    would be a float-boundary flip risk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & scaled_long("l_discount", 2).between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def qx_conditional_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the schema has no shipmode column, so the CASE
+    pivot runs on line status): per l_linestatus, how many 1997-shipped
+    lineitems belong to URGENT/HIGH-priority orders vs the rest —
+    conditional SUM(CASE) aggregation over a fact⨝fact join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def qx_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO-type revenue as a % of
+    all revenue for one ship month. Both sums are exact scaled longs and
+    the single double division happens once on the driver-side 1-row
+    result, so the percentage is bit-identical across engines. The part
+    dim broadcasts; the fact scans once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type") == "PROMO", _disc_price()
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(scaled_long(promo, 6)).alias("s_promo"),
+            F.sum(scaled_long(_disc_price(), 6)).alias("s_total"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("s_promo").cast("double")
+                / F.col("s_total").cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+def qx_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctions): revenue from three
+    OR'd brand/size/quantity bands. The join stays a single equality join
+    on partkey — the disjunction is a residual filter, NOT a fallback to
+    nested-loop; Catalyst also extracts the common l_quantity <= 30 bound
+    for scan pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            dsum(_disc_price(), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "qx_priority_exists": qx_priority_exists,
     "qx_correlated_max": qx_correlated_max,
@@ -166,9 +306,72 @@ QUERIES = {
     "qx_custdist": qx_custdist,
     "qx_having": qx_having,
     "qx_nested_agg": qx_nested_agg,
+    "qx_shipping_priority": qx_shipping_priority,
+    "qx_forecast_revenue": qx_forecast_revenue,
+    "qx_conditional_shipmode": qx_conditional_shipmode,
+    "qx_promo_revenue": qx_promo_revenue,
+    "qx_disjunctive_pred": qx_disjunctive_pred,
 }
 
 ORACLES = {
+    "qx_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+               o_orderdate
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 AS BIGINT)) DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "qx_forecast_revenue": f"""
+        SELECT {sql_dsum("l_extendedprice * l_discount", 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """,
+    "qx_conditional_shipmode": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+    "qx_promo_revenue": """
+        SELECT 100.0 * CAST(SUM(CAST(FLOOR(
+                 CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR(
+                 l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                 AS BIGINT)) AS DOUBLE) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    "qx_disjunctive_pred": f"""
+        SELECT {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
     "qx_local_supplier_volume": f"""
         SELECT n_name, {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue
         FROM lineitem
