@@ -8,6 +8,8 @@ streaming sources (file-replay for CDC logs, rate for synthetic load).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -83,4 +85,47 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
         .load()
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction — the maintenance job every long-running
+    ingest needs at scale: streaming micro-batches and over-parallel
+    writes leave datasets as thousands of KB-sized files, and at 100 TB
+    the resulting footer/open overhead dominates scan time (and murders
+    the driver's file-listing phase). Rewrites the dataset into
+    ~``target_file_bytes`` files when (and only when) that reduces the
+    file count; returns the resulting file count.
+
+    Mechanics: measured (not estimated) bytes decide the target count;
+    ``coalesce`` — not ``repartition`` — does the rewrite, so compaction
+    moves no rows between executors and costs one read+write, no
+    shuffle. The rewrite stages to a sibling dir and swaps in via the
+    same rename discipline as the streaming snapshot sink, so a reader
+    never sees a half-written dataset. Already-compact data is a no-op
+    (idempotent maintenance loop)."""
+    import glob
+    import math
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
+        os.path.join(path, "part-*")
+    )
+    files = sorted(set(f for f in files if os.path.isfile(f)))
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_target >= len(files):
+        return len(files)
+    stage = path.rstrip("/") + "_compact_stage"
+    old = path.rstrip("/") + "_compact_old"
+    shutil.rmtree(stage, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_target).write.mode("overwrite").parquet(stage)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(
+        [f for f in glob.glob(os.path.join(path, "*")) if f.endswith(".parquet")]
     )

@@ -130,3 +130,36 @@ def test_schema_evolution_readers_agree(spark, sf_smoke):
     rows = state.collect()
     assert any(r["channel"] is None for r in rows)  # key last touched pre-split
     assert any(r["channel"] is not None for r in rows)
+
+
+def test_compact_parquet_small_files(spark, sf_smoke, tmp_path):
+    """Compaction contract: a fragmented dataset collapses to the
+    byte-targeted file count, values survive exactly, and a second pass
+    is a no-op (idempotent maintenance loop)."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.sources import compact_parquet
+
+    df = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    path = str(tmp_path / "fragmented")
+    df.repartition(64).write.parquet(path)
+    import glob
+
+    n_before = len(glob.glob(path + "/*.parquet"))
+    assert n_before >= 32
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(path + "/*.parquet")
+    )
+    n_after = compact_parquet(spark, path, target_file_bytes=total // 4 + 1)
+    assert n_after <= 5, n_after
+    back = spark.read.parquet(path)
+    assert sorted(back.collect()) == sorted(df.collect())
+    # fixpoint: a huge target collapses to one file, after which another
+    # pass is a no-op (file untouched — mtime preserved)
+    assert compact_parquet(spark, path, target_file_bytes=1 << 30) == 1
+    import os
+
+    (f,) = glob.glob(path + "/*.parquet")
+    mtime = os.path.getmtime(f)
+    assert compact_parquet(spark, path, target_file_bytes=1 << 30) == 1
+    assert os.path.getmtime(f) == mtime
+    assert sorted(spark.read.parquet(path).collect()) == sorted(df.collect())
