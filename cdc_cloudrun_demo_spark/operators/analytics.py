@@ -298,6 +298,103 @@ def qx_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses): top-20 customers by revenue
+    on 'R'-flagged lineitems in one order quarter. Revenue ranks on exact
+    scaled longs with a custkey tie-break → deterministic LIMIT boundary,
+    compiled to TakeOrderedAndProject (per-partition heaps)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(scaled_long(_disc_price(), 2)).alias("rev_s"))
+        .orderBy(F.desc("rev_s"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_s").cast("double") / F.lit(100.0)).alias("revenue"),
+            "c_acctbal",
+        )
+    )
+
+
+def qx_supplier_part_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) for non-STANDARD types, from the
+    lineitem fact (the schema has no partsupp table). COUNT(DISTINCT)
+    shuffles the already-reduced (brand, type, size, suppkey) set, never
+    raw lineitems twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "STANDARD")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def qx_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity orders): yearly-averaged revenue
+    from lineitems below 20% of their part's mean quantity. The per-part
+    mean is decorrelated into one tiny aggregate broadcast back onto the
+    fact scan; the 20% threshold compares exact scaled longs cross-
+    multiplied (qty·5·n < Σqty), so no float boundary can flip a row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(scaled_long("l_quantity")).alias("s_qty"),
+        F.count(F.lit(1)).alias("n_qty"),
+    )
+    per_part = per_part.select(F.col("l_partkey").alias("pk"), "s_qty", "n_qty")
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(scaled_long("l_quantity") * 5 * F.col("n_qty") < F.col("s_qty"))
+        .agg(
+            (
+                F.sum(scaled_long("l_extendedprice", 2)).cast("double")
+                / F.lit(100.0)
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def qx_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): per nation, customers
+    with above-average positive balance and no RECENT (1999+) orders —
+    the driver's synthetic data gives every customer some order, so the
+    recency cut keeps the anti-join non-vacuous at every SF. The global
+    average is a broadcast 1-row aggregate compared in exact scaled longs
+    (bal·n > Σbal over positives); the no-orders probe is a left-anti
+    join — never a per-customer subquery."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_agg = pos.agg(
+        F.sum(scaled_long("c_acctbal")).alias("s_bal"),
+        F.count(F.lit(1)).alias("n_bal"),
+    )
+    return (
+        c.join(F.broadcast(avg_agg))
+        .filter(scaled_long("c_acctbal") * F.col("n_bal") > F.col("s_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "qx_priority_exists": qx_priority_exists,
     "qx_correlated_max": qx_correlated_max,
@@ -311,9 +408,63 @@ QUERIES = {
     "qx_conditional_shipmode": qx_conditional_shipmode,
     "qx_promo_revenue": qx_promo_revenue,
     "qx_disjunctive_pred": qx_disjunctive_pred,
+    "qx_returned_items": qx_returned_items,
+    "qx_supplier_part_dist": qx_supplier_part_dist,
+    "qx_small_qty_revenue": qx_small_qty_revenue,
+    "qx_sales_opportunity": qx_sales_opportunity,
 }
 
 ORACLES = {
+    "qx_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+               c_acctbal
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal
+        ORDER BY SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 AS BIGINT)) DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "qx_supplier_part_dist": """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'STANDARD'
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "qx_small_qty_revenue": """
+        WITH per_part AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS s_qty,
+                   COUNT(*) AS n_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN per_part ON l_partkey = pk
+        WHERE CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * 5 * n_qty < s_qty
+    """,
+    "qx_sales_opportunity": f"""
+        WITH avg_agg AS (
+            SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS s_bal,
+                   COUNT(*) AS n_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               {sql_dsum("c_acctbal")} AS totacctbal
+        FROM customer, avg_agg
+        WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * n_bal > s_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+    """,
     "qx_shipping_priority": """
         SELECT l_orderkey,
                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
