@@ -395,6 +395,104 @@ def qx_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two trading
+    nations per (supplier nation, customer nation, ship year), both
+    directions. Supplier/customer/nation dims broadcast; the fact side
+    shuffles once on the lineitem⨝orders key; year comes from the
+    ship timestamp (engine-identical extraction both sides)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_disc_price(), 6).alias("revenue"))
+    )
+
+
+def qx_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of ASIA
+    revenue per order year. The share is a conditional-sum ratio computed
+    from two exact scaled-long sums with one double division per year
+    row — no float accumulation anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp_n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.sum(scaled_long(_disc_price(), 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", scaled_long(_disc_price(), 2))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("s_nation"),
+            vol.alias("s_all"),
+        )
+        .select(
+            "o_year",
+            (F.col("s_nation").cast("double") / F.col("s_all").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def qx_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per (supplier nation, ship
+    year) profit on green-ish parts. The schema has no partsupp, so
+    supplycost is adapted to 0.5·retailprice·quantity (documented,
+    mirrored in the oracle); the profit expression folds to one exact
+    scaled-long sum per group. Part/supplier/nation broadcast; one fact
+    shuffle for the group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _disc_price() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(dsum(profit, 6).alias("sum_profit"))
+    )
+
+
 QUERIES = {
     "qx_priority_exists": qx_priority_exists,
     "qx_correlated_max": qx_correlated_max,
@@ -412,9 +510,62 @@ QUERIES = {
     "qx_supplier_part_dist": qx_supplier_part_dist,
     "qx_small_qty_revenue": qx_small_qty_revenue,
     "qx_sales_opportunity": qx_sales_opportunity,
+    "qx_nation_volume": qx_nation_volume,
+    "qx_market_share": qx_market_share,
+    "qx_product_profit": qx_product_profit,
 }
 
 ORACLES = {
+    "qx_nation_volume": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) t
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "qx_market_share": """
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY CAST(YEAR(o_orderdate) AS INT)
+    """,
+    "qx_product_profit": f"""
+        SELECT n_name AS nation, CAST(YEAR(l_shipdate) AS INT) AS o_year,
+               {sql_dsum("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity", 6)}
+                 AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, CAST(YEAR(l_shipdate) AS INT)
+    """,
     "qx_returned_items": """
         SELECT c_custkey, c_name,
                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
