@@ -148,6 +148,42 @@ def b9_time_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b10_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-family extension: per-service warm-up trend — the least-squares
+    slope of duration vs request ordinal (the question the reference's
+    warm-performance harness answers by eyeballing first-vs-rest means,
+    ``test_warm_performance.sh:65-76``, answered properly).
+
+    Exact-arithmetic discipline: the five regression sums (n, Σx, Σy,
+    Σxy, Σx²) accumulate as BIGINTs over scaled ints — order-insensitive,
+    map-side-combinable, one shuffle of 5 longs per service — and the
+    closed form (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is evaluated in doubles from
+    those exact sums, identically in both engines. No double ever
+    accumulates, so no last-ulp drift can break the hash."""
+    from ._util import scaled_long
+
+    s = service_samples_df(spark, sf_dir)
+    x = F.col("request_idx").cast("long")
+    y = scaled_long("duration_s", 2)
+    sums = s.groupBy("service").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return sums.select(
+        "service",
+        F.col("n").alias("n_samples"),
+        # slope is in scaled-y units per request; /100 back to seconds
+        (slope / F.lit(100.0)).alias("slope_s_per_request"),
+    )
+
+
 QUERIES = {
     "b1_mean_duration": b1_mean_duration,
     "b2_warm_mean": b2_warm_mean,
@@ -158,9 +194,31 @@ QUERIES = {
     "b7_validity_gated_mean": b7_validity_gated_mean,
     "b8_json_extract": b8_json_extract,
     "b9_time_deltas": b9_time_deltas,
+    "b10_regression_trend": b10_regression_trend,
 }
 
 ORACLES = {
+    "b10_regression_trend": f"""
+        {_CTE},
+        sums AS (
+            SELECT service,
+                   COUNT(*) AS n,
+                   SUM(CAST(request_idx AS BIGINT)) AS sx,
+                   SUM(CAST(FLOOR(duration_s * 100 + 0.5) AS BIGINT)) AS sy,
+                   SUM(CAST(request_idx AS BIGINT)
+                       * CAST(FLOOR(duration_s * 100 + 0.5) AS BIGINT)) AS sxy,
+                   SUM(CAST(request_idx AS BIGINT) * CAST(request_idx AS BIGINT))
+                     AS sxx
+            FROM service_samples GROUP BY service
+        )
+        SELECT service, n AS n_samples,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / 100.0 AS slope_s_per_request
+        FROM sums
+    """,
     "b1_mean_duration": f"""
         {_CTE}
         SELECT service, {sql_davg("duration_s", 6)} AS avg_duration_s,
