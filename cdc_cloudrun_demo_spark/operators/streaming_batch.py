@@ -115,8 +115,44 @@ def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling_daily as a REAL Structured Streaming run,
+    driver-checked against the same batch oracle: events replay as a
+    4-file parquet stream (one file per micro-batch — the Kafka-topic
+    stand-in), the identical tumbling fold runs with
+    ``trigger(availableNow)``, and the complete-mode snapshot it
+    converges to IS the batch answer — the batch-equivalence guarantee
+    ``window()`` semantics promise. No watermark here by design: the
+    contract is exact equality, so nothing may be dropped (the
+    late-data-drop variant is exercised with watermarks in
+    tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from ..sources import file_stream
+    from ..streaming.event_windows import run_to_parquet_snapshot, tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="evstream_")
+    log = os.path.join(root, "log")
+    ev.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, watermark=None)
+    out = os.path.join(root, "out")
+    q = run_to_parquet_snapshot(agg, out, os.path.join(root, "ckpt"))
+    finished = q.awaitTermination(300)
+    assert finished, "streaming window query did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(os.path.join(out, "current"))
+
+
 QUERIES = {
     "stream_tumbling_daily": stream_tumbling_daily,
+    "stream_tumbling_daily_live": stream_tumbling_daily_live,
     "stream_gap_fill": stream_gap_fill,
     "stream_sliding_2d_1d": stream_sliding_2d_1d,
     "stream_session_windows": stream_session_windows,
@@ -149,6 +185,17 @@ ORACLES = {
           ON g.user_id = h.user_id AND g.hour = h.hour
     """,
     "stream_tumbling_daily": f"""
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+               time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+                 + INTERVAL '1 day' AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # the streaming run must converge to the identical batch aggregate
+    "stream_tumbling_daily_live": f"""
         SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
                time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
                  + INTERVAL '1 day' AS window_end,

@@ -15,10 +15,15 @@ from pyspark.sql import functions as F
 
 
 def tumbling_counts(events: DataFrame, window_len: str = "1 day",
-                    watermark: str = "1 day") -> DataFrame:
-    """Tumbling window count/sum per event_type with late-event drop."""
+                    watermark: str | None = "1 day") -> DataFrame:
+    """Tumbling window count/sum per event_type with late-event drop.
+    ``watermark=None`` skips the watermark — for complete-mode runs where
+    every window stays updatable and nothing may be dropped (the
+    batch-equivalence contract of stream_tumbling_daily_live)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", watermark)
+        events
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0)).alias("sum_value"))
@@ -36,6 +41,41 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes",
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+def run_to_parquet_snapshot(stream_df: DataFrame, out_dir: str,
+                            checkpoint_dir: str):
+    """Drive a complete-mode aggregation stream into a parquet snapshot:
+    each micro-batch's full result overwrites ``{out_dir}/current`` via
+    stage + rename (readers never see a half-written snapshot; same
+    discipline as the CDC state sink). Complete mode is the right shape
+    for a windowed aggregate whose FINAL windows must appear — append
+    mode only emits watermark-closed windows, so the last open window
+    would be silently missing at end-of-stream. The snapshot is the
+    aggregate itself (windows × groups rows), so per-batch I/O is
+    O(result), not O(events). Returns the StreamingQuery."""
+    import os
+    import shutil
+
+    def write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        stage = os.path.join(out_dir, "stage")
+        current = os.path.join(out_dir, "current")
+        old = os.path.join(out_dir, "old")
+        shutil.rmtree(stage, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(current):
+            os.rename(current, old)
+        os.rename(stage, current)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_snapshot)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
