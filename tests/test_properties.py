@@ -154,3 +154,20 @@ def test_connected_components_are_consistent(spark, sf_smoke):
     for doc, lbl in labels.items():
         members[lbl].append(doc)
     assert all(min(v) == k for k, v in members.items())
+
+
+def test_log_compaction_preserves_materialized_state(spark, sf_smoke):
+    """The compaction invariant: replaying the compacted log through the
+    LWW fold yields the identical materialized state (tombstones
+    retained, no resurrected keys)."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.operators.cdc import _fold, cdc_log_compact
+    from cdc_cloudrun_demo_spark.fixtures import message_changes_df
+
+    full = _fold(message_changes_df(spark, sf_smoke))
+    compacted = _fold(cdc_log_compact(spark, sf_smoke))
+    assert sorted(full.collect()) == sorted(compacted.collect())
+    # and keep_versions=1 (pure latest) still folds identically
+    compact1 = _fold(cdc_log_compact(spark, sf_smoke, keep_versions=1))
+    assert sorted(full.collect()) == sorted(compact1.collect())
