@@ -31,6 +31,8 @@ COMMENTARY = {
  "cdc_schema_evolution": "mergeSchema unions the two segment footers at planning time - evolution costs zero data I/O; v1 rows surface NULL for the added column inside the scan itself (no join, no backfill), and the fold is the same single-exchange window as cdc_materialize.",
  "dedup_embedding_lsh": "Candidate generation is an equality self-join on (table, bucket) over the posting list - O(collisions), never all-pairs; cross-table duplicate pairs are dropped BEFORE the exact-cosine verify so each pair pays the fold once; the survivor anti-join is the only full-corpus exchange.",
  "qx_shipping_priority": "Q3's top-10 compiles to TakeOrderedAndProject: per-partition heaps of 10 rows ride the existing agg output, no global sort of the ranked set; the revenue rank is an exact scaled-long, so the LIMIT boundary cannot flip between engines or scales.",
+ "b10_regression_trend": "The five regression sums (n, Sx, Sy, Sxy, Sxx) are BIGINT partial aggregates combined map-side - 5 longs per service cross the shuffle regardless of sample count; the least-squares closed form is evaluated in doubles from exact sums, so no accumulation drift exists at any scale.",
+ "cdc_log_compact": "Compaction is the same single key-shuffle window pass as the LWW fold (rank per key by seq desc, filter rn<=N) - no self-join of the log, tombstones retained; the replay invariant (fold(compacted) == fold(full)) is property-tested.",
 }
 
 print("# Plan audit — headline queries\n")
