@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_for_compute, load_table
 from ..operators._util import davg, sql_davg
@@ -196,7 +197,44 @@ _SQL_NORM = (
     " ' +', ' ', 'g'))"
 )
 
+def text_pack_offsets(spark: SparkSession, sf_dir: str, budget: int = 512) -> DataFrame:
+    """Sequence packing for LLM pre-training (concat-then-chop): within
+    each source stream, documents are concatenated in doc_id order into
+    one virtual token stream that is chopped into fixed `budget`-token
+    context windows. Each doc gets its exact token offset, the window
+    (bin) its first token falls in, and whether it straddles a window
+    boundary — the bookkeeping a packing pipeline needs to mask
+    cross-document attention.
+
+    The offset is a running-sum window partitioned by source (ONE shuffle
+    keyed on source, integer arithmetic throughout — `div` on longs, no
+    float). At 100 TB the partition key must be a bounded shard (e.g.
+    source × file-split) rather than a raw source with billions of docs;
+    the per-source ordinal chain is inherently sequential, so packing is
+    parallel ACROSS shards, sequential within — exactly how striped
+    pre-tokenized corpora (e.g. Megatron-style .bin shards) are laid out."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    bin_id = F.expr(f"offset div {budget}")
+    end_bin = F.expr(f"(offset + n_tokens - 1) div {budget}")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "offset",
+        bin_id.alias("bin_id"),
+        (end_bin != bin_id).alias("spans_boundary"),
+    )
+
+
 QUERIES = {
+    "text_pack_offsets": text_pack_offsets,
     "text_vocab_topk": text_vocab_topk,
     "text_chunking": text_chunking,
     "text_token_stats": text_token_stats,
@@ -233,6 +271,25 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_pack_offsets": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(LENGTH(regexp_split_to_array(TRIM(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS "offset"
+            FROM toks
+        )
+        SELECT doc_id, source, n_tokens, "offset",
+               "offset" // 512 AS bin_id,
+               ("offset" + n_tokens - 1) // 512 <> "offset" // 512
+                 AS spans_boundary
+        FROM packed
+    """,
     "text_vocab_topk": """
         SELECT word, COUNT(*) AS n_occurrences,
                COUNT(DISTINCT doc_id) AS doc_freq

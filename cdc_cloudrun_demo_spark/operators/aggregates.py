@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ._util import davg, dsum, scaled_long, sql_davg, sql_dsum
@@ -231,7 +232,47 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent hour-of-day per event type,
+    with smallest-hour tie-break and the mode's share of the group.
+
+    Built-in `mode()` (Spark ≥3.4 and DuckDB both have one) is
+    NON-deterministic on ties — whichever value a partial aggregate saw
+    first wins — so this is the two-phase form an engine must use when
+    results feed an exact contract: count per (group, value) — map-side
+    combined, shuffle carries one row per distinct pair — then a
+    row_number window over the tiny counts table with an explicit
+    (count DESC, value ASC) order. The share is one double division of
+    two exact longs, identical in any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select("event_type", F.hour("ts").cast("int").alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("modal_count"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("modal_count"), F.asc("hod")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_total", F.sum("modal_count").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hod").alias("modal_hour"),
+            "modal_count",
+            (
+                F.col("modal_count").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("modal_share"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_mode": agg_mode,
     "agg_pricing_summary": agg_pricing_summary,
     "agg_distinct_counts": agg_distinct_counts,
     "agg_approx_distinct": agg_approx_distinct,
@@ -254,6 +295,23 @@ _SQL_VY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAS
 _SQL_COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
 
 ORACLES = {
+    "agg_mode": """
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+                   COUNT(*) AS modal_count
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT event_type, hod, modal_count,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY modal_count DESC, hod ASC) AS rn,
+                   SUM(modal_count) OVER (PARTITION BY event_type) AS n_total
+            FROM hc
+        )
+        SELECT event_type, hod AS modal_hour, modal_count,
+               CAST(modal_count AS DOUBLE) / CAST(n_total AS DOUBLE) AS modal_share
+        FROM ranked WHERE rn = 1
+    """,
     "agg_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum("l_quantity")} AS sum_qty,

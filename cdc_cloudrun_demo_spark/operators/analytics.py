@@ -493,7 +493,82 @@ def qx_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, keeping exactly the supplier(s) that achieve the global
+    maximum. The revenue view aggregates once (one shuffle on
+    l_suppkey); the max is a 1-row aggregate of that view broadcast back
+    into it — no second fact scan, no global sort. The equality test runs
+    on exact 10^2-scaled longs, so a supplier whose revenue differs from
+    the max by sub-cent float noise can never flip in or out; ties keep
+    every argmax row in both engines (TPC-H's own Q15 semantics)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(scaled_long(_disc_price(), 2)).alias("rev_s")
+    )
+    top = rev.agg(F.max("rev_s").alias("max_s"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("rev_s") == F.col("max_s"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_s").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+def qx_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion (view → purchase within 1 hour): for every
+    user with at least one 'view', the first view timestamp, whether any
+    purchase lands in the (first_view, first_view + 1h] window, and the
+    exact microsecond gap to the earliest such purchase (NULL when the
+    funnel never converts).
+
+    Shape: two pushed-down scans of the same events table (predicate on
+    event_type reaches parquet), a groupBy(user_id) min for the view
+    anchor, then a left range-join back to purchases on user_id — the
+    range predicate rides on the hash join, so this is one shuffle per
+    side keyed on user_id, never a cartesian. Per-user purchase counts
+    are bounded, so no skew concern; the gap is integer microseconds
+    (exact, no float threshold)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (views.user_id == buys.p_user)
+        & (buys.p_ts > views.first_view_ts)
+        & (buys.p_ts <= views.first_view_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        views.join(buys, cond, "left")
+        .groupBy("user_id", "first_view_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+        .select(
+            "user_id",
+            "first_view_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+            (
+                F.unix_micros("first_purchase_ts") - F.unix_micros("first_view_ts")
+            ).alias("gap_us"),
+        )
+    )
+
+
 QUERIES = {
+    "qx_top_supplier": qx_top_supplier,
+    "qx_funnel_conversion": qx_funnel_conversion,
     "qx_priority_exists": qx_priority_exists,
     "qx_correlated_max": qx_correlated_max,
     "qx_large_orders": qx_large_orders,
@@ -516,6 +591,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "qx_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS rev_s
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev_s AS DOUBLE) / 100.0 AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_s = (SELECT MAX(rev_s) FROM rev)
+    """,
+    "qx_funnel_conversion": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS first_view_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), p AS (
+            SELECT user_id AS p_user, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.user_id, v.first_view_ts,
+               (MIN(p.p_ts) IS NOT NULL) AS converted,
+               epoch_us(CAST(MIN(p.p_ts) AS TIMESTAMP))
+                 - epoch_us(CAST(v.first_view_ts AS TIMESTAMP)) AS gap_us
+        FROM v LEFT JOIN p
+          ON v.user_id = p.p_user
+         AND p.p_ts >  v.first_view_ts
+         AND p.p_ts <= v.first_view_ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id, v.first_view_ts
+    """,
     "qx_nation_volume": f"""
         SELECT supp_nation, cust_nation, l_year,
                {sql_dsum(_SQL_DISC_PRICE, 6)} AS revenue

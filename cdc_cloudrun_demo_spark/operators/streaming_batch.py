@@ -150,7 +150,58 @@ def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "current"))
 
 
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful deduplication as a REAL Structured Streaming
+    run: the events table replays as a 4-file parquet stream where the
+    4th file re-delivers a third of the rows (the at-least-once
+    re-delivery a Kafka consumer restart produces), `dropDuplicates` on
+    event_id holds the seen-key state ACROSS micro-batches, and the
+    append-mode parquet sink receives each surviving row exactly once.
+    The per-type count+sum over the sink must therefore equal the same
+    aggregate over the ORIGINAL events — re-delivered rows vanish. No
+    watermark by design (the contract is exact equality with the batch
+    answer); the bounded-state production variant is
+    `dropDuplicatesWithinWatermark`, exercised in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from ..sources import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="dedupstream_")
+    log = os.path.join(root, "log")
+    ev.repartition(3).write.parquet(log)
+    # Re-deliver a deterministic third of the rows as one extra log file.
+    ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    out = os.path.join(root, "out")
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "streaming dedup query did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
 QUERIES = {
+    "stream_dedup_live": stream_dedup_live,
     "stream_tumbling_daily": stream_tumbling_daily,
     "stream_tumbling_daily_live": stream_tumbling_daily_live,
     "stream_gap_fill": stream_gap_fill,
@@ -160,6 +211,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The streaming dedup must converge to the plain batch aggregate over
+    # the ORIGINAL events — the re-delivered file contributes nothing.
+    "stream_dedup_live": f"""
+        SELECT event_type, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
+        FROM events GROUP BY event_type
+    """,
     "stream_gap_fill": f"""
         WITH hourly AS (
             SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
