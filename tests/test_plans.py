@@ -249,3 +249,37 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
     below_join = tree.split("SortMergeJoin")[1]
     assert "Exchange" not in below_join, below_join
     assert count_exchanges(df) <= 2, plan  # partial+final agg of grouped rows
+
+
+def test_funnel_join_is_hash_not_nested_loop(spark, sf_smoke):
+    """The funnel's view→purchase range join rides on the user_id equality
+    — it must plan as a hash/SMJ join, never a nested loop over pairs."""
+    from cdc_cloudrun_demo_spark.operators.analytics import qx_funnel_conversion
+
+    plan = formatted_plan(qx_funnel_conversion(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_top_supplier_no_global_sort(spark, sf_smoke):
+    """Q15's argmax must come from a broadcast 1-row max joined back —
+    no global Sort and no single-partition Exchange of the revenue view."""
+    from cdc_cloudrun_demo_spark.operators.analytics import qx_top_supplier
+
+    df = qx_top_supplier(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # no global range-sort anywhere: the argmax never orders the view
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pack_offsets_single_exchange(spark, sf_smoke):
+    """Concat-then-chop packing is ONE shuffle (hash on source for the
+    running-sum window); everything downstream is narrow arithmetic."""
+    from cdc_cloudrun_demo_spark.functions.text import text_pack_offsets
+
+    df = text_pack_offsets(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert count_exchanges(df) <= 1, plan
+    assert "BatchEvalPython" not in plan, plan

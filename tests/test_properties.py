@@ -171,3 +171,24 @@ def test_log_compaction_preserves_materialized_state(spark, sf_smoke):
     # and keep_versions=1 (pure latest) still folds identically
     compact1 = _fold(cdc_log_compact(spark, sf_smoke, keep_versions=1))
     assert sorted(full.collect()) == sorted(compact1.collect())
+
+
+def test_pack_offsets_are_contiguous_per_source(spark, sf_smoke):
+    """Packing invariant: within a source stream, each doc's offset equals
+    the sum of all earlier docs' token counts (no gaps, no overlaps), and
+    the bin/boundary bookkeeping is consistent with the offsets."""
+    from cdc_cloudrun_demo_spark.functions.text import text_pack_offsets
+
+    rows = text_pack_offsets(spark, sf_smoke).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.offset == cum, (src, r.doc_id, r.offset, cum)
+            assert r.bin_id == r.offset // 512
+            expect_span = (r.offset + r.n_tokens - 1) // 512 != r.bin_id
+            assert r.spans_boundary == expect_span
+            cum += r.n_tokens
