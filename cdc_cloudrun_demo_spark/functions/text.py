@@ -233,7 +233,51 @@ def text_pack_offsets(spark: SparkSession, sf_dir: str, budget: int = 512) -> Da
     )
 
 
+def text_vocab_encode(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+    """Tokenizer encode pass: build a top-k vocabulary (count DESC, word
+    ASC — fully deterministic ids 0..k-1), then map every document to its
+    ordered token-id sequence with -1 for out-of-vocabulary tokens.
+
+    The vocab is tiny by construction, so the encode is a BROADCAST left
+    join against the exploded (doc_id, pos, word) stream — no shuffle of
+    the corpus for the lookup; the only wide op is the groupBy(doc_id)
+    that reassembles sequences (one shuffle keyed on doc_id, carrying the
+    compact id structs, not the text). The id sequence is emitted as a
+    canonical CSV string: engine-portable, hash-comparable, and exactly
+    what a downstream packing stage would checksum. At 100 TB the same
+    plan holds — a real 50k-token vocab still broadcasts (<1 MB) and the
+    reassembly shuffle carries ~4 bytes/token."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "word"),
+    )
+    wv = Window.orderBy(F.desc("c"), F.asc("word"))  # k rows only — safe
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(k)
+        .withColumn("token_id", (F.row_number().over(wv) - 1).cast("int"))
+        .select("word", "token_id")
+    )
+    enc = words.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
+    )
+    seq = F.array_sort(F.collect_list(F.struct("pos", "tid")))
+    return enc.groupBy("doc_id").agg(
+        F.concat_ws(",", F.transform(seq, lambda s: s.tid.cast("string"))).alias(
+            "token_ids_csv"
+        ),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).alias("n_unk"),
+    )
+
+
 QUERIES = {
+    "text_vocab_encode": text_vocab_encode,
     "text_pack_offsets": text_pack_offsets,
     "text_vocab_topk": text_vocab_topk,
     "text_chunking": text_chunking,
@@ -271,6 +315,36 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_vocab_encode": """
+        WITH docs AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, GREATEST(len(toks), 1))) AS p
+            FROM docs
+        ), words AS (
+            SELECT doc_id, p - 1 AS pos, toks[p] AS word
+            FROM pos WHERE len(toks) >= p
+        ), vocab AS (
+            SELECT word,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) - 1
+                        AS INT) AS token_id
+            FROM (
+                SELECT word, COUNT(*) AS c FROM words GROUP BY word
+                ORDER BY c DESC, word ASC LIMIT 64
+            )
+        ), enc AS (
+            SELECT w.doc_id, w.pos, COALESCE(v.token_id, -1) AS tid
+            FROM words w LEFT JOIN vocab v USING (word)
+        )
+        SELECT doc_id,
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)
+                 AS token_ids_csv,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_unk
+        FROM enc GROUP BY doc_id
+    """,
     "text_pack_offsets": """
         WITH toks AS (
             SELECT doc_id, source,

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import load_table
 from ..fixtures import MESSAGE_CHANGES_SQL, message_changes_df
+from ._util import sql_dsum
 
 # DuckDB-side CTE shared by every oracle here
 _CTE = f"WITH message_changes AS ({MESSAGE_CHANGES_SQL})"
@@ -221,7 +223,47 @@ def cdc_log_compact(
     )
 
 
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a per-user count/sum aggregate:
+    the materialized state is built from the historical segment (ts <
+    2024-01-20), then a NEW delta segment is folded in WITHOUT touching
+    history — aggregate the delta alone and merge the two tiny aggregate
+    tables with a full-outer coalesce-sum. The oracle is the full
+    recompute over all events, so the entry proves the IVM identity
+    agg(A ∪ B) = merge(agg(A), agg(B)) for self-maintainable aggregates
+    (count/sum — the sums are exact scaled longs, so the merge is
+    associative with no float drift).
+
+    At 100 TB this is THE refresh pattern: each micro-batch/partition
+    aggregates its own slice (map-side, partial) and the merge touches
+    only |keys| rows of state, never the raw history. Non-self-
+    maintainable aggregates (exact distinct, median) need the auxiliary
+    structures the dedup/sketch entries provide (HLL, t-digest)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-20").cast("timestamp")
+
+    def seg_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("s"),
+        )
+
+    base = seg_agg(ev.filter(F.col("ts") < split))
+    delta = seg_agg(ev.filter(F.col("ts") >= split))
+    b = base.select("user_id", F.col("n").alias("n0"), F.col("s").alias("s0"))
+    d = delta.select("user_id", F.col("n").alias("n1"), F.col("s").alias("s1"))
+    return b.join(d, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))).alias("n_events"),
+        (
+            (F.coalesce("s0", F.lit(0)) + F.coalesce("s1", F.lit(0))).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_value"),
+    )
+
+
 QUERIES = {
+    "cdc_incremental_agg": cdc_incremental_agg,
     "cdc_materialize": cdc_materialize,
     "cdc_log_compact": cdc_log_compact,
     "cdc_materialize_streaming": cdc_materialize_streaming,
@@ -242,6 +284,11 @@ _FOLD_SQL = """
 """
 
 ORACLES = {
+    # full recompute — the IVM merge must be indistinguishable from it
+    "cdc_incremental_agg": f"""
+        SELECT user_id, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
+        FROM events GROUP BY user_id
+    """,
     "cdc_materialize": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_log_compact": f"""
         {_CTE}
