@@ -276,7 +276,67 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFram
     )
 
 
+def mg_candidates(words: DataFrame, n_counters: int) -> DataFrame:
+    """Per-partition Misra-Gries sketch over a 1-column `word` DataFrame:
+    ≤ `n_counters` counters per partition, Arrow-batched, vectorized
+    value_counts feeding weighted MG updates. Emits the surviving words
+    (the candidate superset); counts are NOT emitted because MG counts
+    are underestimates — callers must recount exactly. Guarantee: any
+    word whose count in a partition exceeds partition_n/(n_counters+1)
+    survives that partition's sketch."""
+    import pandas as pd
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > n_counters:
+                vals = sorted(counters.values(), reverse=True)
+                t = vals[n_counters]  # (n_counters+1)-th largest count
+                counters = {w: c - t for w, c in counters.items() if c > t}
+        yield pd.DataFrame({"word": list(counters) or []}, dtype="object")
+
+    return words.mapInPandas(mg_sketch, schema="word string").distinct()
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Frequent tokens (count·k > corpus total) via the distributed
+    Misra-Gries two-pass: pass 1 runs a BOUNDED-MEMORY sketch per
+    partition (2k counters, Arrow-batched `mapInPandas` with vectorized
+    value_counts feeding weighted MG updates) and emits ≤2k candidate
+    words per partition; pass 2 exact-counts only the candidates and
+    applies the threshold as an integer cross-multiply against the
+    broadcast corpus total.
+
+    Why not plain groupBy: exact word-count shuffles one row per distinct
+    token per partition — fine for words, fatal when the key space is
+    unbounded (URLs, n-grams, user-ids at 100 TB). MG's superset
+    guarantee (any token with global share > 1/k is locally frequent in
+    ≥1 partition, and 2k counters keep everything above a 1/(2k+1) local
+    share) means pass 2's shuffle carries ≤ 2k·#partitions candidate
+    rows, independent of the distinct-key count. The final counts are
+    exact, so the oracle is the plain HAVING query."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    candidates = mg_candidates(words, n_counters=2 * k)
+    tot = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        words.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(tot))
+        .filter(F.col("n_occurrences") * F.lit(k) > F.col("n_total"))
+        .select("word", "n_occurrences")
+    )
+
+
 QUERIES = {
+    "text_heavy_hitters": text_heavy_hitters,
     "text_vocab_encode": text_vocab_encode,
     "text_pack_offsets": text_pack_offsets,
     "text_vocab_topk": text_vocab_topk,
@@ -315,6 +375,18 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    # exact frequent-items semantics — the MG pass may only change HOW
+    # candidates are found, never the final set
+    "text_heavy_hitters": """
+        WITH words AS (
+            SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+            FROM documents
+        ), tot AS (SELECT COUNT(*) AS n FROM words)
+        SELECT word, COUNT(*) AS n_occurrences
+        FROM words, tot
+        GROUP BY word, n
+        HAVING COUNT(*) * 50 > n
+    """,
     "text_vocab_encode": """
         WITH docs AS (
             SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks

@@ -255,3 +255,26 @@ def test_embedding_lsh_dedup_recall_on_clustered_corpus(spark, tmp_path):
         len(lsh_dropped),
         len(exact_dropped),
     )
+
+
+def test_mg_sketch_superset_guarantee_under_eviction(spark):
+    """Misra-Gries candidates must contain every globally frequent item
+    even when the distinct-key universe is far larger than the counter
+    budget (the eviction path a small word-vocab corpus never exercises):
+    5000 distinct cold keys + 3 hot keys at ~10% each, 10 counters."""
+    from cdc_cloudrun_demo_spark.functions.text import mg_candidates
+
+    from pyspark.sql import functions as F
+
+    n = 30_000
+    base = spark.range(n).withColumn(
+        "word",
+        F.when(F.col("id") % 10 == 0, F.lit("hot_a"))
+        .when(F.col("id") % 10 == 1, F.lit("hot_b"))
+        .when(F.col("id") % 10 == 2, F.lit("hot_c"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 5000).cast("string"))),
+    ).select("word").repartition(4)
+    cand = {r.word for r in mg_candidates(base, n_counters=10).collect()}
+    assert {"hot_a", "hot_b", "hot_c"} <= cand, cand
+    # the sketch must stay bounded: ≤ n_counters per partition
+    assert len(cand) <= 4 * 10, len(cand)

@@ -283,3 +283,24 @@ def test_pack_offsets_single_exchange(spark, sf_smoke):
     assert "Window" in plan, plan
     assert count_exchanges(df) <= 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_smoke):
+    """The encode join must broadcast the tiny vocab against the exploded
+    token stream — never shuffle the corpus for the lookup."""
+    from cdc_cloudrun_demo_spark.functions.text import text_vocab_encode
+
+    plan = formatted_plan(text_vocab_encode(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_agg_pushes_split_predicates(spark, sf_smoke):
+    """IVM: both segment scans must push their ts bound to parquet, and
+    the merge must join the two aggregate tables, not the raw events."""
+    from cdc_cloudrun_demo_spark.operators.cdc import cdc_incremental_agg
+
+    df = cdc_incremental_agg(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
