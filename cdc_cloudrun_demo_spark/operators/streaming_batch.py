@@ -200,7 +200,74 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join as a REAL Structured Streaming run: views
+    and purchases replay as two independent file streams over the same
+    4-file event log, joined on user_id with the (v_ts, v_ts + 1h]
+    event-time range — the attribution join. Both sides carry a 35-day
+    watermark: the event span is 30 days, so the watermark bounds join
+    state for cleanup WITHOUT ever dropping a row, keeping the result
+    exactly the batch join (the equality the oracle asserts). Matches
+    stream to the append-mode sink as both sides' batches arrive; the
+    per-user rollup over the sink then must equal the batch attribution
+    aggregate. At scale the watermark delay is the real knob: state is
+    O(events inside the delay window), so 35 days of clickstream would
+    be sized to the true attribution horizon (1h) plus delivery lag."""
+    import os
+    import tempfile
+
+    from ..sources import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="joinstream_")
+    log = os.path.join(root, "log")
+    ev.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    views = (
+        file_stream(spark, log, schema)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "35 days")
+    )
+    buys = (
+        file_stream(spark, log, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "35 days")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "v_ts", "p_ts")
+    out = os.path.join(root, "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "stream-stream join did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("min_gap_us"),
+        )
+    )
+
+
 QUERIES = {
+    "stream_join_live": stream_join_live,
     "stream_dedup_live": stream_dedup_live,
     "stream_tumbling_daily": stream_tumbling_daily,
     "stream_tumbling_daily_live": stream_tumbling_daily_live,
@@ -216,6 +283,22 @@ ORACLES = {
     "stream_dedup_live": f"""
         SELECT event_type, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
         FROM events GROUP BY event_type
+    """,
+    # the streamed attribution join must equal the batch range join
+    "stream_join_live": """
+        WITH v AS (
+            SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+        ), p AS (
+            SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.user_id, COUNT(*) AS n_pairs,
+               MIN(epoch_us(CAST(p.p_ts AS TIMESTAMP))
+                   - epoch_us(CAST(v.v_ts AS TIMESTAMP))) AS min_gap_us
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.p_ts >  v.v_ts
+         AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id
     """,
     "stream_gap_fill": f"""
         WITH hourly AS (
