@@ -33,6 +33,12 @@ COMMENTARY = {
  "qx_shipping_priority": "Q3's top-10 compiles to TakeOrderedAndProject: per-partition heaps of 10 rows ride the existing agg output, no global sort of the ranked set; the revenue rank is an exact scaled-long, so the LIMIT boundary cannot flip between engines or scales.",
  "b10_regression_trend": "The five regression sums (n, Sx, Sy, Sxy, Sxx) are BIGINT partial aggregates combined map-side - 5 longs per service cross the shuffle regardless of sample count; the least-squares closed form is evaluated in doubles from exact sums, so no accumulation drift exists at any scale.",
  "cdc_log_compact": "Compaction is the same single key-shuffle window pass as the LWW fold (rank per key by seq desc, filter rn<=N) - no self-join of the log, tombstones retained; the replay invariant (fold(compacted) == fold(full)) is property-tested.",
+ "qx_top_supplier": "Q15's argmax: the revenue view shuffles once on l_suppkey; its 1-row max broadcasts back into the view (BroadcastHashJoin/NestedLoop on a literal-true condition), so there is NO global sort and no rangepartitioning anywhere - the classic ORDER BY rev DESC LIMIT 1 plan would serialize the view through one reducer. Exact scaled-long equality keeps argmax ties engine-stable.",
+ "qx_funnel_conversion": "The funnel's view->purchase range join rides the user_id equality (hash join; range residual filters post-probe) - never a nested loop over event pairs. Both event_type predicates push to the parquet scan, so each side reads only its slice. One shuffle per side on user_id, bounded per-user purchase lists, integer-microsecond gap.",
+ "cdc_incremental_agg": "IVM refresh: both segment scans push their ts bound to parquet; each side aggregates to |keys| rows BEFORE the full-outer merge, so the join touches state-sized inputs only - agg(A union B) = merge(agg(A), agg(B)) on exact scaled longs. At 100 TB the base aggregate is the stored MV; only the delta segment is ever scanned.",
+ "text_pack_offsets": "Concat-then-chop packing is ONE exchange (hash on source for the running-sum window) + narrow integer arithmetic; nothing else moves. The per-shard sequential chain is the semantics, not a plan defect - parallelism comes from the shard count, exactly like striped pretokenized corpora.",
+ "text_vocab_encode": "The top-k vocab (tiny by construction) broadcasts into the exploded token stream for the id lookup - the corpus text never shuffles for the join; the only wide op is the groupBy(doc_id) reassembly carrying compact (pos, id) structs. A 50k-BPE vocab is <1 MB: the same broadcast plan holds at any corpus size.",
+ "text_heavy_hitters": "Frequent items with BOUNDED memory: pass 1 is a per-partition Misra-Gries sketch (2k counters, ArrowEvalPython mapInPandas) emitting <=2k candidates per partition; pass 2 exact-counts only the broadcast candidate set. The shuffle carries O(k * partitions) rows independent of the distinct-key universe - the groupBy alternative ships one row per distinct key per partition, fatal for unbounded key spaces (URLs, n-grams).",
 }
 
 print("# Plan audit — headline queries\n")
