@@ -271,7 +271,37 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct count: each time segment builds its own
+    HLL sketch (`hll_sketch_agg`), the partial sketches union
+    (`hll_union_agg`), and the estimate reads off the merged sketch —
+    the incremental-refresh twin of `cdc_incremental_agg` for the
+    NON-self-maintainable COUNT(DISTINCT). HLL merge is lossless (the
+    merged register array equals the array a whole-corpus sketch would
+    hold), so segment-then-merge gives bit-identical estimates to a
+    single pass — asserted as an exact equality in
+    tests/test_properties.py. Rows-only entry: the sketch binary and
+    estimator are engine-specific (DataSketches), so no DuckDB oracle;
+    the property test is the contract. At 100 TB this is how per-day
+    distinct-user counts roll up to months without rescanning history:
+    store one ~4 KB sketch per partition, merge at query time."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-20").cast("timestamp")
+    a = ev.filter(F.col("ts") < split).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    b = ev.filter(F.col("ts") >= split).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        a.unionAll(b)
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("n_distinct_users_est"))
+    )
+
+
 QUERIES = {
+    "agg_hll_merge": agg_hll_merge,
     "agg_mode": agg_mode,
     "agg_pricing_summary": agg_pricing_summary,
     "agg_distinct_counts": agg_distinct_counts,

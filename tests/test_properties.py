@@ -192,3 +192,22 @@ def test_pack_offsets_are_contiguous_per_source(spark, sf_smoke):
             expect_span = (r.offset + r.n_tokens - 1) // 512 != r.bin_id
             assert r.spans_boundary == expect_span
             cum += r.n_tokens
+
+
+def test_hll_merge_is_lossless(spark, sf_smoke):
+    """Segment-then-merge HLL must equal the single-pass sketch EXACTLY
+    (register-wise merge is lossless), and land within 5% of the true
+    distinct count at this cardinality."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.aggregates import agg_hll_merge
+
+    merged = agg_hll_merge(spark, sf_smoke).collect()[0][0]
+    ev = load_table(spark, sf_smoke, "events")
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0][0]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == single, (merged, single)
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
