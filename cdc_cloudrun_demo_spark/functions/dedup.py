@@ -235,28 +235,41 @@ def dedup_simhash_banded(
     (band, key) — candidate generation is O(collisions), never all-pairs;
     the 16-bit key space keeps bucket sizes small on random-ish corpora.
     Rows-only check (engine-specific hash)."""
-    sk = simhash_sketches(spark, sf_dir)
+    return hamming_banded_pairs(
+        simhash_sketches(spark, sf_dir), "simhash", max_hamming
+    )
+
+
+def hamming_banded_pairs(
+    sketches: DataFrame, sketch_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Generic 4×16-bit band-OR candidate generation + exact popcount
+    verify over a (doc_id, <sketch_col>: long) table — the shared engine
+    behind `dedup_simhash_banded` and the multimodal perceptual-hash
+    dedup. Lossless for hamming ≤ 3 by pigeonhole (3 flipped bits cannot
+    touch all 4 bands). One explode to 4 rows/doc, one equality
+    self-join on (band, key): O(collisions), never all-pairs."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * 16)
+                F.shiftrightunsigned(F.col(sketch_col), b * 16)
                 .bitwiseAND(F.lit(0xFFFF))
                 .alias("key"),
             )
             for b in range(4)
         ]
     )
-    bands = sk.select(
-        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    bands = sketches.select(
+        "doc_id", sketch_col, F.explode(band_structs).alias("bk")
     ).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        "doc_id", sketch_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a = bands.select(
-        "band", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sk_a")
+        "band", "key", F.col("doc_id").alias("id_a"), F.col(sketch_col).alias("sk_a")
     )
     b2 = bands.select(
-        "band", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sk_b")
+        "band", "key", F.col("doc_id").alias("id_b"), F.col(sketch_col).alias("sk_b")
     )
     cand = (
         a.join(b2, ["band", "key"])

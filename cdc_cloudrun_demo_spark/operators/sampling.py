@@ -92,13 +92,73 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(["p_partkey"], ["size", "retailprice"], "measure", "value")
 
 
+def sample_mixture(spark: SparkSession, sf_dir: str, total: int = 200) -> DataFrame:
+    """Temperature-based mixture sampling over document sources (the
+    dataset-mixing step of a pre-training corpus): each source's quota is
+    proportional to count^0.5 (temperature T=2 up-weights small sources,
+    the standard multilingual/multi-source rebalancing move), and the
+    quota is filled deterministically by md5-hash order within the
+    source.
+
+    Every step is engine-exact: the sqrt weight is scaled to a long
+    (floor(sqrt(c)·1000 + 0.5) — IEEE sqrt is correctly rounded, so both
+    engines see the same double before the same rounding), the weight
+    total is an exact integer sum, and the quota is one integer
+    multiply-divide — no float accumulation anywhere, so the selection
+    boundary can never flip between engines. Plan shape: the per-source
+    counts are a tiny aggregate broadcast back onto the corpus; the
+    quota fill is the same hash-ordered window as sample_stratified
+    (salt it for giant sources)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    w = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("c")) * 1000 + F.lit(0.5)).cast("long")
+    )
+    tot = w.agg(F.sum("w").alias("w_total"))
+    quota = (
+        w.join(F.broadcast(tot))
+        .withColumn("n_quota", F.expr(f"({total} * w) div w_total"))
+        .select("source", "n_quota")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(win))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("n_quota"))
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"), "n_quota")
+    )
+
+
 QUERIES = {
+    "sample_mixture": sample_mixture,
     "sample_systematic": sample_systematic,
     "sample_stratified": sample_stratified,
     "reshape_unpivot": reshape_unpivot,
 }
 
 ORACLES = {
+    "sample_mixture": """
+        WITH counts AS (
+            SELECT source, COUNT(*) AS c,
+                   CAST(FLOOR(SQRT(COUNT(*)) * 1000 + 0.5) AS BIGINT) AS w
+            FROM documents GROUP BY source
+        ), tot AS (SELECT SUM(w) AS w_total FROM counts),
+        quota AS (
+            SELECT source, (200 * w) // w_total AS n_quota
+            FROM counts, tot
+        ), ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        )
+        SELECT r.source, r.doc_id, CAST(r.rn AS BIGINT) AS rn, q.n_quota
+        FROM ranked r JOIN quota q ON r.source = q.source
+        WHERE r.rn <= q.n_quota
+    """,
     "sample_systematic": """
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         FROM lineitem WHERE l_orderkey % 97 = 1

@@ -162,7 +162,55 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_fake_resize_batch, schema=RESIZE_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in perceptual hash: 64-bit sketch where bit i
+    is the parity of the byte-sum over the strided block payload[i::64] —
+    a single changed byte flips exactly one bit, so near-identical
+    payloads land at small hamming distance (the property a real
+    DCT-based pHash provides for re-encoded images; only the
+    decode+DCT step differs — STUB per module docstring)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids: list[int] = []
+        hashes: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            v = 0
+            for i in range(64):
+                if int(arr[i::64].sum()) & 1:
+                    v |= 1 << i
+            if v >= 1 << 63:  # two's-complement into int64
+                v -= 1 << 64
+            ids.append(int(doc_id))
+            hashes.append(v)
+        yield pd.DataFrame({"doc_id": ids, "phash": pd.array(hashes, dtype="int64")})
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over binary payloads: Arrow-
+    batched pHash sketch per blob, then the SAME 4×16-bit hamming-banded
+    self-join the text SimHash dedup uses (`hamming_banded_pairs`) —
+    candidates are O(band collisions), never all-pairs, and the ≤3-bit
+    radius is lossless by pigeonhole. This is the image-dedup shape for a
+    100 TB multimodal corpus: sketches are 8 bytes/blob, so the join
+    input is ~10⁻⁶ of the payload bytes; the blobs themselves are read
+    once in the sketch pass and never shuffled. Rows-only entry (the
+    sketch is computed in the Arrow UDF); exact-dup-recall and
+    single-byte-perturbation properties in tests/test_llm_ops.py."""
+    from ..functions.dedup import hamming_banded_pairs
+
+    d = load_for_compute(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    sk = payloads.mapInPandas(_phash_batch, schema=PHASH_SCHEMA)
+    return hamming_banded_pairs(sk, "phash", max_hamming=3)
+
+
 QUERIES = {
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_metadata": multimodal_metadata,

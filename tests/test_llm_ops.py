@@ -278,3 +278,58 @@ def test_mg_sketch_superset_guarantee_under_eviction(spark):
     assert {"hot_a", "hot_b", "hot_c"} <= cand, cand
     # the sketch must stay bounded: ≤ n_counters per partition
     assert len(cand) <= 4 * 10, len(cand)
+
+
+def test_phash_dedup_recalls_exact_payload_dups(spark, sf_smoke):
+    """Byte-identical payloads must surface with hamming 0: re-inject 5
+    corpus payloads under shifted ids and require every (original, copy)
+    pair in the banded-join output. Also smoke the registry entry itself."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.dedup import hamming_banded_pairs
+    from cdc_cloudrun_demo_spark.sources.multimodal import (
+        PHASH_SCHEMA,
+        _phash_batch,
+        multimodal_phash_dedup,
+        with_binary_payload,
+    )
+
+    d = load_table(spark, sf_smoke, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    shift = 10_000_000
+    copies = payloads.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + shift).alias("doc_id"), "payload"
+    )
+    sk = payloads.unionAll(copies).mapInPandas(_phash_batch, schema=PHASH_SCHEMA)
+    found = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_banded_pairs(sk, "phash").collect()
+    }
+    orig_ids = [r.doc_id for r in copies.collect()]
+    for cid in orig_ids:
+        pair = (cid - shift, cid)
+        assert found.get(pair) == 0, (pair, found.get(pair))
+    # the registry entry runs end-to-end (rows-only contract)
+    assert multimodal_phash_dedup(spark, sf_smoke).count() >= 0
+
+
+def test_phash_single_byte_flip_stays_within_radius(spark):
+    """A 1-byte perturbation flips exactly one sketch bit, so the banded
+    join must report the pair at hamming ≤ 1."""
+    from cdc_cloudrun_demo_spark.functions.dedup import hamming_banded_pairs
+    from cdc_cloudrun_demo_spark.sources.multimodal import (
+        PHASH_SCHEMA,
+        _phash_batch,
+    )
+
+    base = b"the quick brown fox jumps over the lazy dog" * 8
+    tweaked = bytearray(base)
+    tweaked[100] ^= 0x01
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(tweaked)), (3, b"a completely different payload" * 9)],
+        "doc_id long, payload binary",
+    )
+    sk = df.mapInPandas(_phash_batch, schema=PHASH_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in hamming_banded_pairs(sk, "phash").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1, pairs
