@@ -352,7 +352,39 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× memory compression an ANN index applies before 100 TB of vectors
+    fit in cluster RAM. Per vector: scale = max|x| / 127 (symmetric,
+    zero-point-free), q_i = floor(x_i/scale·... + 0.5) — floor(v + 0.5)
+    is round-half-toward-+inf in BOTH engines on the identical IEEE
+    double chain (float→double cast is exact, one multiply, one divide),
+    so every quantized code matches DuckDB bit-for-bit; the codes are
+    emitted as a canonical CSV string like the vocab encode. Entirely
+    narrow (per-row array transform, no shuffle, no UDF — JVM
+    higher-order functions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x,
+        lambda v: F.floor(v.cast("double") * F.lit(127.0) / F.col("absmax") + F.lit(0.5))
+        .cast("int")
+        .cast("string"),
+    )
+    return (
+        emb.withColumn("absmax", absmax)
+        .select(
+            "vec_id",
+            "label",
+            (F.col("absmax") / F.lit(127.0)).alias("scale"),
+            F.concat_ws(",", q).alias("q_csv"),
+        )
+    )
+
+
 QUERIES = {
+    "sim_quantize_int8": sim_quantize_int8,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_pairs_above": sim_pairs_above,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -385,6 +417,20 @@ _SQL_COS = """
 """
 
 ORACLES = {
+    "sim_quantize_int8": """
+        WITH m AS (
+            SELECT vec_id, label, embedding,
+                   list_max(list_transform(embedding,
+                       v -> ABS(CAST(v AS DOUBLE)))) AS absmax
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               absmax / 127.0 AS scale,
+               list_aggregate(list_transform(embedding,
+                   v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / absmax + 0.5)
+                        AS INT) AS VARCHAR)), 'string_agg', ',') AS q_csv
+        FROM m
+    """,
     "sim_cosine_topk": f"""
         {_SQL_COS}
         SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk

@@ -333,3 +333,22 @@ def test_phash_single_byte_flip_stays_within_radius(spark):
     sk = df.mapInPandas(_phash_batch, schema=PHASH_SCHEMA)
     pairs = {(r.id_a, r.id_b): r.hamming for r in hamming_banded_pairs(sk, "phash").collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 1, pairs
+
+
+def test_int8_quantization_error_and_range(spark, sf_smoke):
+    """Symmetric int8 codes must stay in [-127, 127] and reconstruct to
+    within scale/2 of the original component (the quantizer's contract)."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_quantize_int8
+
+    orig = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_smoke, "embeddings").collect()
+    }
+    for r in sim_quantize_int8(spark, sf_smoke).collect():
+        codes = [int(c) for c in r.q_csv.split(",")]
+        assert max(abs(c) for c in codes) <= 127, r.vec_id
+        for x, q in zip(orig[r.vec_id], codes):
+            assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-12, (
+                r.vec_id, x, q, r.scale,
+            )
