@@ -39,6 +39,9 @@ COMMENTARY = {
  "text_pack_offsets": "Concat-then-chop packing is ONE exchange (hash on source for the running-sum window) + narrow integer arithmetic; nothing else moves. The per-shard sequential chain is the semantics, not a plan defect - parallelism comes from the shard count, exactly like striped pretokenized corpora.",
  "text_vocab_encode": "The top-k vocab (tiny by construction) broadcasts into the exploded token stream for the id lookup - the corpus text never shuffles for the join; the only wide op is the groupBy(doc_id) reassembly carrying compact (pos, id) structs. A 50k-BPE vocab is <1 MB: the same broadcast plan holds at any corpus size.",
  "text_heavy_hitters": "Frequent items with BOUNDED memory: pass 1 is a per-partition Misra-Gries sketch (2k counters, ArrowEvalPython mapInPandas) emitting <=2k candidates per partition; pass 2 exact-counts only the broadcast candidate set. The shuffle carries O(k * partitions) rows independent of the distinct-key universe - the groupBy alternative ships one row per distinct key per partition, fatal for unbounded key spaces (URLs, n-grams).",
+ "sample_mixture": "Temperature-based source mixing: the per-source counts are a tiny aggregate whose sqrt-weights and quotas are EXACT integer arithmetic (scaled-long sqrt, integer sum, one multiply-divide) broadcast back onto the corpus; the quota fill is the hash-ordered window of sample_stratified. No float accumulation anywhere, so the selection boundary is engine- and partitioning-stable.",
+ "sim_quantize_int8": "4x vector compression with ZERO wide operators: per-row array transforms (JVM higher-order functions, no UDF, no shuffle) compute the symmetric scale and the int8 codes in one narrow pass - at 100 TB this runs at scan speed and is the precondition for RAM-resident ANN indexes. floor(x+0.5) on an identical IEEE chain makes every code bit-identical to the DuckDB oracle.",
+ "multimodal_phash_dedup": "Image-dedup shape: 8-byte sketches per blob via one ArrowEvalPython pass (payloads read once, never shuffled), then the shared 4x16-bit hamming-banded self-join - candidates are O(band collisions), lossless for hamming <= 3 by pigeonhole. The join input is ~10^-6 of the payload bytes.",
 }
 
 print("# Plan audit — headline queries\n")
