@@ -98,11 +98,13 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     from ..sources import jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
-    # cosmetic within the verified tail). aggregates sits right after
-    # streaming_batch so its one unverified entry (agg_grouping_sets)
-    # lands inside the driver's 50-entry window.
-    # jdbc_io / schema_evolution lead: brand-new code is the highest-risk
-    # content for this round's driver sweep.
+    # cosmetic within the verified tail). aggregates sits BEFORE windows
+    # so its three unverified entries (agg_grouping_sets — round-2 verdict
+    # task 8 — plus agg_mode / agg_hll_merge) land inside the driver's
+    # 50-entry window; the window then ends 4 entries into
+    # streaming_batch, so gap_fill/sliding/session/hourly rotate into a
+    # later round. jdbc_io / schema_evolution lead: brand-new code is the
+    # highest-risk content for the driver sweep.
     modules = [
         jdbc_io,
         schema_evolution,
@@ -110,9 +112,9 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         similarity,
         text,
         multimodal,
+        aggregates,
         windows,
         streaming_batch,
-        aggregates,
         analytics,
         setops,
         scalar_fns,
