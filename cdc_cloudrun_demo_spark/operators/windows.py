@@ -108,6 +108,35 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding aggregate WITHOUT window explosion: for every
+    event, the count and exact sum of the same user's events in the
+    trailing hour, as a RANGE frame over integer microseconds. This is
+    the per-event rolling feature a rate-limiter / fraud score needs —
+    `window()` tumbling/sliding buckets can't express it (they align to
+    the epoch grid, not to each row), and the explode-to-buckets
+    alternative multiplies the table by the slide count. One shuffle on
+    user_id; the frame scan is a two-pointer pass per partition. Ties in
+    ts are value-peers, included symmetrically in both engines; the sum
+    is scaled-long exact."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        (F.sum(scaled_long("value")).over(w).cast("double") / F.lit(100.0)).alias(
+            "sum_value_1h"
+        ),
+    )
+
+
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event gaps (lag) and next event type (lead) — B9's
     event-time-delta generalized."""
@@ -208,6 +237,7 @@ QUERIES = {
     "win_topn_per_group": win_topn_per_group,
     "win_topn_salted": win_topn_salted,
     "win_range_frame": win_range_frame,
+    "win_time_range_frame": win_time_range_frame,
     "win_running_total": win_running_total,
     "win_lag_lead": win_lag_lead,
     "win_rank_in_group": win_rank_in_group,
@@ -226,6 +256,18 @@ _TOPN_SQL = """
     """
 
 ORACLES = {
+    "win_time_range_frame": """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_trailing_1h,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100.0 AS sum_value_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
     "win_sessionize": """
         SELECT user_id, event_id, ts,
                CAST(SUM(is_new) OVER (
