@@ -104,9 +104,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist()ed, and the sizes join falls back to shuffle automatically
     once it exceeds the broadcast threshold."""
     d = load_for_compute(spark, sf_dir, "documents")
+    inter, sa, sb = _capped_posting_stats(d)
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+def _capped_posting_stats(d: DataFrame):
+    """Shared posting-list machinery for the shingle-overlap family:
+    capped postings → (pair co-occurrence counts, per-doc set sizes as
+    id_a/id_b-keyed tables). One tokenization pass, one shuffle of the
+    shingle set (the persist feeds pair emission AND the size table)."""
     sh = _token_trigrams(d)
-    # persist: the capped posting lists feed both pair emission and the
-    # set-size table — one tokenization pass, one shuffle of the shingles.
     kept = (
         sh.groupBy("lang", "source", "shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -138,14 +153,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
-    )
+    return inter, sa, sb
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """ASYMMETRIC shingle containment — |A∩B|/|A| and |A∩B|/|B| per
+    candidate pair, kept when either side is ≥ 0.5-contained in the
+    other. Jaccard misses quote/excerpt duplication (a paragraph fully
+    inside a much longer doc has low Jaccard but containment ≈ 1), and
+    containment is the statistic dedup literature uses for that case.
+    Same capped posting-list plan as `dedup_ngram_jaccard` (shared via
+    `_capped_posting_stats` — one shingle shuffle, no self-join of the
+    corpus); the threshold compares exact integers cross-multiplied
+    (2·n_common ≥ size), so no float boundary exists."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    inter, sa, sb = _capped_posting_stats(d)
     return (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
+        .filter(
+            (2 * F.col("n_common") >= F.col("size_a"))
+            | (2 * F.col("n_common") >= F.col("size_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common").cast("double") / F.col("size_a")).alias("containment_a"),
+            (F.col("n_common").cast("double") / F.col("size_b")).alias("containment_b"),
+        )
     )
 
 
@@ -460,6 +495,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_banded": dedup_simhash_banded,
@@ -566,6 +602,25 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.1
+    """,
+    "dedup_containment": f"""
+        WITH shingles AS ({_SQL_TRIGRAMS}),
+        posted AS ({_SQL_POSTED}),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM posted GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM posted a JOIN posted b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / sa.set_size AS containment_a,
+               CAST(n_common AS DOUBLE) / sb.set_size AS containment_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 2 * n_common >= sa.set_size OR 2 * n_common >= sb.set_size
     """,
     # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
     # Connected components as a recursive CTE: transitive closure over the

@@ -566,7 +566,40 @@ def qx_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the ISO week of their
+    first signup event; for each (cohort_week, weeks_since) cell, the
+    count of distinct cohort members active that week. The weeks_since
+    offset is exact integer microsecond arithmetic (`div` on longs —
+    Spark's `div` truncates toward zero and DuckDB's `//` floors, which
+    agree because the week >= cohort_week filter keeps the operand
+    non-negative). Plan: the cohort map is a per-user aggregate
+    (broadcastable at any realistic user count... and the distinct
+    activity grid is one shuffle on user_id); the matrix itself is tiny
+    (weeks × weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+        .select("user_id", F.date_trunc("week", F.col("first_signup")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    j = activity.join(cohorts, "user_id").filter(F.col("week") >= F.col("cohort_week"))
+    return (
+        j.withColumn(
+            "weeks_since",
+            F.expr("(unix_micros(week) - unix_micros(cohort_week)) div 604800000000"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
 QUERIES = {
+    "qx_retention_cohorts": qx_retention_cohorts,
     "qx_top_supplier": qx_top_supplier,
     "qx_funnel_conversion": qx_funnel_conversion,
     "qx_priority_exists": qx_priority_exists,
@@ -591,6 +624,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "qx_retention_cohorts": """
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS first_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), c AS (
+            SELECT user_id,
+                   date_trunc('week', CAST(first_signup AS TIMESTAMP)) AS cohort_week
+            FROM s
+        ), a AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+            FROM events
+        )
+        SELECT c.cohort_week,
+               (epoch_us(a.week) - epoch_us(c.cohort_week)) // 604800000000
+                 AS weeks_since,
+               COUNT(DISTINCT a.user_id) AS n_active_users
+        FROM a JOIN c ON a.user_id = c.user_id
+        WHERE a.week >= c.cohort_week
+        GROUP BY 1, 2
+    """,
     "qx_top_supplier": """
         WITH rev AS (
             SELECT l_suppkey,
