@@ -304,3 +304,13 @@ def test_incremental_agg_pushes_split_predicates(spark, sf_smoke):
     plan = formatted_plan(df)
     assert "PushedFilters" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_containment_is_not_cartesian(spark, sf_smoke):
+    """Containment shares the capped posting-list plan with Jaccard —
+    never a cartesian/nested-loop pairing of documents."""
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_containment
+
+    plan = formatted_plan(dedup_containment(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
