@@ -311,7 +311,34 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE subquery — the three-valued-logic corner
+    plain anti joins get wrong: `x NOT IN (set containing NULL)` is never
+    true, and even without actual NULLs the planner must preserve that
+    semantics once the subquery column is nullable (the `nullif` makes
+    it so without changing the values). Spark plans this as a
+    null-aware anti join (broadcast NAAJ) rather than the left-anti
+    hash join `NOT EXISTS` gets — both engines agree on the SQL
+    semantics, which is the point of the oracle. At scale the NAAJ
+    build side must broadcast; rewriting to NOT EXISTS (null-free by
+    construction) is the documented escape hatch when it can't."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_naaj")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_naaj")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders_naaj
+        WHERE o_custkey NOT IN (
+            SELECT nullif(c_custkey, -1) FROM customer_naaj
+            WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderstatus
+        """
+    )
+
+
 QUERIES = {
+    "join_null_aware_anti": join_null_aware_anti,
     "join_broadcast_dim": join_broadcast_dim,
     "join_star_revenue": join_star_revenue,
     "join_left_outer": join_left_outer,
@@ -327,6 +354,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_null_aware_anti": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT nullif(c_custkey, -1) FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderstatus
+    """,
     # bucketing must not change the result: oracle is the plain join
     "join_bucketed_colocated": f"""
         SELECT o_orderpriority,

@@ -191,7 +191,26 @@ def fn_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe functions: `try_divide` NULLs out the ~1-in-7
+    zero-divisor rows instead of raising (or silently yielding ±inf),
+    and `try_cast` NULLs the unparseable priority strings — the
+    fail-soft contract an ingest pipeline needs so one malformed row
+    can't kill a 100 TB job. The divisor is an exact small-int-derived
+    double, so the surviving quotients are one identical IEEE division
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    div = (F.col("o_custkey") % 7).cast("double")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), div).alias("safe_ratio"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_bad_cast"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+    )
+
+
 QUERIES = {
+    "fn_try_arith": fn_try_arith,
     "fn_map_ops": fn_map_ops,
     "fn_bitwise": fn_bitwise,
     "fn_url_ops": fn_url_ops,
@@ -205,6 +224,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_try_arith": """
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice / CAST(o_custkey % 7 AS DOUBLE) END
+                 AS safe_ratio,
+               TRY_CAST(o_orderpriority AS INT) AS prio_bad_cast,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num
+        FROM orders
+    """,
     "fn_url_ops": """
         SELECT doc_id,
                'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
