@@ -47,6 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # double would be off by ±1 µs. The data is µs-aligned, so DIV is
         # lossless and matches DuckDB's CAST(ts_ns AS TIMESTAMP) exactly.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Belt-and-braces for sessions where inferTimestampNTZ=false didn't
+    # land before the first read: NTZ → session-tz TIMESTAMP. The session
+    # pins UTC, so the cast is wall-clock-preserving and matches the
+    # DuckDB oracles' naive-as-UTC semantics (no-op on conforming reads).
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -414,7 +414,10 @@ ORACLES = {
                string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)
                  AS token_ids_csv,
                COUNT(*) AS n_tokens,
-               SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_unk
+               -- CAST: DuckDB SUM(int) yields HUGEINT -> pandas float64,
+               -- which breaks strict value hashing vs Spark's int64
+               CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unk
         FROM enc GROUP BY doc_id
     """,
     "text_pack_offsets": """
@@ -424,14 +427,17 @@ ORACLES = {
                         AS BIGINT) AS n_tokens
             FROM documents
         ), packed AS (
+            -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT -> pandas
+            -- float64, which breaks strict value hashing vs Spark's int64
             SELECT doc_id, source, n_tokens,
-                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - n_tokens AS "offset"
+                     - n_tokens AS BIGINT) AS "offset"
             FROM toks
         )
         SELECT doc_id, source, n_tokens, "offset",
-               "offset" // 512 AS bin_id,
+               CAST("offset" // 512 AS BIGINT) AS bin_id,
                ("offset" + n_tokens - 1) // 512 <> "offset" // 512
                  AS spans_boundary
         FROM packed

@@ -5,77 +5,54 @@ DataFrame) and ``ORACLES`` (name → DuckDB SQL string). ``registry()``
 merges them for ``__spark_entry__``.
 
 Registry ordering matters: the correctness driver sweeps the FIRST 50
-entries in registry order per round. Rounds 1–2 verified the 50 names in
-``_DRIVER_VERIFIED`` below (see CORRECTNESS_r01/r02.json — all green).
-``registry()`` therefore stable-partitions never-driver-verified entries
-to the front so each round's sweep reaches fresh names; already-proven
-entries keep their green rows from earlier rounds and sit at the tail.
+entries in registry order per round. ``registry()`` therefore
+stable-partitions entries without a driver-green row to the front so
+each round's sweep reaches fresh names; already-proven entries keep
+their green rows from earlier rounds and sit at the tail. The verified
+set is DERIVED from the ``CORRECTNESS_r*.json`` files the driver writes
+(latest round a name appears in wins), so a red or errored row
+automatically rotates that name back into the sweep window — no
+hand-maintained list to drift (round-3 advice).
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Names with a green row in CORRECTNESS_r01.json / CORRECTNESS_r02.json
-# (driver 50-entry sweeps, rounds 1 and 2). Do NOT add names here without
-# a corresponding driver-green row — this set only demotes entries that
-# already have driver proof.
-_DRIVER_VERIFIED = frozenset(
-    {
-        "agg_approx_distinct",
-        "agg_approx_percentiles",
-        "agg_conditional_sums",
-        "agg_cube_counts",
-        "agg_distinct_counts",
-        "agg_percentiles",
-        "agg_pricing_summary",
-        "agg_rollup_revenue",
-        "agg_stats_moments",
-        "agg_string_concat",
-        "agg_top_customers",
-        "agg_value_histogram",
-        "b1_mean_duration",
-        "b2_warm_mean",
-        "b3_extremes",
-        "b4_group_by_image",
-        "b5_jvm_native_ratio",
-        "b6_comparison_table",
-        "b7_validity_gated_mean",
-        "b8_json_extract",
-        "b9_time_deltas",
-        "cdc_keygen",
-        "cdc_materialize",
-        "cdc_materialize_streaming",
-        "cdc_op_stats",
-        "cdc_scd2_history",
-        "cdc_snapshot_asof",
-        "cdc_tombstone_keys",
-        "join_anti",
-        "join_asof",
-        "join_broadcast_dim",
-        "join_full_outer",
-        "join_interval_bucketed",
-        "join_left_outer",
-        "join_salted_skew",
-        "join_scalar_subquery",
-        "join_semi",
-        "join_star_revenue",
-        "join_theta_range",
-        "m1_derived_metrics",
-        "m2_nested_json",
-        "m3_classification",
-        "s1_scan_all",
-        "s1_scan_projection",
-        "s2_point_lookup",
-        "s2_point_lookup_absent",
-        "s6_count_star",
-        "s7_first_row",
-        "s8_health_probe",
-        "s9_metadata",
-    }
-)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def driver_verified_names() -> frozenset[str]:
+    """Names whose LATEST driver correctness row is green.
+
+    Green = hash-match pass, or the documented rows-only check
+    (``err == 'no_oracle'`` with a row count). Red / errored rows make a
+    name unverified again so the next sweep re-proves it.
+    """
+    status: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = bool(r.get("hash_match")) or (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            )
+            prev = status.get(name)
+            if prev is None or rnd >= prev[0]:
+                status[name] = (rnd, green)
+    return frozenset(n for n, (_, g) in status.items() if g)
 
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
@@ -98,13 +75,12 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     from ..sources import jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
-    # cosmetic within the verified tail). aggregates sits BEFORE windows
-    # so its three unverified entries (agg_grouping_sets — round-2 verdict
-    # task 8 — plus agg_mode / agg_hll_merge) land inside the driver's
-    # 50-entry window; the window then ends 4 entries into
-    # streaming_batch, so gap_fill/sliding/session/hourly rotate into a
-    # later round. jdbc_io / schema_evolution lead: brand-new code is the
-    # highest-risk content for the driver sweep.
+    # cosmetic within the verified tail). Round 4: the unverified set is
+    # the 2 round-3 red text entries (fixed this round; re-swept first)
+    # plus 55 never-swept names. With this order the 50-entry window
+    # covers exactly text(2) + stream(6) + cdc(2) + qx(22) + setop(7) +
+    # fn(11); sampling(4), b10_regression_trend, join_null_aware_anti and
+    # join_bucketed_colocated rotate into round 5's window.
     modules = [
         jdbc_io,
         schema_evolution,
@@ -115,14 +91,14 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         aggregates,
         windows,
         streaming_batch,
+        cdc,
         analytics,
         setops,
         scalar_fns,
         sampling,
+        bench_ops,
         relational,
         metrics,
-        bench_ops,
-        cdc,
         joins,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -138,8 +114,11 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
-    # Stable partition: never-driver-verified names first so the driver's
-    # bounded sweep reaches them; proven names keep module order at the tail.
-    ordered = sorted(queries, key=lambda n: n in _DRIVER_VERIFIED)
+    # Stable partition: names without a driver-green row first so the
+    # driver's bounded sweep reaches them; proven names keep module order
+    # at the tail. Derived from CORRECTNESS_r*.json so red rows rotate
+    # back in automatically.
+    verified = driver_verified_names()
+    ordered = sorted(queries, key=lambda n: n in verified)
     queries = {n: queries[n] for n in ordered}
     return queries, oracles

@@ -146,7 +146,8 @@ ORACLES = {
             FROM documents GROUP BY source
         ), tot AS (SELECT SUM(w) AS w_total FROM counts),
         quota AS (
-            SELECT source, (200 * w) // w_total AS n_quota
+            -- CAST: SUM(BIGINT) is HUGEINT in DuckDB -> pandas float64
+            SELECT source, CAST((200 * w) // w_total AS BIGINT) AS n_quota
             FROM counts, tot
         ), ranked AS (
             SELECT source, doc_id,

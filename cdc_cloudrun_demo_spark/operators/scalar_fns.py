@@ -308,7 +308,8 @@ ORACLES = {
                SQRT(l_extendedprice) AS price_sqrt,
                CAST(l_orderkey % 10 AS BIGINT) AS key_mod,
                l_extendedprice * l_extendedprice AS price_sq,
-               SIGN(l_discount - 0.05) AS disc_sign
+               -- CAST: DuckDB SIGN returns TINYINT; Spark signum is DOUBLE
+               CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
         FROM lineitem WHERE l_linenumber = 1
     """,
     "fn_conditional": """

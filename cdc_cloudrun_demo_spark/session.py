@@ -20,6 +20,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     # read as long and convert explicitly (see catalog.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without isAdjustedToUTC (how the driver testdata
+    # stores event times) must read as session-tz TIMESTAMP, not
+    # TIMESTAMP_NTZ: NTZ breaks unix_micros()/watermarks, and with the
+    # UTC session below the TIMESTAMP reading is value-identical to
+    # DuckDB's naive-as-UTC epoch semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # deterministic timestamp semantics for oracle comparison
     "spark.sql.session.timeZone": "UTC",
     # AQE: coalesce post-shuffle partitions, handle skew joins at runtime

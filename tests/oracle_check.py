@@ -43,7 +43,10 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(v)
+        # Tag the numeric kind: the driver hashes stringified values, so
+        # int64 3 vs HUGEINT->float64 3.0 is a driver FAIL even though
+        # Python's 3.0 == 3 would hide it here. Keep kinds distinct.
+        return ("f", float(v))
     if isinstance(v, pd.Timestamp):
         ts = v.tz_convert("UTC").tz_localize(None) if v.tzinfo else v
         return ts.isoformat()
