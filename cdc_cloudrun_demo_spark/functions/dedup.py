@@ -116,11 +116,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_posting_cache: list[DataFrame] = []
+
+
 def _capped_posting_stats(d: DataFrame):
     """Shared posting-list machinery for the shingle-overlap family:
     capped postings → (pair co-occurrence counts, per-doc set sizes as
     id_a/id_b-keyed tables). One tokenization pass, one shuffle of the
-    shingle set (the persist feeds pair emission AND the size table)."""
+    shingle set (the persist feeds pair emission AND the size table).
+
+    The persisted posting table from the PREVIOUS invocation is
+    unpersisted here: the returned frames are lazy, so the current
+    call's cache must outlive this function, but long sessions (bench
+    loops, parity sweeps) must not accumulate one cached table per
+    call. Bounds cached posting blocks to the latest invocation."""
+    while _posting_cache:
+        try:
+            _posting_cache.pop().unpersist()
+        except Exception:
+            pass  # session of the old frame may already be gone
     sh = _token_trigrams(d)
     kept = (
         sh.groupBy("lang", "source", "shingle")
@@ -128,6 +142,7 @@ def _capped_posting_stats(d: DataFrame):
         .filter(F.size("ids") <= MAX_SHINGLE_DF)
         .persist()
     )
+    _posting_cache.append(kept)
     sizes = (
         kept.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
@@ -165,15 +180,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     Same capped posting-list plan as `dedup_ngram_jaccard` (shared via
     `_capped_posting_stats` — one shingle shuffle, no self-join of the
     corpus); the threshold compares exact integers cross-multiplied
-    (2·n_common ≥ size), so no float boundary exists."""
+    (den·n_common ≥ num·size for threshold = num/den), so no float
+    boundary exists at any threshold value."""
+    from fractions import Fraction
+
     d = load_for_compute(spark, sf_dir, "documents")
     inter, sa, sb = _capped_posting_stats(d)
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
     return (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .filter(
-            (2 * F.col("n_common") >= F.col("size_a"))
-            | (2 * F.col("n_common") >= F.col("size_b"))
+            (den * F.col("n_common") >= num * F.col("size_a"))
+            | (den * F.col("n_common") >= num * F.col("size_b"))
         )
         .select(
             "id_a",

@@ -366,9 +366,14 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("embedding")
     absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    # Zero-vector guard: absmax = 0 would give 0/0 = NaN codes (and a
+    # cross-engine divergence — DuckDB errors on CAST(NaN AS INT)). The
+    # tiny floor makes an all-zero vector quantize to all-zero codes
+    # with scale 0, identically in both engines.
+    safe_absmax = F.greatest(F.col("absmax"), F.lit(1e-30))
     q = F.transform(
         x,
-        lambda v: F.floor(v.cast("double") * F.lit(127.0) / F.col("absmax") + F.lit(0.5))
+        lambda v: F.floor(v.cast("double") * F.lit(127.0) / safe_absmax + F.lit(0.5))
         .cast("int")
         .cast("string"),
     )
@@ -424,10 +429,12 @@ ORACLES = {
                        v -> ABS(CAST(v AS DOUBLE)))) AS absmax
             FROM embeddings
         )
+        -- GREATEST mirrors the Spark-side zero-vector guard
         SELECT vec_id, label,
                absmax / 127.0 AS scale,
                list_aggregate(list_transform(embedding,
-                   v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / absmax + 0.5)
+                   v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 127.0
+                        / GREATEST(absmax, 1e-30) + 0.5)
                         AS INT) AS VARCHAR)), 'string_agg', ',') AS q_csv
         FROM m
     """,

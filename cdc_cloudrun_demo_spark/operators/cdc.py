@@ -165,7 +165,7 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq, asserted exhaustively in tests/test_streaming.py); at production
     scale the identical query runs unbounded with RocksDB state."""
     import os
-    import tempfile
+    from .._scratch import scratch_dir
 
     from ..streaming.cdc_stream import (
         CHANGE_SCHEMA,
@@ -173,7 +173,7 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_snapshot_sink,
     )
 
-    tmp = tempfile.mkdtemp(prefix="cdc_stream_q_")
+    tmp = scratch_dir("cdc_stream_q_")
     log_dir = os.path.join(tmp, "log")
     message_changes_df(spark, sf_dir).orderBy("seq").coalesce(4).write.mode(
         "overwrite"

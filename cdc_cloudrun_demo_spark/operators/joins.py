@@ -13,12 +13,18 @@ Strategy notes for 100 TB (verified against .explain in tests/test_plans.py):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ._util import dsum, scaled_long, sql_dsum
+
+# Bucketed tables written by the previous join_bucketed_colocated call
+# (lazily consumed, so they can only be dropped on the NEXT call).
+_bucket_tables: list[str] = []
 
 _SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
@@ -280,17 +286,34 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucketBy(8, key).sortBy(key)`` each call (the test-scale stand-in
     for the one-time ingest layout), then joined with a merge hint — the
     broadcast path would win at sf0.01 and hide the bucketing proof. The
-    aggregate after the join shuffles only the tiny grouped result."""
+    aggregate after the join shuffles only the tiny grouped result.
+    Table names are per-call unique (returned frames are lazy, and
+    concurrent callers must not clobber each other's buckets); the
+    PREVIOUS call's tables are dropped here to bound warehouse growth."""
     import shutil
+    import uuid
+    from urllib.parse import urlparse
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    local_warehouse = parsed.path if parsed.scheme in ("", "file") else None
+    while _bucket_tables:
+        stale = _bucket_tables.pop()
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {stale}")
+        except Exception:
+            pass
+        if local_warehouse:
+            shutil.rmtree(os.path.join(local_warehouse, stale), ignore_errors=True)
+    run_id = uuid.uuid4().hex[:8]
+    tables = {"orders": f"b_orders_{run_id}", "lineitem": f"b_lineitem_{run_id}"}
+    for name, df, key in (
+        (tables["orders"], o, "o_orderkey"),
+        (tables["lineitem"], li, "l_orderkey"),
+    ):
         (
             df.write.bucketBy(8, key)
             .sortBy(key)
@@ -298,8 +321,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    bo = spark.table("b_orders")
-    bl = spark.table("b_lineitem")
+        _bucket_tables.append(name)
+    bo = spark.table(tables["orders"])
+    bl = spark.table(tables["lineitem"])
     return (
         bl.hint("merge")
         .join(bo, bl.l_orderkey == bo.o_orderkey)

@@ -28,12 +28,13 @@ without reading our parquet.
 from __future__ import annotations
 
 import os
-import tempfile
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .._scratch import scratch_dir
 from ..fixtures import MESSAGE_CHANGES_SQL, message_changes_df
 
 _SPLIT = "2024-01-30"
@@ -56,7 +57,7 @@ _CHANNEL_SQL = (
 def _write_evolving_log(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the two-generation log: segment dirs v1/ (5 columns)
     and v2/ (6 columns, added nullable ``channel``) under one root."""
-    root = tempfile.mkdtemp(prefix="cdc_log_")
+    root = scratch_dir("cdc_log_")
     changes = message_changes_df(spark, sf_dir)
     cut = F.col("ts") < F.lit(_SPLIT).cast("timestamp")
     changes.filter(cut).write.mode("overwrite").parquet(os.path.join(root, "v1"))

@@ -127,7 +127,7 @@ def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-data-drop variant is exercised with watermarks in
     tests/test_streaming.py)."""
     import os
-    import tempfile
+    from .._scratch import scratch_dir
 
     from ..sources import file_stream
     from ..streaming.event_windows import run_to_parquet_snapshot, tumbling_counts
@@ -135,7 +135,7 @@ def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="evstream_")
+    root = scratch_dir("evstream_")
     log = os.path.join(root, "log")
     ev.repartition(4).write.parquet(log)
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
@@ -163,14 +163,14 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer); the bounded-state production variant is
     `dropDuplicatesWithinWatermark`, exercised in tests/test_streaming.py."""
     import os
-    import tempfile
+    from .._scratch import scratch_dir
 
     from ..sources import file_stream
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="dedupstream_")
+    root = scratch_dir("dedupstream_")
     log = os.path.join(root, "log")
     ev.repartition(3).write.parquet(log)
     # Re-deliver a deterministic third of the rows as one extra log file.
@@ -214,14 +214,14 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(events inside the delay window), so 35 days of clickstream would
     be sized to the true attribution horizon (1h) plus delivery lag."""
     import os
-    import tempfile
+    from .._scratch import scratch_dir
 
     from ..sources import file_stream
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="joinstream_")
+    root = scratch_dir("joinstream_")
     log = os.path.join(root, "log")
     ev.repartition(4).write.parquet(log)
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)

@@ -23,11 +23,12 @@ Partitioned-read discipline (the 100 TB contract):
 from __future__ import annotations
 
 import os
-import tempfile
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .._scratch import scratch_dir
 from ..fixtures import MESSAGE_CHANGES_SQL, message_changes_df
 from . import read_jdbc
 
@@ -39,7 +40,7 @@ def _roundtrip_via_derby(df: DataFrame, table: str, partition_column: str) -> Da
     partitioned JDBC scan. A fresh database directory per call sidesteps
     Derby's one-JVM boot lock and makes the op idempotent."""
     spark = df.sparkSession
-    db = os.path.join(tempfile.mkdtemp(prefix="derby_"), "db")
+    db = os.path.join(scratch_dir("derby_"), "db")
     url = f"jdbc:derby:{db};create=true"
     (
         df.write.format("jdbc")
