@@ -492,6 +492,61 @@ def dedup_embedding_lsh(
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def dedup_embedding_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup dedup with IVF-cell blocking — the third
+    blocking scheme in the family (label block → exact; LSH buckets →
+    dedup_embedding_lsh; k-means cells → here), and the one aligned with
+    the ANN index a vector store already maintains: reuses the SAME
+    memoized coarse quantizer as sim_ann_ivf_topk, so the dedup pass
+    costs zero extra index builds.
+
+    Each vector posts to its ``n_probe`` nearest centroid cells (narrow
+    per-row argmax over inlined centroid literals — no shuffle to
+    assign); candidates are pairs sharing ANY cell (equality self-join
+    on cell id, O(Σ cell²), never all-pairs); every candidate is
+    verified with the exact cosine, so precision is 1 by construction
+    and only recall is approximate. Multi-probe is the boundary-pair
+    fix: a near-dup pair split by a Voronoi edge still meets in one of
+    the probed cells. Approximate → rows-only check; never-over-drops +
+    drop-recall ≥ 0.9 on a clustered corpus asserted in tests."""
+    from .similarity import cosine, ivf_ranked_cells, kmeans_centroid_rows, norm
+
+    emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cent_rows = kmeans_centroid_rows(spark, emb, n_clusters, corpus_key=sf_dir)
+    ranked = ivf_ranked_cells(cent_rows)
+    post = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.slice(ranked(F.col("embedding"), F.col("nrm")), 1, n_probe)
+        ).alias("cell"),
+    )
+    a = post.select(
+        "cell", F.col("vec_id").alias("id_keep"), F.col("embedding").alias("va")
+    )
+    b = post.select(
+        "cell", F.col("vec_id").alias("id_drop"), F.col("embedding").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        # a pair sharing several probed cells pays the cosine fold once
+        .dropDuplicates(["id_keep", "id_drop"])
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_drop").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def pipeline_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data kept-set: quality gate (≥5 words,
     exact integer compare — no float threshold) → exact-dedup survivor
@@ -528,6 +583,7 @@ QUERIES = {
     "dedup_simhash_banded": dedup_simhash_banded,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_ivf": dedup_embedding_ivf,
     "dedup_ngram_clusters": dedup_ngram_clusters,
 }
 

@@ -299,6 +299,40 @@ def kmeans_centroid_rows(
     return rows
 
 
+def ivf_ranked_cells(cent_rows: list[tuple[int, list[float]]]):
+    """Column builder: for a row's (vec, nrm), the centroid ids ranked by
+    cosine (desc, tie → lowest cid).
+
+    The K centroids are driver-side constants (K·dim doubles), so list
+    assignment is a NARROW per-row argmax over an inlined literal array —
+    no crossJoin, no window, no shuffle of the corpus at any scale. The
+    literal is ONE parsed SQL expression, not K·dim F.lit() calls:
+    per-element Column construction costs a Py4J round-trip each (~1 ms ×
+    1024 = a whole query's budget); the text parses JVM-side in one call
+    and constant-folds. Rounding keeps the historical tie-break (desc
+    c_sim, asc cid): default struct ordering sorts neg asc = sim desc,
+    then cid asc. Centroids are unit-norm, so dot/nrm is the cosine."""
+    structs = ", ".join(
+        "named_struct('cid', {}, 'cvec', array({}))".format(
+            int(cid), ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+        )
+        for cid, vec in cent_rows
+    )
+    cents_arr = F.expr(f"array({structs})")
+
+    def ranked(vec, nrm):
+        scored = F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                (-F.round(dot(vec, c.cvec) / nrm, 6)).alias("neg"),
+                c.cid.alias("cid"),
+            ),
+        )
+        return F.transform(F.array_sort(scored), lambda s: s.cid)
+
+    return ranked
+
+
 def sim_ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -322,36 +356,7 @@ def sim_ann_ivf_topk(
         "nrm", norm(F.col("embedding"))
     )
     cent_rows = kmeans_centroid_rows(spark, emb, n_clusters, corpus_key=sf_dir)
-    # The K centroids are driver-side constants (K·dim doubles), so list
-    # assignment is a NARROW per-row argmax over an inlined literal array
-    # — no crossJoin, no window, no shuffle of the corpus. The previous
-    # shape (crossJoin(broadcast) + row_number window) shuffled N·K rows
-    # on the id just to pick each row's max; at 100 TB that window
-    # exchange would dwarf the actual scoring flops.
-    # ONE parsed expression, not K·dim F.lit() calls: per-element Column
-    # construction costs a Py4J round-trip each (~1 ms × 1024 = the whole
-    # query's budget); the SQL text parses JVM-side in one call and
-    # constant-folds to the same literal array.
-    structs = ", ".join(
-        "named_struct('cid', {}, 'cvec', array({}))".format(
-            int(cid), ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
-        )
-        for cid, vec in cent_rows
-    )
-    cents_arr = F.expr(f"array({structs})")
-
-    def ranked_cids(vec, nrm):
-        # per-row cosine to every centroid (cnrm ≡ 1); rounding keeps the
-        # historical tie-break (desc c_sim, asc cid): default struct
-        # ordering sorts neg asc = sim desc, then cid asc
-        scored = F.transform(
-            cents_arr,
-            lambda c: F.struct(
-                (-F.round(dot(vec, c.cvec) / nrm, 6)).alias("neg"),
-                c.cid.alias("cid"),
-            ),
-        )
-        return F.transform(F.array_sort(scored), lambda s: s.cid)
+    ranked_cids = ivf_ranked_cells(cent_rows)
 
     corpus = emb.select(
         "vec_id",

@@ -335,7 +335,69 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFra
     )
 
 
+def _distinct_5grams(d: DataFrame) -> DataFrame:
+    """(doc_id, gram): distinct lowercase word-5-grams per document.
+    Token array materialized once per row (see _token_trigrams note in
+    functions/dedup.py — CollapseProject keeps the non-cheap alias in
+    its own Project, so the regex runs once, not 5× per gram)."""
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    w = F.col("__words")
+    tok = d.select("doc_id", words.alias("__words")).filter(F.size(w) >= 5)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 5),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+            F.element_at(w, i + 3),
+            F.element_at(w, i + 4),
+            F.element_at(w, i + 5),
+        ),
+    )
+    return tok.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def text_contamination(spark: SparkSession, sf_dir: str, split_mod: int = 50) -> DataFrame:
+    """Train/eval contamination check — the gate every LLM data pipeline
+    runs before training: for each held-out eval document, how many of
+    its distinct word-5-grams also occur in ANY training document.
+
+    Split is deterministic (``doc_id % split_mod == 0`` → eval). Scale
+    shape: the eval set is bounded (a benchmark suite, not a corpus), so
+    its distinct-gram set broadcasts; the 100 TB train side is only ever
+    SCANNED and semi-joined against that broadcast — no shuffle of train
+    grams, no join keyed on the unbounded side. The matched-gram set
+    (⊆ eval grams) broadcasts back to score each eval doc. Two corpus
+    passes (train scan + eval scan), zero wide exchanges over train."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % split_mod == 0
+    eval_g = _distinct_5grams(d.filter(is_eval))
+    train_g = _distinct_5grams(d.filter(~is_eval))
+    eval_gramset = eval_g.select("gram").distinct()
+    matched_grams = (
+        train_g.join(F.broadcast(eval_gramset), "gram", "left_semi")
+        .select("gram")
+        .distinct()
+    )
+    totals = eval_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        eval_g.join(F.broadcast(matched_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    joined = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+    return joined.withColumn(
+        "contamination_rate",
+        F.round(F.col("n_contaminated").cast("double") / F.col("n_grams"), 6),
+    )
+
+
 QUERIES = {
+    "text_contamination": text_contamination,
     "text_heavy_hitters": text_heavy_hitters,
     "text_vocab_encode": text_vocab_encode,
     "text_pack_offsets": text_pack_offsets,
@@ -375,6 +437,35 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_contamination": """
+        WITH docs AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 4)) AS p
+            FROM docs WHERE len(toks) >= 5
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] || ' '
+                           || toks[p+3] || ' ' || toks[p+4] AS gram
+            FROM pos
+        ), eval_g AS (
+            SELECT * FROM grams WHERE doc_id % 50 = 0
+        ), train_g AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 50 <> 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM eval_g GROUP BY doc_id
+        ), hit AS (
+            SELECT e.doc_id, COUNT(*) AS n_contaminated
+            FROM eval_g e JOIN train_g t USING (gram) GROUP BY e.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_grams, 6)
+                 AS contamination_rate
+        FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
     # exact frequent-items semantics — the MG pass may only change HOW
     # candidates are found, never the final set
     "text_heavy_hitters": """

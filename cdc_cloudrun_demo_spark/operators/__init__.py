@@ -72,17 +72,20 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         windows,
     )
     from ..functions import dedup, similarity, text
-    from ..sources import jdbc_io, multimodal
+    from ..sources import file_formats, jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
     # cosmetic within the verified tail). Round 4: the unverified set is
-    # the 2 round-3 red text entries (fixed this round; re-swept first)
-    # plus 55 never-swept names. With this order the 50-entry window
-    # covers exactly text(2) + stream(6) + cdc(2) + qx(22) + setop(7) +
-    # fn(11); sampling(4), b10_regression_trend, join_null_aware_anti and
-    # join_bucketed_colocated rotate into round 5's window.
+    # the 4 new round-4 entries (csv/jsonl round-trips, IVF-blocked
+    # dedup, contamination check), the 2 round-3 red text entries (fixed
+    # this round; re-swept early) and 55 never-swept names. The 50-entry
+    # window covers sources(2) + dedup_ivf + text(3) + stream(6) +
+    # cdc(2) + qx(22) + setop(7) + fn(7); the last 4 fn entries,
+    # sampling(4), b10_regression_trend and the 2 remaining joins rotate
+    # into round 5's window — all locally parity-green meanwhile.
     modules = [
         jdbc_io,
+        file_formats,
         schema_evolution,
         dedup,
         similarity,

@@ -1,0 +1,120 @@
+"""Text-format ingestion exercised end-to-end: CSV and JSON-lines.
+
+The reference persists through JDBC only, but any engine claiming its
+workload must also ingest the flat-file formats data actually arrives in.
+Both entries here round-trip a real table Spark → text format → Spark
+with an EXPLICIT schema (the 100 TB discipline — ``inferSchema`` is an
+extra full scan of the input, and a schema drifting under you mid-corpus
+is how silent corruption ships), then aggregate the read-back rows.
+Hash-matching an oracle that reads the pristine parquet proves the
+text hop is lossless: NULLs, quoting, µs timestamps, float round-trip.
+
+Scale notes baked into the plans:
+
+* Reads pass the schema; writes/reads pin ``timestampFormat`` with
+  microsecond precision (Spark's JSON/CSV default emits millis — a
+  silent 1000× precision loss on event times).
+* The aggregate uses the scaled-long sum discipline (operators/_util)
+  so the value hash is engine-exact.
+* The round-trip parallelism comes from the source files themselves
+  (one file per input partition); a production ingest points the same
+  reader at a directory of thousands of files and gets scan
+  parallelism for free — nothing here collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._scratch import scratch_dir
+from ..catalog import load_table
+from ..operators._util import dsum, sql_dsum
+
+_TS_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, quoted strings, µs timestamps) → orders,
+    then a per-status revenue summary over the read-back rows."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    path = os.path.join(scratch_dir("csv_rt_"), "orders_csv")
+    (
+        o.write.option("header", "true")
+        .option("timestampFormat", _TS_US)
+        .mode("overwrite")
+        .csv(path)
+    )
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", _TS_US)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines (µs timestamps, nullable value) → events,
+    then a per-type activity summary over the read-back rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = os.path.join(scratch_dir("jsonl_rt_"), "events_jsonl")
+    ev.write.option("timestampFormat", _TS_US).mode("overwrite").json(path)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    back = (
+        spark.read.schema(schema).option("timestampFormat", _TS_US).json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value", 6).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+QUERIES = {
+    "source_csv_roundtrip": source_csv_roundtrip,
+    "source_jsonl_roundtrip": source_jsonl_roundtrip,
+}
+
+ORACLES = {
+    # The oracles read the PRISTINE parquet: equality proves the text
+    # hop (quote/escape/precision) is identity on every row.
+    "source_csv_roundtrip": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS sum_total,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "source_jsonl_roundtrip": f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {sql_dsum("value", 6)} AS sum_value,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY event_type
+    """,
+}

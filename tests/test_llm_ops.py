@@ -257,6 +257,40 @@ def test_embedding_lsh_dedup_recall_on_clustered_corpus(spark, tmp_path):
     )
 
 
+def test_embedding_ivf_dedup_recall_on_clustered_corpus(spark, tmp_path):
+    """IVF-cell-blocked near-dup dedup: precision is exact by
+    construction (cosine-verified candidates), so assert the two
+    approximate properties: survivors are a SUPERSET of the exact
+    all-pairs survivors (cell blocking can only miss drops, never
+    over-drop), and drop-recall >= 0.9 on a corpus with real cluster
+    structure — the regime IVF blocking is built for."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_embedding_ivf
+
+    sf = str(tmp_path)
+    _write_clustered_corpus(spark, sf)
+    rows = sorted(
+        spark.read.parquet(f"{sf}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(X @ X.T, 6)
+    exact_dropped = {
+        rows[j]["vec_id"]
+        for j in range(len(rows))
+        if any(sims[i, j] >= 0.8 for i in range(j))
+    }
+    survivors = {r["vec_id"] for r in dedup_embedding_ivf(spark, sf).collect()}
+    ivf_dropped = {r["vec_id"] for r in rows} - survivors
+    assert ivf_dropped <= exact_dropped  # never over-drops
+    assert len(ivf_dropped) >= 0.9 * len(exact_dropped), (
+        len(ivf_dropped),
+        len(exact_dropped),
+    )
+
+
 def test_mg_sketch_superset_guarantee_under_eviction(spark):
     """Misra-Gries candidates must contain every globally frequent item
     even when the distinct-key universe is far larger than the counter

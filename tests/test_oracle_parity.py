@@ -35,6 +35,7 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "dedup_simhash",
         "dedup_simhash_banded",
         "dedup_embedding_lsh",  # approximate recall; recall/superset tests instead
+        "dedup_embedding_ivf",  # approximate recall; recall/superset tests instead
         "sim_ann_lsh_topk",
         "sim_ann_ivf_topk",
         "agg_approx_percentiles",

@@ -314,3 +314,51 @@ def test_containment_is_not_cartesian(spark, sf_smoke):
     plan = formatted_plan(dedup_containment(spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_topk_assignment_has_no_window_exchange(spark, sf_smoke):
+    """IVF list assignment must be the narrow inlined-centroid argmax:
+    no crossJoin leftovers (CartesianProduct / nested loop) and no
+    Window operator for the assignment — the only Window allowed is the
+    final per-query top-k."""
+    import re
+
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_ann_ivf_topk
+
+    plan = formatted_plan(sim_ann_ivf_topk(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    # count Window OPERATOR nodes ("Window (n)"), not WindowGroupLimit
+    n_windows = len(re.findall(r"\bWindow \(\d+\)", plan))
+    assert n_windows <= 1, plan
+
+
+def test_embedding_ivf_dedup_is_not_cartesian(spark, sf_smoke):
+    """Cell-blocked candidate generation must be an equality join on the
+    cell id, never an all-pairs plan."""
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_embedding_ivf
+
+    plan = formatted_plan(dedup_embedding_ivf(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_train_side_never_shuffled_on_gram(spark, sf_smoke):
+    """The train-gram stream must meet the bounded eval set via
+    broadcast semi-joins only: a SortMergeJoin(LeftSemi) in this plan
+    would mean the unbounded train side was shuffled on the gram key."""
+    from cdc_cloudrun_demo_spark.functions.text import text_contamination
+
+    plan = formatted_plan(text_contamination(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin LeftSemi" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_csv_roundtrip_reads_with_explicit_schema(spark, sf_smoke):
+    """The CSV read-back scan must carry the declared schema (no
+    inferSchema pre-pass) and aggregate with one exchange."""
+    from cdc_cloudrun_demo_spark.sources.file_formats import source_csv_roundtrip
+
+    df = source_csv_roundtrip(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "Scan csv" in plan, plan
+    assert count_exchanges(df) == 1, plan

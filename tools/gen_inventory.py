@@ -4,7 +4,7 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, similarity, text
-from cdc_cloudrun_demo_spark.sources import jdbc_io, multimodal
+from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
     cdc, joins, metrics, relational, sampling, scalar_fns, schema_evolution,
     setops, streaming_batch, windows)
@@ -20,6 +20,7 @@ groups = [
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
  ("Multimodal", multimodal), ("JDBC ingestion", jdbc_io),
+ ("File-format ingestion (CSV/JSONL)", file_formats),
  ("Schema evolution", schema_evolution),
 ]
 print("### 2.3 Implemented surface (generated from the registry; regenerate via tools/gen_inventory.py)\n")
