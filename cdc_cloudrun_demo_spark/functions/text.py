@@ -396,8 +396,105 @@ def text_contamination(spark: SparkSession, sf_dir: str, split_mod: int = 50) ->
     )
 
 
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    fraction and duplicate-3-gram fraction per document — the quality
+    rules that catch boilerplate and looping generations.
+
+    ENTIRELY NARROW: token array materialized once per row, distinct
+    counts via array_distinct — no explode, no shuffle, no UDF. At
+    100 TB this runs at scan speed; the fractions are exact rationals
+    rounded at 6, identical in both engines."""
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    w = F.col("__words")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("__words")
+    ).filter(F.size(w) >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    n_words = F.size(w).cast("long")
+    n_distinct_words = F.size(F.array_distinct(w)).cast("long")
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct_words.alias("n_distinct_words"),
+        F.size(grams).cast("long").alias("n_3grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_3grams"),
+    )
+    dup_word = (F.col("n_words") - F.col("n_distinct_words")).cast("double") / F.col(
+        "n_words"
+    )
+    dup_gram = (F.col("n_3grams") - F.col("n_distinct_3grams")).cast(
+        "double"
+    ) / F.col("n_3grams")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_3grams",
+        "n_distinct_3grams",
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(dup_gram, 6).alias("dup_3gram_frac"),
+    )
+
+
+def pipeline_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-shaped quality FILTER pass as one operator: every
+    document scored on word count, mean word length and duplicate-3-gram
+    fraction, with a kept flag. Thresholds compare EXACT integers
+    (cross-multiplied rationals — e.g. dup_frac ≤ 0.2 becomes
+    5·(n−distinct) ≤ n on longs), so no document near a float boundary
+    can flip between engines or partitionings. Narrow end to end."""
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    w = F.col("__words")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", words.alias("__words")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    n_words = F.size(w).cast("long")
+    alpha_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_grams = F.when(n_words >= 3, F.size(grams).cast("long")).otherwise(F.lit(0))
+    n_dup_grams = F.when(
+        n_words >= 3,
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("long"),
+    ).otherwise(F.lit(0))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        alpha_chars.alias("alpha_chars"),
+        n_grams.alias("n_3grams"),
+        n_dup_grams.alias("n_dup_3grams"),
+    )
+    # all-integer predicates: 10 ≤ words; 2 ≤ mean_wordlen ≤ 12 as
+    # 2n ≤ chars ≤ 12n; dup_3gram_frac ≤ 0.2 as 5·dup ≤ grams
+    kept = (
+        (F.col("n_words") >= 10)
+        & (2 * F.col("n_words") <= F.col("alpha_chars"))
+        & (F.col("alpha_chars") <= 12 * F.col("n_words"))
+        & (5 * F.col("n_dup_3grams") <= F.col("n_3grams"))
+    )
+    return scored.withColumn("kept", kept)
+
+
 QUERIES = {
     "text_contamination": text_contamination,
+    "text_repetition_signals": text_repetition_signals,
+    "pipeline_quality_kept": pipeline_quality_kept,
     "text_heavy_hitters": text_heavy_hitters,
     "text_vocab_encode": text_vocab_encode,
     "text_pack_offsets": text_pack_offsets,
@@ -437,6 +534,62 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_repetition_signals": """
+        WITH docs AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 2)) AS p
+            FROM docs WHERE len(toks) >= 3
+        ), grams AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_3grams,
+                   COUNT(DISTINCT toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2])
+                     AS n_distinct_3grams
+            FROM pos GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(d.toks)) AS BIGINT) AS n_distinct_words,
+               CAST(g.n_3grams AS BIGINT) AS n_3grams,
+               CAST(g.n_distinct_3grams AS BIGINT) AS n_distinct_3grams,
+               ROUND(CAST(len(d.toks) - len(list_distinct(d.toks)) AS DOUBLE)
+                     / len(d.toks), 6) AS dup_word_frac,
+               ROUND(CAST(g.n_3grams - g.n_distinct_3grams AS DOUBLE)
+                     / g.n_3grams, 6) AS dup_3gram_frac
+        FROM docs d JOIN grams g ON d.doc_id = g.doc_id
+        WHERE len(d.toks) >= 3
+    """,
+    "pipeline_quality_kept": """
+        WITH docs AS (
+            SELECT doc_id, lang, source,
+                   regexp_extract_all(LOWER(text), '[a-z]+') AS toks
+            FROM documents
+        ), gram_stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_3grams,
+                   COUNT(*) - COUNT(DISTINCT
+                       toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2])
+                     AS n_dup_3grams
+            FROM (
+                SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 2)) AS p
+                FROM docs WHERE len(toks) >= 3
+            ) GROUP BY doc_id
+        ), scored AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   CAST(len(d.toks) AS BIGINT) AS n_words,
+                   CAST(COALESCE(list_sum(list_transform(d.toks,
+                        t -> LENGTH(t))), 0) AS BIGINT) AS alpha_chars,
+                   CAST(COALESCE(g.n_3grams, 0) AS BIGINT) AS n_3grams,
+                   CAST(COALESCE(g.n_dup_3grams, 0) AS BIGINT) AS n_dup_3grams
+            FROM docs d LEFT JOIN gram_stats g ON d.doc_id = g.doc_id
+        )
+        SELECT *,
+               (n_words >= 10 AND 2 * n_words <= alpha_chars
+                AND alpha_chars <= 12 * n_words
+                AND 5 * n_dup_3grams <= n_3grams) AS kept
+        FROM scored
+    """,
     "text_contamination": """
         WITH docs AS (
             SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks
