@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def driver_verified_names() -> frozenset[str]:
-    """Names whose LATEST driver correctness row is green.
+def driver_verified_rounds() -> dict[str, int]:
+    """name → last round whose driver correctness row is green, for
+    names whose LATEST row is green.
 
     Green = hash-match pass, or the documented rows-only check
     (``err == 'no_oracle'`` with a row count). Red / errored rows make a
@@ -52,7 +53,11 @@ def driver_verified_names() -> frozenset[str]:
             prev = status.get(name)
             if prev is None or rnd >= prev[0]:
                 status[name] = (rnd, green)
-    return frozenset(n for n, (_, g) in status.items() if g)
+    return {n: rnd for n, (rnd, g) in status.items() if g}
+
+
+def driver_verified_names() -> frozenset[str]:
+    return frozenset(driver_verified_rounds())
 
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
@@ -119,10 +124,14 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
     # Stable partition: names without a driver-green row first so the
-    # driver's bounded sweep reaches them; proven names keep module order
-    # at the tail. Derived from CORRECTNESS_r*.json so red rows rotate
-    # back in automatically.
-    verified = driver_verified_names()
-    ordered = sorted(queries, key=lambda n: n in verified)
+    # driver's bounded sweep reaches them; then proven names ordered
+    # LEAST-recently-verified first (stable within a round), so once the
+    # unverified backlog is smaller than the sweep window the spare
+    # slots automatically re-check the oldest green rows — a regression
+    # in a long-proven entry surfaces within a few rounds instead of
+    # never (round-3 advice). Derived from CORRECTNESS_r*.json so red
+    # rows rotate back in automatically.
+    verified = driver_verified_rounds()
+    ordered = sorted(queries, key=lambda n: verified.get(n, -1))
     queries = {n: queries[n] for n in ordered}
     return queries, oracles
