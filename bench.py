@@ -54,8 +54,17 @@ HEADLINE: dict[str, str] = {
 
 def main() -> None:
     queries, _ = registry()
+    # Engine bootstrap — the analog of the reference's ONLY published
+    # numbers (BASELINE.md: app startup 5.2 s JVM / 0.09 s native).
+    # session_s = SparkSession up; first_query_s = cold first result
+    # (plan + codegen + scan), the reference's "cold start" row.
+    t0 = time.perf_counter()
     spark = get_spark(app_name="bench")
+    session_s = round(time.perf_counter() - t0, 4)
     spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    first_query_s = round(time.perf_counter() - t0, 4)
 
     def run(name: str) -> float:
         df = queries[name](spark, SF_DIR)
@@ -79,6 +88,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "startup": {"session_s": session_s, "first_query_s": first_query_s},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -116,6 +116,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
 
 
+_AUDIO_SCHEMA = (
+    "doc_id long, win_idx long, n_samples long, sum_sq long, peak long"
+)
+
+
+def _audio_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in audio feature extractor: treat the payload
+    as unsigned-8-bit PCM (center 128), window into 256-sample frames and
+    emit per-window energy (Σ(s−128)², exact int64) and peak |s−128| —
+    the bytes→samples→windowed-DSP shape a real audio stage has, with
+    numpy vectorized over the whole Arrow batch (no per-sample Python).
+    A real codec replaces only np.frombuffer (STUB per module docstring)."""
+    import numpy as np
+
+    win = 256
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "win_idx": [], "n_samples": [], "sum_sq": [], "peak": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            if samples.size == 0:
+                continue
+            centered = samples - 128
+            for w0 in range(0, samples.size, win):
+                chunk = centered[w0 : w0 + win]
+                out["doc_id"].append(int(doc_id))
+                out["win_idx"].append(w0 // win)
+                out["n_samples"].append(int(chunk.size))
+                out["sum_sq"].append(int(np.dot(chunk, chunk)))
+                out["peak"].append(int(np.abs(chunk).max()))
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over binary payloads: mapInPandas expands
+    each blob into per-window (energy, peak) rows — the feature-extract
+    stage of an audio dedup/quality pipeline. All-integer outputs make
+    the oracle exact (DuckDB recomputes the same Σ(code−128)² from the
+    character codes); at 100 TB the payload bytes stream through the
+    Arrow batches once and are never shuffled."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInPandas(_audio_energy_batch, schema=_AUDIO_SCHEMA)
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only scan (no payload decode) — the cheap pre-filter pass
     a real pipeline runs first; column pruning keeps payload bytes unread."""
@@ -215,9 +261,36 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_resize": multimodal_resize,
+    "multimodal_audio_energy": multimodal_audio_energy,
 }
 
 ORACLES = {
+    # payloads are utf-8 of ASCII-only text, so byte codes == character
+    # codes and the windowed energy recomputes exactly from substrings
+    "multimodal_audio_energy": """
+        WITH d AS (
+            SELECT doc_id, text, LENGTH(text) AS n FROM documents
+        ), w AS (
+            SELECT doc_id, text,
+                   UNNEST(generate_series(0, (n - 1) // 256)) AS win_idx
+            FROM d WHERE n > 0
+        ), c AS (
+            SELECT doc_id, win_idx,
+                   list_transform(
+                       regexp_extract_all(
+                           substring(text, win_idx * 256 + 1, 256), '.'),
+                       ch -> unicode(ch) - 128) AS codes
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(win_idx AS BIGINT) AS win_idx,
+               CAST(len(codes) AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT)
+                 AS sum_sq,
+               CAST(list_max(list_transform(codes, x -> ABS(x))) AS BIGINT)
+                 AS peak
+        FROM c
+    """,
     "multimodal_resize": """
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS orig_len,
