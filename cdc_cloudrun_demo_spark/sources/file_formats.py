@@ -90,9 +90,31 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → ORC → aggregate, proving the columnar-format
+    matrix beyond parquet. ORC round-trips types natively (no text
+    parsing), so the interesting checks are predicate pushdown and
+    column pruning on the read-back scan — the same PushedFilters
+    discipline the parquet plans are tested for; the oracle proves
+    value identity through the format hop."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    path = os.path.join(scratch_dir("orc_rt_"), "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("l_quantity") < 25)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
 QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
 }
 
 ORACLES = {
@@ -106,6 +128,16 @@ ORACLES = {
                MAX(o_orderdate) AS last_order
         FROM orders
         GROUP BY o_orderstatus
+    """,
+    "source_orc_roundtrip": f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               {sql_dsum("l_extendedprice")} AS sum_price,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship
+        FROM lineitem
+        WHERE l_quantity < 25
+        GROUP BY l_returnflag
     """,
     "source_jsonl_roundtrip": f"""
         SELECT event_type,

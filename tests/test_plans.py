@@ -362,3 +362,14 @@ def test_csv_roundtrip_reads_with_explicit_schema(spark, sf_smoke):
     plan = formatted_plan(df)
     assert "Scan csv" in plan, plan
     assert count_exchanges(df) == 1, plan
+
+
+def test_orc_roundtrip_pushes_filter(spark, sf_smoke):
+    """The ORC read-back scan must push the quantity predicate and prune
+    to the 5 selected columns — same scan discipline as parquet."""
+    from cdc_cloudrun_demo_spark.sources.file_formats import source_orc_roundtrip
+
+    df = source_orc_roundtrip(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "Scan orc" in plan, plan
+    assert "PushedFilters: [" in plan and "l_quantity" in plan, plan
