@@ -386,3 +386,43 @@ def test_int8_quantization_error_and_range(spark, sf_smoke):
             assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-12, (
                 r.vec_id, x, q, r.scale,
             )
+
+
+def test_jaccard_dedup_scales_with_output_not_docs_squared(spark, sf_oracle, tmp_path):
+    """Amplified-corpus invariant: replicate every document k times (a
+    salted prefix makes copies distinct rows but still ~1.0-Jaccard
+    siblings). The posting-list plan must return EXACTLY the predictable
+    pair set — n_docs·C(k,2) sibling pairs plus k² copies of each
+    original near-dup pair — proving candidate generation follows the
+    true pair structure (output-bound), not the corpus square. A
+    quadratic-in-docs plan would also time out long before asserting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_ngram_jaccard
+
+    k = 3
+    d = load_table(spark, sf_oracle, "documents")
+    n_docs = d.count()
+    base_pairs = dedup_ngram_jaccard(spark, sf_oracle).count()
+    amp = (
+        d.crossJoin(spark.range(k).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("rep").cast("string"), F.lit(" "), F.col("text")).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+        )
+    )
+    amp_dir = str(tmp_path)
+    amp.coalesce(4).write.mode("overwrite").parquet(f"{amp_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_oracle}/{t}.parquet", f"{amp_dir}/{t}.parquet")
+    amp_pairs = dedup_ngram_jaccard(spark, amp_dir).count()
+    expected = n_docs * (k * (k - 1) // 2) + base_pairs * k * k
+    assert amp_pairs == expected, (amp_pairs, expected)
