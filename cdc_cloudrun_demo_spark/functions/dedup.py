@@ -515,32 +515,43 @@ def dedup_embedding_ivf(
     fix: a near-dup pair split by a Voronoi edge still meets in one of
     the probed cells. Approximate → rows-only check; never-over-drops +
     drop-recall ≥ 0.9 on a clustered corpus asserted in tests."""
-    from .similarity import cosine, ivf_ranked_cells, kmeans_centroid_rows, norm
+    from .similarity import dot, ivf_ranked_cells, kmeans_centroid_rows, norm
 
     emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
     )
     cent_rows = kmeans_centroid_rows(spark, emb, n_clusters, corpus_key=sf_dir)
     ranked = ivf_ranked_cells(cent_rows)
+    # carry each vector's precomputed norm through the posting frames so
+    # the per-pair verify pays ONE array fold (the dot), not three —
+    # cosine() would re-fold both norms on every candidate pair
     post = emb.select(
         "vec_id",
         "embedding",
+        "nrm",
         F.explode(
             F.slice(ranked(F.col("embedding"), F.col("nrm")), 1, n_probe)
         ).alias("cell"),
     )
     a = post.select(
-        "cell", F.col("vec_id").alias("id_keep"), F.col("embedding").alias("va")
+        "cell",
+        F.col("vec_id").alias("id_keep"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = post.select(
-        "cell", F.col("vec_id").alias("id_drop"), F.col("embedding").alias("vb")
+        "cell",
+        F.col("vec_id").alias("id_drop"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_keep") < F.col("id_drop"))
         # a pair sharing several probed cells pays the cosine fold once
         .dropDuplicates(["id_keep", "id_drop"])
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(F.round(cos, 6) >= threshold)
         .select(F.col("id_drop").alias("vec_id"))
         .distinct()
     )

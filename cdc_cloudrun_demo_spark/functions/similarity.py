@@ -223,22 +223,28 @@ def sim_ann_lsh_topk(
 _centroid_cache: dict[tuple, list] = {}
 
 
-def kmeans_centroids(
-    spark: SparkSession,
-    emb: DataFrame,
-    n_clusters: int,
-    sample_size: int = 2048,
-    n_iter: int = 15,
-    seed: int = 42,
-    corpus_key: str = "",
-) -> DataFrame:
-    """DataFrame view over :func:`kmeans_centroid_rows` (see there)."""
-    rows = kmeans_centroid_rows(
-        spark, emb, n_clusters, sample_size, n_iter, seed, corpus_key
-    )
-    return spark.createDataFrame(rows, "cid int, cvec array<double>").withColumn(
-        "cnrm", F.lit(1.0)
-    )
+def _corpus_fingerprint(corpus_key: str) -> tuple:
+    """Cache key component tied to the DATA, not just the path: the
+    (path, mtime_ns, size) of every file under {corpus_key}/embeddings
+    .parquet. Rewriting the corpus at the same path (testdata refresh, a
+    test reusing a directory) therefore misses the cache and retrains
+    instead of silently serving stale centroids."""
+    import os
+
+    root = os.path.join(corpus_key, "embeddings.parquet")
+    try:
+        if os.path.isfile(root):
+            st = os.stat(root)
+            return ((root, st.st_mtime_ns, st.st_size),)
+        parts = []
+        for base, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                parts.append((p, st.st_mtime_ns, st.st_size))
+        return tuple(parts)
+    except OSError:
+        return (corpus_key,)
 
 
 def kmeans_centroid_rows(
@@ -270,7 +276,14 @@ def kmeans_centroid_rows(
     any scale. The cache holds plain floats (session-independent)."""
     import numpy as np
 
-    cache_key = (corpus_key, n_clusters, sample_size, n_iter, seed)
+    cache_key = (
+        corpus_key,
+        _corpus_fingerprint(corpus_key) if corpus_key else (),
+        n_clusters,
+        sample_size,
+        n_iter,
+        seed,
+    )
     if corpus_key and cache_key in _centroid_cache:
         return _centroid_cache[cache_key]
 
@@ -345,7 +358,7 @@ def sim_ann_ivf_topk(
     each query, exact cosine within candidates.
 
     Centroids come from spherical k-means on a bounded deterministic
-    sample (``kmeans_centroids``). Scale shape: assignment is one
+    sample (``kmeans_centroid_rows``). Scale shape: assignment is one
     broadcast (N×K dots, embarrassingly parallel, no shuffle of the
     corpus); the probe is an equality join on cluster id, so each query
     touches n_probe/n_clusters of the data — the IVF speedup. Approximate

@@ -80,15 +80,15 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     from ..sources import file_formats, jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
-    # cosmetic within the verified tail). Round 4: the unverified set is
-    # the 6 new round-4 entries (csv/jsonl round-trips, IVF-blocked
-    # dedup, contamination gate, repetition signals, quality-filter
-    # pass), the 2 round-3 red text entries (fixed this round; re-swept
-    # early) and 55 never-swept names. The 50-entry window covers
-    # sources(2) + dedup_ivf + text(5) + stream(6) + cdc(2) + qx(22) +
-    # setop(7) + fn(5); the remaining 6 fn entries, sampling(4),
-    # b10_regression_trend and the 2 remaining joins rotate into round
-    # 5's window — all locally parity-green meanwhile.
+    # cosmetic within the verified tail). Round 4's unverified set is the
+    # new round-4 entries (file-format round-trips, IVF-blocked dedup,
+    # contamination gate, repetition signals, quality-filter pass, audio
+    # energy), the 2 round-3 red text entries (fixed this round;
+    # re-swept early) and the 55 never-swept names; whatever the
+    # 50-entry window doesn't reach stays locally parity-green and
+    # rotates into round 5's window automatically (the partition is
+    # derived from CORRECTNESS_r*.json, not from this comment — list the
+    # live window with `list(registry()[0])[:50]`).
     modules = [
         jdbc_io,
         file_formats,

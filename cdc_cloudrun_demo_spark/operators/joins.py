@@ -22,9 +22,11 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ._util import dsum, scaled_long, sql_dsum
 
-# Bucketed tables written by the previous join_bucketed_colocated call
-# (lazily consumed, so they can only be dropped on the NEXT call).
-_bucket_tables: list[str] = []
+# Bucketed-table GENERATIONS written by join_bucketed_colocated. The
+# returned frames are lazy, so the most recent generation must survive
+# until the call after next: each call drops generations older than the
+# previous one (same keep-one policy as _scratch.scratch_dir).
+_bucket_tables: list[list[str]] = []
 
 _SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
@@ -288,8 +290,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast path would win at sf0.01 and hide the bucketing proof. The
     aggregate after the join shuffles only the tiny grouped result.
     Table names are per-call unique (returned frames are lazy, and
-    concurrent callers must not clobber each other's buckets); the
-    PREVIOUS call's tables are dropped here to bound warehouse growth."""
+    concurrent callers must not clobber each other's buckets); table
+    generations older than the previous call's are dropped here to
+    bound warehouse growth while the last result stays readable."""
     import shutil
     import uuid
     from urllib.parse import urlparse
@@ -300,16 +303,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     local_warehouse = parsed.path if parsed.scheme in ("", "file") else None
-    while _bucket_tables:
-        stale = _bucket_tables.pop()
-        try:
-            spark.sql(f"DROP TABLE IF EXISTS {stale}")
-        except Exception:
-            pass
-        if local_warehouse:
-            shutil.rmtree(os.path.join(local_warehouse, stale), ignore_errors=True)
+    while len(_bucket_tables) > 1:
+        for stale in _bucket_tables.pop(0):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {stale}")
+            except Exception:
+                pass
+            if local_warehouse:
+                shutil.rmtree(os.path.join(local_warehouse, stale), ignore_errors=True)
     run_id = uuid.uuid4().hex[:8]
     tables = {"orders": f"b_orders_{run_id}", "lineitem": f"b_lineitem_{run_id}"}
+    generation = []
     for name, df, key in (
         (tables["orders"], o, "o_orderkey"),
         (tables["lineitem"], li, "l_orderkey"),
@@ -321,7 +325,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-        _bucket_tables.append(name)
+        generation.append(name)
+    _bucket_tables.append(generation)
     bo = spark.table(tables["orders"])
     bl = spark.table(tables["lineitem"])
     return (

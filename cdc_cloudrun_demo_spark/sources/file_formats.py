@@ -42,9 +42,13 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
     o = load_table(spark, sf_dir, "orders").select(*cols)
     path = os.path.join(scratch_dir("csv_rt_"), "orders_csv")
+    # nullValue pinned on BOTH sides: Spark's default maps an empty field
+    # to NULL on read, so an empty-string cell would not round-trip —
+    # the explicit sentinel keeps ''-vs-NULL distinct for any input
     (
         o.write.option("header", "true")
         .option("timestampFormat", _TS_US)
+        .option("nullValue", "\\N")
         .mode("overwrite")
         .csv(path)
     )
@@ -56,6 +60,8 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(schema)
         .option("header", "true")
         .option("timestampFormat", _TS_US)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(path)
     )
     return back.groupBy("o_orderstatus").agg(

@@ -266,7 +266,11 @@ QUERIES = {
 
 ORACLES = {
     # payloads are utf-8 of ASCII-only text, so byte codes == character
-    # codes and the windowed energy recomputes exactly from substrings
+    # codes and the windowed energy recomputes exactly from substrings.
+    # (?s) makes '.' match newlines too — without it a '\\n' in any text
+    # would silently shorten the oracle's code list vs Spark's byte
+    # windows. Non-ASCII would still break the byte==char premise; the
+    # ASCII-ness of the corpus is what the premise comment above states.
     "multimodal_audio_energy": """
         WITH d AS (
             SELECT doc_id, text, LENGTH(text) AS n FROM documents
@@ -278,7 +282,7 @@ ORACLES = {
             SELECT doc_id, win_idx,
                    list_transform(
                        regexp_extract_all(
-                           substring(text, win_idx * 256 + 1, 256), '.'),
+                           substring(text, win_idx * 256 + 1, 256), '(?s).'),
                        ch -> unicode(ch) - 128) AS codes
             FROM w
         )

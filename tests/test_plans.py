@@ -350,7 +350,8 @@ def test_contamination_train_side_never_shuffled_on_gram(spark, sf_smoke):
 
     plan = formatted_plan(text_contamination(spark, sf_smoke))
     assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin LeftSemi" in plan or "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_csv_roundtrip_reads_with_explicit_schema(spark, sf_smoke):
