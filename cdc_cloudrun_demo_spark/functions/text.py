@@ -491,8 +491,61 @@ def pipeline_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("kept", kept)
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity proxy LLM
+    pipelines use to rank document quality: train unigram probabilities
+    on the corpus itself, score each document by its mean token
+    log-probability.
+
+    Cross-engine float discipline for a sum of logs: each token's
+    ln(count/total) is computed on IDENTICAL doubles in both engines
+    (count/total is an exact rational → the same IEEE double → libm ln
+    agrees), then scaled to micro-nats and floored to a LONG before the
+    per-doc sum — so the aggregate is exact integer addition, immune to
+    summation order, and the final mean divides once. Plan: one shuffle
+    to count the vocab, a broadcast of the (bounded, Zipf-truncated at
+    any scale) vocab into the exploded token stream, one groupBy(doc)."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "word",
+        # micro-nats, floored: floor(ln(c/total)·1e6) — exact long
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("n_total").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("logp_unats"),
+    )
+    scored = words.join(F.broadcast(vocab), "word")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp_unats").alias("sum_logp_unats"),
+        )
+        .withColumn(
+            "mean_logp",
+            F.round(
+                F.col("sum_logp_unats").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+    )
+
+
 QUERIES = {
     "text_contamination": text_contamination,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_repetition_signals": text_repetition_signals,
     "pipeline_quality_kept": pipeline_quality_kept,
     "text_heavy_hitters": text_heavy_hitters,
@@ -534,6 +587,29 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_unigram_logprob": """
+        WITH words AS (
+            SELECT doc_id,
+                   UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+            FROM documents
+        ), counts AS (
+            SELECT word, COUNT(*) AS c FROM words GROUP BY word
+        ), tot AS (
+            SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM counts
+        ), vocab AS (
+            SELECT word,
+                   CAST(FLOOR(LN(CAST(c AS DOUBLE) / n_total) * 1000000.0)
+                        AS BIGINT) AS logp_unats
+            FROM counts, tot
+        )
+        SELECT w.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(v.logp_unats) AS BIGINT) AS sum_logp_unats,
+               ROUND(CAST(SUM(v.logp_unats) AS DOUBLE) / 1000000.0
+                     / COUNT(*), 6) AS mean_logp
+        FROM words w JOIN vocab v USING (word)
+        GROUP BY w.doc_id
+    """,
     "text_repetition_signals": """
         WITH docs AS (
             SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks

@@ -216,6 +216,45 @@ def win_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataF
     )
 
 
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive events
+    with the same event_type (by event time). The island id is the
+    classic difference of two row_numbers — global ordinal minus
+    per-(user, type) ordinal is constant within a run — then one
+    aggregate per island and an argmax per user. TWO window passes over
+    the SAME (user_id)-keyed partitioning → one shuffle; the island
+    aggregate reuses that partitioning (user_id is a prefix of the
+    group key), and the final per-user argmax is max_by on ~runs-sized
+    input. Deterministic tie-break: longest run, then earliest start."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_user = Window.partitionBy("user_id").orderBy(*order)
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_user) - F.row_number().over(w_type)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start")
+    )
+    best = F.struct(
+        F.col("run_len"),
+        (-F.unix_micros(F.col("run_start"))).alias("neg_start"),
+        F.col("event_type"),
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(F.max(best).alias("b"))
+        .select(
+            "user_id",
+            F.col("b.event_type").alias("streak_type"),
+            F.col("b.run_len").cast("long").alias("streak_len"),
+        )
+    )
+
+
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-distribution functions (percent_rank / cume_dist) over order
     price within status. Both are pure rank ratios — (rank-1)/(n-1) and
@@ -232,6 +271,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "win_streaks": win_streaks,
     "win_sessionize": win_sessionize,
     "win_distribution": win_distribution,
     "win_topn_per_group": win_topn_per_group,
@@ -256,6 +296,30 @@ _TOPN_SQL = """
     """
 
 ORACLES = {
+    "win_streaks": """
+        WITH islands AS (
+            SELECT user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS island
+            FROM events
+        ), runs AS (
+            SELECT user_id, event_type, island,
+                   COUNT(*) AS run_len, MIN(ts) AS run_start
+            FROM islands GROUP BY user_id, event_type, island
+        ), ranked AS (
+            SELECT user_id, event_type, run_len,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY run_len DESC, run_start ASC,
+                                event_type DESC) AS rn
+            FROM runs
+        )
+        SELECT user_id,
+               event_type AS streak_type,
+               CAST(run_len AS BIGINT) AS streak_len
+        FROM ranked WHERE rn = 1
+    """,
     "win_time_range_frame": """
         SELECT event_id, user_id, ts,
                COUNT(*) OVER w AS n_trailing_1h,
