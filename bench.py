@@ -74,11 +74,13 @@ def main() -> None:
 
     for name in HEADLINE:  # cold pass, untimed (warm protocol, see docstring)
         run(name)
-    # best-of-2 timed passes: single-pass numbers swing ±30% with JVM/GC
-    # and page-cache state; the min is the reproducible engine cost
+    # best-of-3 timed passes: single-pass numbers swing ±30% with JVM/GC,
+    # page-cache state and host noise; the min is the reproducible
+    # engine cost (the whole suite is seconds, so extra passes are cheap)
     timings = {name: run(name) for name in HEADLINE}
-    for name in HEADLINE:
-        timings[name] = min(timings[name], run(name))
+    for _ in range(2):
+        for name in HEADLINE:
+            timings[name] = min(timings[name], run(name))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
