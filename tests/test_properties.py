@@ -211,3 +211,22 @@ def test_hll_merge_is_lossless(spark, sf_smoke):
     exact = ev.select("user_id").distinct().count()
     assert merged == single, (merged, single)
     assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=200
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_scaled_long_discipline_is_exact_for_cent_values(cents):
+    """The cross-engine sum discipline (operators/_util): for any value
+    that IS an exact number of cents, floor(x·100 + 0.5) on the double
+    x = k/100 must recover k exactly — positive or negative — so the
+    scaled-long sum equals the true decimal sum, independent of
+    summation order. This is the property every dsum oracle relies on."""
+    import math
+
+    recovered = [math.floor((k / 100) * 100 + 0.5) for k in cents]
+    assert recovered == cents
+    assert sum(recovered) == sum(cents)
