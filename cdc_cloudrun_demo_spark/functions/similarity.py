@@ -13,6 +13,9 @@ single pass over the corpus with no shuffle of the big side.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -220,15 +223,29 @@ def sim_ann_lsh_topk(
     )
 
 
-_centroid_cache: dict[tuple, list] = {}
+# Trained-centroid memo: LRU-capped OrderedDict under a lock. The
+# values are plain Python floats — session-independent and immutable —
+# so the cache is deliberately NOT session-scoped: two sessions (or
+# threads) sharing one process can only ever share identical trained
+# quantizers, never clobber each other's (contrast the session-scoped
+# bucket-table generations in operators/joins.py, whose values ARE
+# session-bound catalog state).
+_CENTROID_CACHE_MAX = 32
+_centroid_cache: OrderedDict[tuple, list] = OrderedDict()
+_centroid_lock = threading.Lock()
 
 
-def _corpus_fingerprint(corpus_key: str) -> tuple:
+def _corpus_fingerprint(corpus_key: str) -> tuple | None:
     """Cache key component tied to the DATA, not just the path: the
     (path, mtime_ns, size) of every file under {corpus_key}/embeddings
     .parquet. Rewriting the corpus at the same path (testdata refresh, a
     test reusing a directory) therefore misses the cache and retrains
-    instead of silently serving stale centroids."""
+    instead of silently serving stale centroids.
+
+    Returns None — UNCACHEABLE — when the path can't be stat'ed or
+    yields no files (a remote s3://... or hdfs:// corpus os.walk can't
+    see): caching forever on an empty fingerprint would serve stale
+    centroids after a remote rewrite (round-4 advice)."""
     import os
 
     root = os.path.join(corpus_key, "embeddings.parquet")
@@ -242,9 +259,9 @@ def _corpus_fingerprint(corpus_key: str) -> tuple:
                 p = os.path.join(base, f)
                 st = os.stat(p)
                 parts.append((p, st.st_mtime_ns, st.st_size))
-        return tuple(parts)
+        return tuple(parts) if parts else None
     except OSError:
-        return (corpus_key,)
+        return None
 
 
 def kmeans_centroid_rows(
@@ -273,19 +290,18 @@ def kmeans_centroid_rows(
     The trained centroids are memoized per (corpus, hyperparams): an IVF
     coarse quantizer is built ONCE at ingest and reused by every query —
     retraining per query call would misrepresent the operator's cost at
-    any scale. The cache holds plain floats (session-independent)."""
+    any scale. The cache holds plain floats (session-independent),
+    LRU-capped at _CENTROID_CACHE_MAX corpora; an unstat-able corpus
+    path (None fingerprint) is never cached (round-4 advice)."""
     import numpy as np
 
-    cache_key = (
-        corpus_key,
-        _corpus_fingerprint(corpus_key) if corpus_key else (),
-        n_clusters,
-        sample_size,
-        n_iter,
-        seed,
-    )
-    if corpus_key and cache_key in _centroid_cache:
-        return _centroid_cache[cache_key]
+    fp = _corpus_fingerprint(corpus_key) if corpus_key else None
+    cache_key = (corpus_key, fp, n_clusters, sample_size, n_iter, seed)
+    if fp is not None:
+        with _centroid_lock:
+            if cache_key in _centroid_cache:
+                _centroid_cache.move_to_end(cache_key)
+                return _centroid_cache[cache_key]
 
     sample = (
         emb.select("vec_id", "embedding")
@@ -307,8 +323,12 @@ def kmeans_centroid_rows(
                 if nv > 0:
                     cents[c] = v / nv
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
-    if corpus_key:
-        _centroid_cache[cache_key] = rows
+    if fp is not None:
+        with _centroid_lock:
+            _centroid_cache[cache_key] = rows
+            _centroid_cache.move_to_end(cache_key)
+            while len(_centroid_cache) > _CENTROID_CACHE_MAX:
+                _centroid_cache.popitem(last=False)
     return rows
 
 

@@ -491,20 +491,37 @@ def pipeline_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("kept", kept)
 
 
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_unigram_logprob(
+    spark: SparkSession, sf_dir: str, top_v: int = 65536
+) -> DataFrame:
     """Unigram language-model scoring — the cheap perplexity proxy LLM
     pipelines use to rank document quality: train unigram probabilities
-    on the corpus itself, score each document by its mean token
-    log-probability.
+    on the corpus itself (vocabulary truncated to the ``top_v`` most
+    frequent words, ties broken by word; every out-of-vocab token pools
+    into one UNK bucket whose probability is the truncated tail's total
+    mass), score each document by its mean token log-probability.
+
+    The top-V truncation is what BOUNDS the vocab broadcast at any
+    corpus size (round-4 advice — an untruncated distinct-word set is
+    unbounded at 100 TB): the rank is a distributed top-k
+    (TakeOrderedAndProject, never a global sort), V is a constant, and
+    the UNK row is one extra scalar. On the driver corpora (31 distinct
+    words) nothing truncates, so values equal the untruncated model;
+    the UNK path is exercised by a small-V fixture test in
+    tests/test_llm_ops.py.
 
     Cross-engine float discipline for a sum of logs: each token's
     ln(count/total) is computed on IDENTICAL doubles in both engines
-    (count/total is an exact rational → the same IEEE double → libm ln
-    agrees), then scaled to micro-nats and floored to a LONG before the
-    per-doc sum — so the aggregate is exact integer addition, immune to
-    summation order, and the final mean divides once. Plan: one shuffle
-    to count the vocab, a broadcast of the (bounded, Zipf-truncated at
-    any scale) vocab into the exploded token stream, one groupBy(doc)."""
+    (count/total is an exact rational → the same IEEE double), scaled
+    to micro-nats, rounded to 3 decimals BEFORE the floor — Spark's
+    Math.log and DuckDB's libm ln are each only 1-ulp-accurate, and a
+    raw floor could flip on a boundary token where the two libms
+    disagree by 1 ulp; after round(·, 3) a ≲2e-9 µnat disagreement
+    cannot move the floored long (round-4 advice) — then floored to a
+    LONG before the per-doc sum, so the aggregate is exact integer
+    addition, immune to summation order, and the final mean divides
+    once. Plan: one shuffle to count the vocab, a top-k, a broadcast of
+    the bounded vocab into the exploded token stream, one groupBy(doc)."""
     d = load_for_compute(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -513,23 +530,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = counts.agg(F.sum("c").alias("n_total"))
-    vocab = counts.crossJoin(F.broadcast(total)).select(
-        "word",
-        # micro-nats, floored: floor(ln(c/total)·1e6) — exact long
-        F.floor(
-            F.log(F.col("c").cast("double") / F.col("n_total").cast("double"))
-            * F.lit(1_000_000.0)
-        )
-        .cast("long")
-        .alias("logp_unats"),
+    vocab_top = counts.orderBy(F.desc("c"), F.asc("word")).limit(top_v)
+    totals = (
+        counts.agg(F.sum("c").alias("n_total"))
+        .crossJoin(vocab_top.agg(F.sum("c").alias("n_invocab")))
+        .select("n_total", (F.col("n_total") - F.col("n_invocab")).alias("n_unk"))
     )
-    scored = words.join(F.broadcast(vocab), "word")
+
+    def _logp_unats(count_col):
+        return (
+            F.floor(
+                F.round(
+                    F.log(count_col.cast("double") / F.col("n_total").cast("double"))
+                    * F.lit(1_000_000.0),
+                    3,
+                )
+            )
+            .cast("long")
+        )
+
+    vocab = vocab_top.crossJoin(F.broadcast(totals)).select(
+        "word", _logp_unats(F.col("c")).alias("logp_unats")
+    )
+    unk = totals.select(
+        F.when(F.col("n_unk") > 0, _logp_unats(F.col("n_unk"))).alias("unk_logp_unats")
+    )
+    scored = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(unk))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp_unats"), F.col("unk_logp_unats")).alias("logp"),
+        )
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("logp_unats").alias("sum_logp_unats"),
+            F.sum("logp").alias("sum_logp_unats"),
         )
         .withColumn(
             "mean_logp",
@@ -594,20 +632,32 @@ ORACLES = {
             FROM documents
         ), counts AS (
             SELECT word, COUNT(*) AS c FROM words GROUP BY word
+        ), vocab_top AS (
+            SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 65536
         ), tot AS (
-            SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM counts
+            SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM counts) AS n_total,
+                   (SELECT CAST(SUM(c) AS DOUBLE) FROM counts)
+                   - (SELECT CAST(SUM(c) AS DOUBLE) FROM vocab_top) AS n_unk
         ), vocab AS (
             SELECT word,
-                   CAST(FLOOR(LN(CAST(c AS DOUBLE) / n_total) * 1000000.0)
+                   CAST(FLOOR(ROUND(LN(CAST(c AS DOUBLE) / n_total)
+                                    * 1000000.0, 3))
                         AS BIGINT) AS logp_unats
-            FROM counts, tot
+            FROM vocab_top, tot
+        ), unk AS (
+            SELECT CASE WHEN n_unk > 0
+                        THEN CAST(FLOOR(ROUND(LN(n_unk / n_total)
+                                              * 1000000.0, 3)) AS BIGINT)
+                   END AS unk_logp_unats
+            FROM tot
         )
         SELECT w.doc_id,
                COUNT(*) AS n_tokens,
-               CAST(SUM(v.logp_unats) AS BIGINT) AS sum_logp_unats,
-               ROUND(CAST(SUM(v.logp_unats) AS DOUBLE) / 1000000.0
-                     / COUNT(*), 6) AS mean_logp
-        FROM words w JOIN vocab v USING (word)
+               CAST(SUM(COALESCE(v.logp_unats, u.unk_logp_unats)) AS BIGINT)
+                 AS sum_logp_unats,
+               ROUND(CAST(SUM(COALESCE(v.logp_unats, u.unk_logp_unats)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*), 6) AS mean_logp
+        FROM words w LEFT JOIN vocab v USING (word) CROSS JOIN unk u
         GROUP BY w.doc_id
     """,
     "text_repetition_signals": """

@@ -22,11 +22,25 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ._util import dsum, scaled_long, sql_dsum
 
-# Bucketed-table GENERATIONS written by join_bucketed_colocated. The
-# returned frames are lazy, so the most recent generation must survive
-# until the call after next: each call drops generations older than the
-# previous one (same keep-one policy as _scratch.scratch_dir).
-_bucket_tables: list[list[str]] = []
+# Bucketed-table GENERATIONS written by join_bucketed_colocated, keyed
+# PER SESSION (WeakKeyDictionary: the entry dies with its session, so a
+# stale id() can never alias a new session's state). The returned frames
+# are lazy, so the most recent generation must survive until the call
+# after next: each call drops ITS OWN session's generations older than
+# the previous one (keep-one, same policy as _scratch.scratch_dir) and
+# never another session's — two sessions interleaving calls can no
+# longer drop tables out from under each other's unread readers
+# (round-4 review). All state transitions happen under _bucket_lock;
+# names are registered BEFORE the table write so the one-time leftover
+# sweep (below) can never reap a concurrent writer's half-written table.
+import threading
+import weakref
+
+_bucket_tables: "weakref.WeakKeyDictionary[SparkSession, list[list[str]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_bucket_lock = threading.Lock()
+_bucket_swept = False
 
 _SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
@@ -291,8 +305,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate after the join shuffles only the tiny grouped result.
     Table names are per-call unique (returned frames are lazy, and
     concurrent callers must not clobber each other's buckets); table
-    generations older than the previous call's are dropped here to
-    bound warehouse growth while the last result stays readable."""
+    generations older than the previous call's are dropped here — per
+    session, under a lock — to bound warehouse growth while the last
+    result stays readable, and the first call per process sweeps
+    leftover ``b_*`` dirs from dead processes (round-4 advice)."""
+    global _bucket_swept
+    import re
     import shutil
     import uuid
     from urllib.parse import urlparse
@@ -303,17 +321,30 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     local_warehouse = parsed.path if parsed.scheme in ("", "file") else None
-    while len(_bucket_tables) > 1:
-        for stale in _bucket_tables.pop(0):
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS {stale}")
-            except Exception:
-                pass
-            if local_warehouse:
-                shutil.rmtree(os.path.join(local_warehouse, stale), ignore_errors=True)
     run_id = uuid.uuid4().hex[:8]
     tables = {"orders": f"b_orders_{run_id}", "lineitem": f"b_lineitem_{run_id}"}
-    generation = []
+    generation = list(tables.values())
+    stale: list[str] = []
+    with _bucket_lock:
+        gens = _bucket_tables.setdefault(spark, [])
+        while len(gens) > 1:
+            stale.extend(gens.pop(0))
+        # register BEFORE writing: a concurrent sweep must see these live
+        gens.append(generation)
+        live = {n for g_list in _bucket_tables.values() for g in g_list for n in g}
+        if not _bucket_swept and local_warehouse and os.path.isdir(local_warehouse):
+            _bucket_swept = True
+            pat = re.compile(r"^b_(orders|lineitem)_[0-9a-f]{8}$")
+            stale.extend(
+                e for e in os.listdir(local_warehouse) if pat.match(e) and e not in live
+            )
+    for name in stale:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass
+        if local_warehouse:
+            shutil.rmtree(os.path.join(local_warehouse, name), ignore_errors=True)
     for name, df, key in (
         (tables["orders"], o, "o_orderkey"),
         (tables["lineitem"], li, "l_orderkey"),
@@ -325,8 +356,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-        generation.append(name)
-    _bucket_tables.append(generation)
     bo = spark.table(tables["orders"])
     bl = spark.table(tables["lineitem"])
     return (

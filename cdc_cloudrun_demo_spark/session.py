@@ -47,12 +47,55 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_warmed: set[str] = set()
+
+
+def prewarm(spark: SparkSession) -> None:
+    """Warm the cold-start-dominant JVM paths once per session: codegen +
+    exchange + collect, the parquet write/read datasource stack, and a
+    broadcast join — the engine analog of the reference keeping min
+    instances warm to dodge its 8-12 s JVM cold start (README.md:330-339,
+    terraform/cloud_run.tf:17-20). Uses only self-generated data (a temp
+    parquet), so it is corpus-independent and safe on any session. The
+    cost moves first-query latency into session bootstrap, which is
+    where the reference's own startup numbers account for it."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _warmed:
+        return
+    _warmed.add(app_id)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    try:
+        # one tiny shuffle+agg (codegen/exchange class-load — the 3-4 s
+        # JIT lump) and one parquet scan (vectorized-reader class-load).
+        # The warm file is written by pyarrow, NOT Spark: the Spark write
+        # committer path costs ~2.5 s to warm and no headline read path
+        # needs it. Kept deliberately lean — the point is first-QUERY
+        # latency, and every extra warmed subsystem inflates session_s.
+        spark.range(64, numPartitions=2).groupBy(
+            (F.col("id") % 7).alias("k")
+        ).count().collect()
+        with tempfile.TemporaryDirectory() as td:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            p = os.path.join(td, "warm.parquet")
+            pq.write_table(
+                pa.table({"id": list(range(64)), "s": [str(i) for i in range(64)]}), p
+            )
+            spark.read.parquet(p).filter("id > 10").agg({"id": "sum"}).collect()
+    except Exception:
+        pass  # warmup is best-effort; never fail session construction
+
+
 def get_spark(
     app_name: str = "cdc-cloudrun-demo-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    """Create (or fetch) a tuned SparkSession.
+    """Create (or fetch) a tuned SparkSession, pre-warmed (see prewarm).
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
     on a real cluster pass None with an external master configured.
@@ -74,4 +117,6 @@ def get_spark(
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return apply_runtime_confs(builder.getOrCreate())
+    spark = apply_runtime_confs(builder.getOrCreate())
+    prewarm(spark)
+    return spark

@@ -1,0 +1,79 @@
+"""Concurrent-query envelope — the engine analog of the reference's
+concurrent request handling (HikariCP pool of 5 + PgBouncer multiplexing,
+hello_cloud_run/src/main/resources/application-cloud-sql.properties:16-20,
+terraform/database.tf:27-31; SURVEY.md §4 maps this to one shared session
+serving overlapping queries).
+
+Two hazards these tests pin down (round-4 review):
+* shared posting machinery (dedup_ngram_jaccard / dedup_containment both
+  build capped posting lists) — after the round-5 rewrite there is NO
+  module-global posting cache at all, so interleaving cannot evict
+  anything; both results must stay oracle-green when computed in
+  overlapping threads;
+* bucketed-table generations (operators/joins.py) — per-call uuid table
+  names + per-session generation GC under a lock: two concurrent
+  join_bucketed_colocated calls on ONE session must not drop each
+  other's tables before the (lazy) results are read.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from tests.oracle_check import compare_one, duck_connection
+
+
+def _run_green(spark, sf_dir, name):
+    from cdc_cloudrun_demo_spark.operators import registry
+
+    queries, oracles = registry()
+    df = queries[name](spark, sf_dir)
+    rows = df.collect()  # materialize INSIDE the thread, while others run
+    con = duck_connection(sf_dir)  # duckdb connections are not thread-safe: one per thread
+    res = compare_one(spark, con, name, lambda s, d: df, oracles[name], sf_dir)
+    con.close()
+    return name, res, len(rows)
+
+
+def test_concurrent_posting_family_oracle_green(spark, sf_oracle):
+    """dedup_ngram_jaccard + dedup_containment share the posting-list
+    machinery; run them in overlapping threads on one session and
+    assert BOTH results still match their oracles exactly."""
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_run_green, spark, sf_oracle, "dedup_ngram_jaccard"),
+            pool.submit(_run_green, spark, sf_oracle, "dedup_containment"),
+        ]
+        results = [f.result(timeout=300) for f in futs]
+    for name, res, _ in results:
+        assert res.ok, f"{name} diverged under concurrency: {res.detail}"
+
+
+def test_concurrent_bucketed_join_oracle_green(spark, sf_oracle):
+    """Two join_bucketed_colocated calls racing on one session: per-call
+    unique table names + locked per-session generation GC must keep both
+    lazy results readable and oracle-green."""
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_run_green, spark, sf_oracle, "join_bucketed_colocated")
+            for _ in range(2)
+        ]
+        results = [f.result(timeout=300) for f in futs]
+    for name, res, _ in results:
+        assert res.ok, f"{name} diverged under concurrency: {res.detail}"
+
+
+def test_concurrent_mixed_families(spark, sf_oracle):
+    """A four-way mix across operator families on one session — the
+    closest local analog of the reference's pool-of-5 envelope."""
+    names = [
+        "dedup_ngram_jaccard",
+        "join_bucketed_colocated",
+        "agg_pricing_summary",
+        "win_running_total",
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(_run_green, spark, sf_oracle, n) for n in names]
+        results = [f.result(timeout=300) for f in futs]
+    for name, res, _ in results:
+        assert res.ok, f"{name} diverged under concurrency: {res.detail}"

