@@ -173,40 +173,53 @@ def _capped_posting_stats(d: DataFrame):
     lists are unsorted (pair canonicalization via least/greatest at
     emission — no per-list sort), and the pair groupBy key is ONE long
     (id_a·2³² | id_b — valid while doc_id < 2³¹; beyond that domain the
-    pack widens to the two-long groupBy with no semantic change). The
-    size table is broadcast ONCE and reused for both pair sides."""
+    pack widens to the two-long groupBy with no semantic change).
+
+    Sizes ride the pair exchange (round-5 perf review): each kept list
+    emits its canonical pairs PLUS one SELF-pair (x·2³² | x) per member,
+    so a single pid groupBy yields both co-occurrence counts (id_a≠id_b)
+    and per-doc set sizes (id_a=id_b — its count is exactly the number
+    of kept shingles containing the doc). The sizes branch therefore
+    replays only the tiny post-partial-agg pid reduce instead of the
+    full posting-list reduce + explode — one broadcast, reused for both
+    pair sides."""
     sh = _token_trigram_keys(d)
     kept = (
         sh.groupBy("key")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") <= MAX_SHINGLE_DF)
     )
-    sizes = (
-        kept.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("set_size"))
-    )
     ids = F.col("ids")
     n = F.size(ids)
-    pair_ids = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, n),
-                lambda y: F.shiftleft(F.least(x, y), 32).bitwiseOR(F.greatest(x, y)),
-            ),
-        )
+    pair_ids = F.concat(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, n),
+                    lambda y: F.shiftleft(F.least(x, y), 32).bitwiseOR(
+                        F.greatest(x, y)
+                    ),
+                ),
+            )
+        ),
+        F.transform(ids, lambda x: F.shiftleft(x, 32).bitwiseOR(x)),
     )
-    inter = (
-        kept.filter(n >= 2)
-        .select(F.explode(pair_ids).alias("pid"))
+    counts = (
+        kept.select(F.explode(pair_ids).alias("pid"))
         .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             F.shiftrightunsigned(F.col("pid"), 32).alias("id_a"),
             F.col("pid").bitwiseAND(F.lit(0xFFFFFFFF)).alias("id_b"),
-            "n_common",
+            "cnt",
         )
+    )
+    inter = counts.filter(F.col("id_a") != F.col("id_b")).withColumnRenamed(
+        "cnt", "n_common"
+    )
+    sizes = counts.filter(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("doc_id"), F.col("cnt").alias("set_size")
     )
     bsizes = F.broadcast(sizes)
     sa = bsizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
