@@ -88,6 +88,46 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def rate_change_stream(
+    spark: SparkSession, rows_per_batch: int = 200, n_keys: int = 10
+) -> DataFrame:
+    """Continuous CDC change stream synthesized from Spark's deterministic
+    `rate-micro-batch` source — the in-process stand-in for a Kafka/
+    Debezium topic (SURVEY §1.4: the mutation stream is WAL-shaped; the
+    fold must not care where it comes from). Each generated `value`
+    becomes one change event in CHANGE_SCHEMA shape:
+
+      seq = value                  (the replay-deterministic total order)
+      id  = value % n_keys
+      op  = DELETE when value % 7 == 3 else UPSERT
+      content = 'v-<value>'        (NULL on deletes)
+
+    Because the mapping is a pure function of `value` and the source
+    emits 0,1,2,... exactly once per offset range, the state any prefix
+    folds to is computable in closed form — what the source-agnosticism
+    test asserts. A real Kafka topic slots in by replacing this reader
+    with `format("kafka")` + the same projection over the decoded value;
+    nothing downstream changes."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("seq"),
+        F.when(F.col("value") % 7 == 3, F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("op"),
+        (F.col("value") % n_keys).alias("id"),
+        F.when(F.col("value") % 7 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v-"), F.col("value")))
+        .alias("content"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
 ) -> int:

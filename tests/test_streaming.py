@@ -378,6 +378,169 @@ def test_snapshot_sink_rewrites_only_touched_buckets(spark, tmp_path):
     assert final[0] == "updated-0" and len(final) == 50
 
 
+def test_snapshot_sink_crash_mid_commit_converges(spark, tmp_path):
+    """Kill the bucketed snapshot sink MID-COMMIT and prove recovery.
+
+    The dynamic partition overwrite in `state_snapshot_sink` commits one
+    bucket directory at a time — a crash between buckets leaves the
+    snapshot with a MIX of pre- and post-batch buckets, and the batch
+    unrecorded in the checkpoint. The documented recovery claim
+    (`cdc_stream.py:state_snapshot_sink` docstring): checkpoint replay +
+    keyed-LWW idempotence converge from that torn state. This test forges
+    exactly that torn state — half the touched buckets rolled back to
+    their pre-batch bytes, the checkpoint's commit marker for the batch
+    deleted — restarts the stream, and asserts the snapshot equals the
+    batch oracle fold of the whole log (including tombstone retention)."""
+    import shutil as sh
+    from datetime import datetime
+
+    from cdc_cloudrun_demo_spark.streaming.cdc_stream import (
+        materialize_with_state,
+        state_snapshot_sink,
+    )
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    current = os.path.join(state_dir, "current")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        q = state_snapshot_sink(materialize_with_state(stream), state_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    # phase 1: 50 keys spread over the 16 buckets
+    rows1 = [
+        (i + 1, "INSERT", i, f"content-{i}", datetime(2024, 1, 1, 0, 0, i % 60))
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows1, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_000"))
+    run_stream()
+    pre = str(tmp_path / "pre_batch_snapshot")
+    sh.copytree(current, pre)
+
+    # phase 2: updates on keys 0..9 plus a DELETE of key 3 — touches
+    # several distinct buckets in one micro-batch
+    rows2 = [
+        (1000 + i, "DELETE" if i == 3 else "UPDATE", i,
+         None if i == 3 else f"updated-{i}", datetime(2024, 1, 2, 0, 0, i))
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows2, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_001"))
+    run_stream()
+
+    # forge the torn commit: roll back every other touched bucket to its
+    # pre-batch bytes (crash after committing only some bucket dirs) ...
+    touched = sorted(
+        {
+            r["b"]
+            for r in spark.sql(
+                "SELECT CAST(pmod(xxhash64(CAST(v AS BIGINT)), 16) AS INT) AS b "
+                "FROM VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9) AS t(v)"
+            ).collect()
+        }
+    )
+    assert len(touched) > 1, "need >1 touched bucket to tear the commit"
+    for b in touched[:: 2]:
+        bdir = f"bucket={b}"
+        sh.rmtree(os.path.join(current, bdir), ignore_errors=True)
+        if os.path.exists(os.path.join(pre, bdir)):
+            sh.copytree(os.path.join(pre, bdir), os.path.join(current, bdir))
+    # ... and erase the batch's commit marker so the checkpoint replays it
+    commits = os.path.join(ckpt, "commits")
+    last = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the marker
+        os.remove(crc)
+
+    # sanity: the torn snapshot is genuinely wrong before recovery
+    torn = {
+        r["id"]: r["content"]
+        for r in spark.read.parquet(current).filter(~F.col("is_deleted")).collect()
+    }
+    want = {i: f"updated-{i}" for i in range(10) if i != 3} | {
+        i: f"content-{i}" for i in range(10, 50)
+    }
+    assert torn != want, "rollback failed to tear the snapshot"
+
+    # restart with the same checkpoint: the uncommitted batch replays and
+    # the keyed-LWW merge converges over the mixed old/new buckets
+    run_stream()
+    got = {
+        r["id"]: r["content"]
+        for r in spark.read.parquet(current).filter(~F.col("is_deleted")).collect()
+    }
+    assert got == want
+    # tombstone retained (not resurrected, reader-filtered)
+    dead = spark.read.parquet(current).filter(F.col("is_deleted")).collect()
+    assert [r["id"] for r in dead] == [3]
+
+
+def test_rate_source_cdc_replay_matches_closed_form(spark, tmp_path):
+    """The LWW fold is source-agnostic: drive `materialize_with_state`
+    from a CONTINUOUS rate-generated change stream (the Kafka/Debezium
+    stand-in, no files anywhere) and assert the folded state matches the
+    closed form the generator implies. `rate_change_stream` makes every
+    event a pure function of the rate source's `value`, so for each key
+    k the final state must be exactly the max-seq event for k among the
+    processed prefix — same fold code as the file-driven tests, zero
+    file dependency."""
+    import time
+
+    from cdc_cloudrun_demo_spark.sources import rate_change_stream
+
+    n_keys = 10
+    changes = rate_change_stream(spark, rows_per_batch=200, n_keys=n_keys)
+    updates = materialize_with_state(changes)
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("rate_cdc_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        # wait for >= 2 committed micro-batches (each batch updates every key)
+        while time.time() < deadline:
+            if spark.table("rate_cdc_updates").count() >= 2 * n_keys:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    out = spark.table("rate_cdc_updates")
+    final = (
+        out.groupBy("id")
+        .agg(
+            F.max("last_seq").alias("last_seq"),
+            F.max_by("content", "last_seq").alias("content"),
+            F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+        )
+        .collect()
+    )
+    assert {r["id"] for r in final} == set(range(n_keys))
+    for r in final:
+        v = r["last_seq"]
+        assert v % n_keys == r["id"]
+        assert v >= 200 - n_keys, "fewer than one full batch folded"
+        if v % 7 == 3:
+            assert r["is_deleted"] and r["content"] is None
+        else:
+            assert not r["is_deleted"] and r["content"] == f"v-{v}"
+
+
 @pytest.mark.parametrize("n_slices", [1, 7])
 def test_slicing_invariance(spark, sf_smoke, tmp_path, n_slices):
     """Final state is independent of how the log is micro-batched."""
