@@ -1,0 +1,302 @@
+"""Training-data export pipeline over `documents`: PII redaction,
+tokenizer-support statistics, novelty scoring, deterministic sharding
+and split assignment.
+
+These are the steps BETWEEN curation (dedup/quality, `dedup.py`,
+`text.py`) and the training job: scrub what must not be trained on,
+measure what the tokenizer will see, score marginal value of each
+document, and emit a reproducible shard/split layout. Reference parity:
+the reference's pipeline ends at a JDBC row store (SURVEY §2.1); this
+module is the engine-extension surface a 100 TB corpus needs instead.
+
+Scale discipline (same rules as the rest of the repo):
+* every hot-path expression is a built-in JVM function (regexp_*, md5,
+  arithmetic) — zero Python in the row loop;
+* per-group state is bounded: manifests use an order-independent
+  modular digest, never collect_list of members;
+* the shard/split hash is Knuth's multiplicative hash on doc_id —
+  chosen because the ORACLE must reproduce it bit-for-bit in another
+  engine; a production deployment swaps one expression for
+  xxhash64(doc_id) and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+# Common-subset regexes (Java regex AND RE2 accept these identically —
+# the Spark plan and the DuckDB oracle must match byte-for-byte).
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+N_SHARDS = 16
+
+# Knuth multiplicative hash: h(id) = (id * 2654435761) mod 2^32.
+# Engine-portable (pure BIGINT arithmetic) and well-mixed on dense ids;
+# production swaps this one expression for xxhash64(id).
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _knuth_hash(col: Column) -> Column:
+    return (col.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+
+
+_SQL_KNUTH = f"(CAST(doc_id AS BIGINT) * {_KNUTH} % {_M32})"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count emails / NANP phone numbers / IPv4 literals per
+    document and emit the md5 of the REDACTED text (<EMAIL>/<PHONE>/<IP>
+    placeholders). Hash parity with the oracle proves the actual
+    redacted bytes match, not just the counts. One narrow projection —
+    runs at scan speed at any corpus size; counts are over the original
+    text, the replace chain is email → phone → ip in both engines
+    (order matters: the classes are disjoint but the discipline makes
+    that a non-assumption)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def text_word_bigrams(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
+    """Corpus-wide top-k adjacent word pairs — the statistic a
+    tokenizer-training / collocation pass reads first. One explode +
+    one groupBy(bigram) with map-side partial aggregation; the top-k is
+    a total order on (count DESC, bigram ASC) so ties at the boundary
+    are deterministic in both engines. At 100 TB the groupBy key is the
+    bigram string — the heavy-hitter-sketch variant for unbounded key
+    spaces is `text_heavy_hitters`; this exact version is for the
+    bounded-vocab pass that follows candidate pruning."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    w = F.col("__words")
+    tok = d.select("doc_id", words.alias("__words")).filter(F.size(w) >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    exploded = tok.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(top_k)
+    )
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST occurrence (min doc_id across the corpus) is
+    this document. Curation pipelines use this to rank marginal value —
+    a doc whose grams all appeared earlier adds little. Plan: explode
+    distinct grams, one shuffle keyed on the gram for the min-doc
+    window, one groupBy(doc_id) to fold the fractions. The gram-keyed
+    exchange carries the gram string here because the oracle must see
+    identical group identities; the production variant groups by
+    xxhash64(gram) — the same 8-byte posting discipline as
+    `dedup.py:_token_trigram_keys` — and nothing downstream changes."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    w = F.col("__words")
+    tok = d.select("doc_id", words.alias("__words")).filter(F.size(w) >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+            F.element_at(w, i + 3),
+        ),
+    )
+    exploded = tok.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    return (
+        exploded.withColumn("first_doc", first_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_frac"),
+        )
+    )
+
+
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout + per-shard manifest: every
+    document lands in shard knuth(doc_id) % 16, and each shard reports
+    its row count, total characters, id range, and an ORDER-INDEPENDENT
+    membership digest (sum over docs of a 60-bit md5-derived value mod
+    1000003 — commutative, so the digest is partitioning- and
+    order-stable, and the per-group state is one long, never a
+    collect_list of members). Equal digests + equal counts make two
+    independently-produced shard layouts byte-comparable without
+    shipping the id lists — how a 100 TB export validates against a
+    re-run. The md5→int path (conv/substr) is bit-identical in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (_knuth_hash(F.col("doc_id")) % F.lit(N_SHARDS)).alias("shard")
+    member_v = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(1000003)
+    )
+    return (
+        d.select(shard, "doc_id", "n_chars", member_v.alias("v"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("v").alias("manifest_digest"),
+        )
+    )
+
+
+def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split: bucket = knuth(doc_id)
+    % 100 → train (< 98), val (98), test (99). Per (split, lang) report
+    doc counts and character volume. The assignment is a pure function
+    of doc_id — stable across runs, partitionings, and engines — which
+    is the property that keeps eval sets eval sets when the corpus is
+    regenerated. One narrow projection + one small groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _knuth_hash(F.col("doc_id")) % F.lit(100)
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket == 98, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+QUERIES = {
+    "text_pii_redact": text_pii_redact,
+    "text_word_bigrams": text_word_bigrams,
+    "text_novelty": text_novelty,
+    "pipeline_shard_manifest": pipeline_shard_manifest,
+    "pipeline_split_assign": pipeline_split_assign,
+}
+
+ORACLES = {
+    "text_pii_redact": rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)
+                 AS n_ipv4,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+        FROM documents
+    """,
+    "text_word_bigrams": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS w
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM toks WHERE len(w) >= 2
+        )
+        SELECT bigram,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM pairs GROUP BY bigram
+        ORDER BY n_occurrences DESC, bigram ASC LIMIT 100
+    """,
+    "text_novelty": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS w
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS p
+            FROM toks WHERE len(w) >= 3
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   w[p] || ' ' || w[p+1] || ' ' || w[p+2] AS gram
+            FROM pos
+        ), firsts AS (
+            SELECT doc_id, gram,
+                   MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+            FROM grams
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+        FROM firsts GROUP BY doc_id
+    """,
+    "pipeline_shard_manifest": f"""
+        WITH tagged AS (
+            SELECT {_SQL_KNUTH} % {N_SHARDS} AS shard,
+                   doc_id, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 AS v
+            FROM documents
+        )
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               CAST(SUM(v) AS BIGINT) AS manifest_digest
+        FROM tagged GROUP BY shard
+    """,
+    "pipeline_split_assign": f"""
+        WITH tagged AS (
+            SELECT CASE WHEN {_SQL_KNUTH} % 100 < 98 THEN 'train'
+                        WHEN {_SQL_KNUTH} % 100 = 98 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, n_chars
+            FROM documents
+        )
+        SELECT split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM tagged GROUP BY split, lang
+    """,
+}

@@ -76,7 +76,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         streaming_batch,
         windows,
     )
-    from ..functions import dedup, similarity, text
+    from ..functions import dedup, pipeline, similarity, text
     from ..sources import file_formats, jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
@@ -109,6 +109,10 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         relational,
         metrics,
         joins,
+        # APPENDED LAST deliberately (round-5): new never-driver-verified
+        # entries must sort AFTER the 17 pre-existing unverified names in
+        # the sweep window, not displace them (round-4 verdict item 1).
+        pipeline,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,133 @@
+"""Training-data export pipeline ops (`functions/pipeline.py`): PII
+redaction semantics on a crafted fixture, shard/split determinism and
+order-independence, novelty on a known duplicate, and the plan-shape
+guarantees (narrow where claimed, bounded group state)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_cloudrun_demo_spark.functions.pipeline import (
+    N_SHARDS,
+    pipeline_shard_manifest,
+    pipeline_split_assign,
+    text_novelty,
+    text_pii_redact,
+    text_word_bigrams,
+)
+from cdc_cloudrun_demo_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    reads_columns,
+)
+from tests.test_llm_ops import _write_documents
+
+
+def test_pii_redact_counts_and_redacts(spark, tmp_path):
+    rows = [
+        (1, "mail me at alice.smith+work@example.co.uk or bob@x.io today"),
+        (2, "call 555-867-5309 or 555.123.4567, server at 10.0.0.1"),
+        (3, "no pii here at all"),
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    got = {r["doc_id"]: r for r in text_pii_redact(spark, str(tmp_path)).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ipv4"]) == (2, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ipv4"]) == (0, 2, 1)
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ipv4"]) == (0, 0, 0)
+    # the redacted hash equals the hash of the placeholder text, and an
+    # un-redacted doc hashes to its original text
+    expected1 = spark.sql(
+        "SELECT md5('mail me at <EMAIL> or <EMAIL> today') AS h"
+    ).collect()[0]["h"]
+    expected3 = spark.sql("SELECT md5('no pii here at all') AS h").collect()[0]["h"]
+    assert got[1]["redacted_md5"] == expected1
+    assert got[3]["redacted_md5"] == expected3
+
+
+def test_pii_redact_is_narrow(spark, sf_smoke):
+    """PII scrub is a projection: zero exchanges, 2-column scan."""
+    df = text_pii_redact(spark, sf_smoke)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+    assert set(reads_columns(df)) == {"doc_id", "text"}, reads_columns(df)
+
+
+def test_word_bigrams_counts_multiplicity_and_docs(spark, tmp_path):
+    rows = [
+        (1, "red fox red fox"),  # 'red fox' x2, 'fox red' x1
+        (2, "red fox jumps"),  # 'red fox' x1, 'fox jumps' x1
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    got = {
+        r["bigram"]: (r["n_occurrences"], r["n_docs"])
+        for r in text_word_bigrams(spark, str(tmp_path)).collect()
+    }
+    assert got["red fox"] == (3, 2)
+    assert got["fox red"] == (1, 1)
+    assert got["fox jumps"] == (1, 1)
+
+
+def test_novelty_zero_for_duplicate_doc(spark, tmp_path):
+    """A verbatim duplicate of an earlier doc has novelty 0; the first
+    occurrence (and a doc with all-fresh grams) has novelty 1."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (3, "one two three four"),  # all-new grams
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    got = {r["doc_id"]: r for r in text_novelty(spark, str(tmp_path)).collect()}
+    assert got[1]["novelty_frac"] == 1.0
+    assert got[2]["novelty_frac"] == 0.0
+    assert got[3]["novelty_frac"] == 1.0
+    assert got[2]["n_grams"] == got[1]["n_grams"] == 3
+
+
+def test_shard_manifest_deterministic_and_partitioning_invariant(spark, sf_smoke):
+    """The manifest digest is an order-independent fold: any physical
+    partitioning of the same membership yields identical rows — the
+    property that lets a 100 TB export validate against a re-run."""
+    base = pipeline_shard_manifest(spark, sf_smoke).collect()
+    assert len(base) == N_SHARDS  # every shard populated at 500 docs
+    # recompute over a violently repartitioned copy of the same table
+    import cdc_cloudrun_demo_spark.functions.pipeline as pl
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet").repartition(13, "lang")
+    shard = (pl._knuth_hash(F.col("doc_id")) % F.lit(N_SHARDS)).alias("shard")
+    v = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(1000003)
+    )
+    again = (
+        d.select(shard, "doc_id", "n_chars", v.alias("v"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("v").alias("manifest_digest"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_shard_manifest_state_is_bounded(spark, sf_smoke):
+    """No collect_list / sort_array in the plan: per-group state must be
+    scalars, or the manifest would not survive a trillion-doc shard."""
+    plan = formatted_plan(pipeline_shard_manifest(spark, sf_smoke))
+    assert "collect_list" not in plan and "sort_array" not in plan, plan
+
+
+def test_split_assign_fractions_and_stability(spark, sf_smoke):
+    rows = pipeline_split_assign(spark, sf_smoke).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert by_split["train"] / total > 0.9
+    assert 0 < by_split.get("val", 0) + by_split.get("test", 0) < 0.1 * total
+    # pure function of doc_id: a second evaluation is row-identical
+    again = pipeline_split_assign(spark, sf_smoke).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

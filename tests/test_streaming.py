@@ -487,6 +487,184 @@ def test_snapshot_sink_crash_mid_commit_converges(spark, tmp_path):
     assert [r["id"] for r in dead] == [3]
 
 
+def _tx_rows_phase1():
+    from datetime import datetime
+
+    return [
+        (i + 1, "INSERT", i, f"content-{i}", datetime(2024, 1, 1, 0, 0, i % 60))
+        for i in range(50)
+    ]
+
+
+def _tx_rows_phase2():
+    from datetime import datetime
+
+    return [
+        (1000 + i, "DELETE" if i == 3 else "UPDATE", i,
+         None if i == 3 else f"updated-{i}", datetime(2024, 1, 2, 0, 0, i))
+        for i in range(10)
+    ]
+
+
+def _tx_want_final():
+    return {i: f"updated-{i}" for i in range(10) if i != 3} | {
+        i: f"content-{i}" for i in range(10, 50)
+    }
+
+
+def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
+    """The transactional sink's core guarantee: a crash BETWEEN writing
+    the new data files and publishing the manifest leaves the reader on
+    the previous snapshot IN FULL — not the torn old/new bucket mix the
+    overwrite sink exhibits (see test_snapshot_sink_crash_mid_commit_
+    converges, where the torn state is observable by design). Restarting
+    replays the batch and commits; gc() then sweeps the orphan
+    generation the crashed attempt left behind."""
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import (
+        TxSnapshotStore,
+        read_tx_snapshot,
+        tx_snapshot_sink,
+    )
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream(on_before_commit=None):
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        return tx_snapshot_sink(
+            materialize_with_state(stream), state_dir, ckpt,
+            on_before_commit=on_before_commit,
+        )
+
+    spark.createDataFrame(_tx_rows_phase1(), CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_000"))
+    q = run_stream()
+    assert q.awaitTermination(120)
+    phase1 = {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }
+    assert phase1 == {i: f"content-{i}" for i in range(50)}
+
+    # phase 2 arrives, but the process "dies" after the data files are
+    # written and before the manifest publish
+    spark.createDataFrame(_tx_rows_phase2(), CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_001"))
+
+    def die(batch_id: int) -> None:
+        raise RuntimeError("injected crash before manifest publish")
+
+    q = run_stream(on_before_commit=die)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")  # pragma: no cover
+
+    # the reader still sees phase 1 exactly — no torn view, ever
+    after_crash = {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }
+    assert after_crash == phase1
+    store = TxSnapshotStore(state_dir)
+    v_before = store.latest_manifest()["version"]
+
+    # restart: checkpoint replays the batch, the commit publishes atomically
+    q = run_stream()
+    assert q.awaitTermination(120)
+    got = {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }
+    assert got == _tx_want_final()
+    assert store.latest_manifest()["version"] == v_before + 1
+    # tombstone retained in the raw snapshot, filtered in the live view
+    raw = store.read(spark)
+    assert [r["id"] for r in raw.filter(F.col("is_deleted")).collect()] == [3]
+    # the crashed attempt left no orphan: the retry REUSED its generation
+    # number (commit() clears leftovers before rewriting), so GC finds
+    # nothing — the torn attempt cost zero permanent garbage
+    assert store.gc() == 0
+
+    # phase 3 touches every bucket, fully superseding generations 1 and 2;
+    # GC now reclaims both, and the committed snapshot survives the sweep
+    from datetime import datetime
+
+    rows3 = [
+        (2000 + i, "UPDATE", i, f"final-{i}", datetime(2024, 1, 3, 0, 0, i % 60))
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows3, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_002"))
+    q = run_stream()
+    assert q.awaitTermination(120)
+    assert store.gc() >= 2
+    assert {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    } == {i: f"final-{i}" for i in range(50)}
+
+
+def test_tx_sink_replay_skips_committed_batch(spark, tmp_path):
+    """foreachBatch's double-fire case: the batch COMMITTED to the
+    manifest but the checkpoint lost the commit marker (crash between
+    sink commit and checkpoint commit). On restart the sink must SKIP
+    the replayed batch — exactly-once enforced at the commit via the
+    manifest's batch_id, not argued from merge algebra — leaving the
+    manifest version unchanged."""
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import (
+        TxSnapshotStore,
+        read_tx_snapshot,
+        tx_snapshot_sink,
+    )
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        q = tx_snapshot_sink(materialize_with_state(stream), state_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    spark.createDataFrame(_tx_rows_phase1(), CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_000"))
+    run_stream()
+    spark.createDataFrame(_tx_rows_phase2(), CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_001"))
+    run_stream()
+
+    store = TxSnapshotStore(state_dir)
+    m = store.latest_manifest()
+
+    # erase the checkpoint's commit marker: Spark now believes the last
+    # batch never ran and will replay it
+    commits = os.path.join(ckpt, "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run_stream()
+    m2 = store.latest_manifest()
+    assert m2["version"] == m["version"], "replayed batch must not re-commit"
+    assert m2["batch_id"] == m["batch_id"]
+    got = {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }
+    assert got == _tx_want_final()
+
+
 def test_rate_source_cdc_replay_matches_closed_form(spark, tmp_path):
     """The LWW fold is source-agnostic: drive `materialize_with_state`
     from a CONTINUOUS rate-generated change stream (the Kafka/Debezium

@@ -3,7 +3,7 @@ live registry. Usage: python tools/gen_inventory.py (prints markdown)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cdc_cloudrun_demo_spark.operators import registry
-from cdc_cloudrun_demo_spark.functions import dedup, similarity, text
+from cdc_cloudrun_demo_spark.functions import dedup, pipeline, similarity, text
 from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
     cdc, joins, metrics, relational, sampling, scalar_fns, schema_evolution,
@@ -19,6 +19,7 @@ groups = [
  ("Sampling & reshape", sampling),
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
+ ("Export pipeline (PII/sharding/novelty)", pipeline),
  ("Multimodal", multimodal), ("JDBC ingestion", jdbc_io),
  ("File-format ingestion (CSV/JSONL)", file_formats),
  ("Schema evolution", schema_evolution),

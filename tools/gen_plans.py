@@ -46,6 +46,10 @@ COMMENTARY = {
  "text_contamination": "Train/eval overlap gate: the bounded eval-gram set broadcasts; the unbounded train side is only SCANNED and left-semi-joined against that broadcast - no shuffle keyed on train grams anywhere. Matched grams (a subset of eval grams) broadcast back to score each eval doc, so the two corpus passes are the whole cost at any scale.",
  "source_csv_roundtrip": "CSV ingestion with the schema passed explicitly (no inferSchema pre-scan) and microsecond timestampFormat pinned on both write and read; parallelism comes from the file count, the aggregate is the standard scaled-long partial-then-merge with one exchange. Hash-matching the pristine-parquet oracle proves the text hop is identity per row.",
  "source_jsonl_roundtrip": "JSON-lines ingestion, same discipline as the CSV twin: explicit schema, pinned microsecond timestamps (Spark's default emits millis - a silent 1000x precision loss on event times), count_distinct + scaled-long aggregate above the scan, one exchange.",
+ "text_pii_redact": "PII scrub is a pure projection: ZERO exchanges, 2-column ReadSchema, three chained JVM regexp_replace + regexp_count expressions inside one codegen stage - runs at scan speed at any corpus size (guarded by tests/test_pipeline_ops.py::test_pii_redact_is_narrow). Hash parity on the redacted md5 proves the emitted bytes, not just the counts.",
+ "text_novelty": "Novelty scoring: distinct-gram explode -> ONE exchange keyed on the gram for the min-doc window -> one groupBy(doc_id) fold. The gram-keyed shuffle carries strings here because the oracle must see identical group identities; production swaps the key for xxhash64(gram) (the 8-byte posting discipline of dedup.py) and the plan shape is unchanged.",
+ "pipeline_shard_manifest": "Deterministic shard layout: narrow arithmetic-hash projection, one groupBy(shard) with 16 groups. Per-group state is five scalars - the membership digest is an order-independent modular SUM, never a collect_list - so the aggregate survives a trillion-doc shard with constant memory (guarded by test_shard_manifest_state_is_bounded).",
+ "pipeline_split_assign": "Train/val/test assignment is a pure function of doc_id (engine-portable multiplicative hash): narrow projection + one small groupBy((split, lang)). Stability across runs/partitionings/engines is the property that keeps eval sets eval sets; asserted by test_split_assign_fractions_and_stability.",
 }
 
 print("# Plan audit — headline queries\n")
