@@ -47,6 +47,33 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_pool(spark: SparkSession, pool: str):
+    """Run the enclosed jobs in a named fair-scheduler pool — the engine
+    analog of the reference's PgBouncer transaction-level multiplexing
+    (SURVEY §4: `terraform/database.tf:27-31` gives each service a
+    multiplexed slice of one database; a fair pool gives each caller a
+    weighted slice of one SparkContext). Pools are created on first use
+    with default weight/minShare; `get_spark` builds the context with
+    `spark.scheduler.mode=FAIR` so concurrent pools round-robin instead
+    of head-of-line-blocking behind a long scan (FIFO's failure mode —
+    exactly the 80-concurrent-requests envelope the reference provisions
+    for, `terraform/cloud_run.tf:19`). The local property is
+    THREAD-confined (inheritable at thread start), so two threads in
+    different pools don't race this setting; restores the previous pool
+    on exit."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        yield spark
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)
+
+
 _warmed: set[str] = set()
 
 
@@ -133,6 +160,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # broadcast threshold: dims (region/nation/part/supplier) stay small
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # FAIR scheduling so concurrent callers (scoped_pool) time-share
+        # the context instead of queueing behind a long job — the
+        # PgBouncer-multiplexing analog (SURVEY §4). With one active job
+        # it is behaviorally identical to FIFO, so single-query plans
+        # and timings are unaffected.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -77,3 +77,32 @@ def test_concurrent_mixed_families(spark, sf_oracle):
         results = [f.result(timeout=300) for f in futs]
     for name, res, _ in results:
         assert res.ok, f"{name} diverged under concurrency: {res.detail}"
+
+
+def test_fair_pools_isolate_concurrent_callers(spark, sf_oracle):
+    """PgBouncer-multiplexing analog (SURVEY §4): two callers in separate
+    fair-scheduler pools on one session. Asserts (a) the session built by
+    get_spark schedules FAIR, (b) the pool property is thread-confined —
+    each thread sees exactly its own pool while running — and (c) both
+    pooled queries stay oracle-green."""
+    from cdc_cloudrun_demo_spark.session import scoped_pool
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+    def run_pooled(name, pool_name):
+        with scoped_pool(spark, pool_name):
+            seen = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+            res = _run_green(spark, sf_oracle, name)
+            return seen, res
+        # pool restored on exit (asserted below via the main thread)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(run_pooled, "agg_pricing_summary", "etl")
+        f2 = pool.submit(run_pooled, "qx_custdist", "adhoc")
+        (seen1, (n1, r1, _)) = f1.result(timeout=300)
+        (seen2, (n2, r2, _)) = f2.result(timeout=300)
+    assert seen1 == "etl" and seen2 == "adhoc"
+    assert r1.ok, f"{n1} diverged in pool etl: {r1.detail}"
+    assert r2.ok, f"{n2} diverged in pool adhoc: {r2.detail}"
+    # the main thread's pool was never touched by the workers
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
