@@ -59,32 +59,46 @@ class TxSnapshotStore:
         self.data_dir = os.path.join(state_dir, "data")
 
     # -- manifest resolution ------------------------------------------------
+    def versions(self) -> list[int]:
+        """All committed snapshot versions, ascending."""
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
     def latest_manifest(self) -> dict | None:
         """Newest committed manifest, or None before the first commit.
         Resolution is a directory listing + max(version) — no lock: the
         rename publishing a manifest is atomic, so every version that
         lists is complete."""
-        if not os.path.isdir(self.manifest_dir):
-            return None
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(self.manifest_dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        return self.manifest(None)
+
+    def manifest(self, version: int | None) -> dict | None:
+        """A specific committed manifest (None ⇒ newest)."""
+        versions = self.versions()
         if not versions:
             return None
-        path = os.path.join(self.manifest_dir, f"v{max(versions)}.json")
-        with open(path) as fh:
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise ValueError(f"no committed snapshot v{version}; have {versions}")
+        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as fh:
             return json.load(fh)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """The current snapshot as a DataFrame (bucket column included).
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """A committed snapshot as a DataFrame (bucket column included) —
+        the newest by default, or any retained historical ``version``
+        (time travel: every commit's manifest is a complete file listing,
+        so old snapshots stay readable until `gc` reclaims their files).
         Reads exactly the committed file set — concurrent commits cannot
         tear the view because the file list came from ONE manifest. The
         bucket column is RECOMPUTED from the key (it is a pure function
         of id), not parsed from the directory layout: leaf-file reads
         skip partition discovery, and deriving beats parsing anyway."""
-        m = self.latest_manifest()
+        m = self.manifest(version)
         files = [f for fl in (m or {"buckets": {}})["buckets"].values() for f in fl]
         if not files:
             return spark.createDataFrame([], UPDATES_SCHEMA + ", bucket int")
@@ -136,26 +150,33 @@ class TxSnapshotStore:
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.manifest_dir, f"v{version}.json"))
 
-    def gc(self) -> int:
-        """Delete data generations no manifest-visible bucket references
-        (orphans from torn commits + superseded files). Safe any time
-        AFTER a commit: readers resolve files through the latest manifest
-        only. Returns the number of directories removed."""
-        m = self.latest_manifest()
-        if m is None or not os.path.isdir(self.data_dir):
+    def gc(self, retain_versions: int = 1) -> int:
+        """Delete data generations referenced by NONE of the newest
+        ``retain_versions`` manifests (orphans from torn commits +
+        superseded files), and drop the expired manifests themselves —
+        the time-travel retention window, same dial as Iceberg's
+        expire_snapshots. Safe any time AFTER a commit: readers resolve
+        files through a manifest, and every retained manifest's file set
+        is left whole. Returns the number of data directories removed."""
+        versions = self.versions()
+        if not versions or not os.path.isdir(self.data_dir):
             return 0
-        live_gens = {
-            f.split(os.sep)[1]
-            for fl in m["buckets"].values()
-            for f in fl  # data/gen-N/bucket=b/part-*.parquet
-        }
+        retain_versions = max(1, retain_versions)
+        keep = versions[-retain_versions:]
+        live_gens: set[str] = set()
+        for v in keep:
+            for fl in self.manifest(v)["buckets"].values():
+                for f in fl:  # data/gen-N/bucket=b/part-*.parquet
+                    live_gens.add(f.split(os.sep)[1])
         removed = 0
         for entry in os.listdir(self.data_dir):
             if entry.startswith("gen-") and entry not in live_gens:
                 gen_v = int(entry.split("-", 1)[1])
-                if gen_v <= m["version"]:  # never GC a commit in flight
+                if gen_v <= keep[-1]:  # never GC a commit in flight
                     shutil.rmtree(os.path.join(self.data_dir, entry))
                     removed += 1
+        for v in versions[:-retain_versions]:
+            os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
         return removed
 
 
@@ -223,11 +244,14 @@ def tx_snapshot_sink(
     )
 
 
-def read_tx_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Live view of a tx snapshot (tombstones filtered)."""
+def read_tx_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """Live view of a tx snapshot (tombstones filtered): the newest
+    commit, or a retained historical ``version`` (time travel)."""
     return (
         TxSnapshotStore(state_dir)
-        .read(spark)
+        .read(spark, version)
         .filter(~F.col("is_deleted"))
         .drop("bucket")
     )

@@ -584,10 +584,22 @@ def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
     # tombstone retained in the raw snapshot, filtered in the live view
     raw = store.read(spark)
     assert [r["id"] for r in raw.filter(F.col("is_deleted")).collect()] == [3]
+    # time travel: the pre-batch snapshot remains readable by version
+    travel = {
+        r["id"]: r["content"]
+        for r in read_tx_snapshot(spark, state_dir, version=v_before).collect()
+    }
+    assert travel == phase1
+
     # the crashed attempt left no orphan: the retry REUSED its generation
     # number (commit() clears leftovers before rewriting), so GC finds
-    # nothing — the torn attempt cost zero permanent garbage
-    assert store.gc() == 0
+    # nothing — the torn attempt cost zero permanent garbage. Retaining
+    # both versions keeps time travel alive through the sweep.
+    assert store.gc(retain_versions=2) == 0
+    assert {
+        r["id"]: r["content"]
+        for r in read_tx_snapshot(spark, state_dir, version=v_before).collect()
+    } == phase1
 
     # phase 3 touches every bucket, fully superseding generations 1 and 2;
     # GC now reclaims both, and the committed snapshot survives the sweep
@@ -602,10 +614,13 @@ def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
     ).parquet(str(log_dir / "slice_002"))
     q = run_stream()
     assert q.awaitTermination(120)
-    assert store.gc() >= 2
+    assert store.gc() >= 2  # default retention collapses history to newest
     assert {
         r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
     } == {i: f"final-{i}" for i in range(50)}
+    # expired versions are gone for readers too
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        read_tx_snapshot(spark, state_dir, version=v_before)
 
 
 def test_tx_sink_replay_skips_committed_batch(spark, tmp_path):
