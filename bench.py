@@ -82,6 +82,32 @@ def main() -> None:
         for name in HEADLINE:
             timings[name] = min(timings[name], run(name))
 
+    # Concurrency envelope — the reference's core claim is concurrent
+    # request throughput (80 req/container, pool of 5; BASELINE.md). Run
+    # a 4-query mix serially, then 4-way concurrent in separate fair
+    # pools (session.scoped_pool): speedup > 1 shows the engine
+    # multiplexes one context across callers instead of queueing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cdc_cloudrun_demo_spark.session import scoped_pool
+
+    mix = ["agg_pricing_summary", "qx_custdist", "win_running_total", "dedup_exact"]
+
+    def run_pooled(name: str, pool: str) -> None:
+        with scoped_pool(spark, pool):
+            run(name)
+
+    t0 = time.perf_counter()
+    for name in mix:
+        run(name)
+    serial_s = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(mix)) as pool:
+        futs = [pool.submit(run_pooled, n, f"pool{i}") for i, n in enumerate(mix)]
+        for f in futs:
+            f.result()
+    concurrent_s = round(time.perf_counter() - t0, 4)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -91,6 +117,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "startup": {"session_s": session_s, "first_query_s": first_query_s},
+                "concurrency": {
+                    "mix_serial_s": serial_s,
+                    "mix_concurrent_s": concurrent_s,
+                    "speedup": round(serial_s / concurrent_s, 2)
+                    if concurrent_s > 0
+                    else None,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -200,6 +200,49 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_materialize_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming materializer through the ATOMIC sink
+    (`streaming/tx_snapshot.py`): same change-log replay and
+    applyInPandasWithState LWW fold as `cdc_materialize_streaming`, but
+    each micro-batch commits via immutable data files + an atomic
+    manifest swap instead of dynamic partition overwrite — the Iceberg
+    commit protocol reduced to its minimum, with batch_id replay-skip
+    and time-travel-able history. Hash-matching the SAME oracle as the
+    batch fold proves the transactional commit path end to end (the
+    crash/replay/GC properties are proven separately in
+    tests/test_streaming.py::test_tx_sink_*)."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..streaming.cdc_stream import CHANGE_SCHEMA, materialize_with_state
+    from ..streaming.tx_snapshot import read_tx_snapshot, tx_snapshot_sink
+
+    tmp = scratch_dir("cdc_tx_q_")
+    log_dir = os.path.join(tmp, "log")
+    message_changes_df(spark, sf_dir).orderBy("seq").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    q = tx_snapshot_sink(
+        materialize_with_state(stream),
+        state_dir=os.path.join(tmp, "state"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("tx streaming materializer did not finish within 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    return read_tx_snapshot(spark, os.path.join(tmp, "state")).select(
+        "id", "content", "last_seq", "updated_at"
+    )
+
+
 def cdc_log_compact(
     spark: SparkSession, sf_dir: str, keep_versions: int = 2
 ) -> DataFrame:
@@ -267,6 +310,7 @@ QUERIES = {
     "cdc_materialize": cdc_materialize,
     "cdc_log_compact": cdc_log_compact,
     "cdc_materialize_streaming": cdc_materialize_streaming,
+    "cdc_materialize_tx": cdc_materialize_tx,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_snapshot_asof": cdc_snapshot_asof,
     "cdc_tombstone_keys": cdc_tombstone_keys,
@@ -300,6 +344,7 @@ ORACLES = {
     """,
     # the streaming fold must converge to the identical batch state
     "cdc_materialize_streaming": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_materialize_tx": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""
         {_CTE},
         v AS (
