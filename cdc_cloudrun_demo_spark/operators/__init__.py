@@ -63,6 +63,7 @@ def driver_verified_names() -> frozenset[str]:
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from . import (
         aggregates,
+        layout,
         analytics,
         bench_ops,
         cdc,
@@ -113,6 +114,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         # entries must sort AFTER the 17 pre-existing unverified names in
         # the sweep window, not displace them (round-4 verdict item 1).
         pipeline,
+        layout,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

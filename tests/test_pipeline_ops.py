@@ -131,3 +131,67 @@ def test_split_assign_fractions_and_stability(spark, sf_smoke):
     # pure function of doc_id: a second evaluation is row-identical
     again = pipeline_split_assign(spark, sf_smoke).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_zorder_layout_improves_two_column_pruning(spark, sf_smoke, tmp_path):
+    """The point of the Morton key, proven against real parquet footers:
+    range-partition lineitem into 16 files by (a) l_orderkey and (b) the
+    z-order key, then for an l_partkey range predicate count the files
+    whose row-group [min,max] stats overlap the range — what any
+    stats-based reader (parquet filter pushdown, Delta/Iceberg file
+    skipping) scans. Single-column order gives no l_partkey clustering
+    (every file overlaps); Z-order must prune strictly more files, while
+    still pruning on l_orderkey too."""
+    import pyarrow.parquet as pq
+
+    from cdc_cloudrun_demo_spark.operators.layout import layout_zorder_key
+
+    keyed = layout_zorder_key(spark, sf_smoke)
+    n_files = 16
+
+    def write_sorted(col, path):
+        keyed.repartitionByRange(n_files, F.col(col)).sortWithinPartitions(
+            col
+        ).write.mode("overwrite").parquet(path)
+
+    by_order = str(tmp_path / "by_orderkey")
+    by_z = str(tmp_path / "by_zkey")
+    write_sorted("l_orderkey", by_order)
+    write_sorted("zkey", by_z)
+
+    def overlapping_files(path, col, lo, hi):
+        import glob
+
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            schema_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fmin = min(
+                md.row_group(g).column(schema_idx[col]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(schema_idx[col]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                n += 1
+        return n
+
+    stats = keyed.agg(
+        F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx")
+    ).collect()[0]
+    # a ~10%-selectivity partkey range
+    lo = stats["mn"]
+    hi = stats["mn"] + (stats["mx"] - stats["mn"]) // 10
+    naive = overlapping_files(by_order, "l_partkey", lo, hi)
+    zord = overlapping_files(by_z, "l_partkey", lo, hi)
+    assert zord < naive, (zord, naive)
+    # and the z-layout still prunes the other dimension as well: an
+    # orderkey range must not need every file either
+    ostats = keyed.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    olo = ostats["mn"]
+    ohi = ostats["mn"] + (ostats["mx"] - ostats["mn"]) // 10
+    assert overlapping_files(by_z, "l_orderkey", olo, ohi) < n_files

@@ -6,8 +6,8 @@ from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, pipeline, similarity, text
 from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
-    cdc, joins, metrics, relational, sampling, scalar_fns, schema_evolution,
-    setops, streaming_batch, windows)
+    cdc, joins, layout, metrics, relational, sampling, scalar_fns,
+    schema_evolution, setops, streaming_batch, windows)
 
 q, o = registry()
 groups = [
@@ -20,6 +20,7 @@ groups = [
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
  ("Export pipeline (PII/sharding/novelty)", pipeline),
+ ("Data layout (Z-order clustering)", layout),
  ("Multimodal", multimodal), ("JDBC ingestion", jdbc_io),
  ("File-format ingestion (CSV/JSONL)", file_formats),
  ("Schema evolution", schema_evolution),
