@@ -1,0 +1,53 @@
+"""Scale lint: EVERY registry entry's physical plan, automatically.
+
+The hand-written assertions in tests/test_plans.py pin the headline
+queries' plans; this sweep generalizes the scale-killer checks to the
+whole surface, so a future operator cannot ship an accidental
+cartesian, a single-reducer exchange, or an unbounded nested-loop
+join without failing CI. The plan is built (which for a handful of
+eager ops also runs their bounded setup) but never executed over data.
+"""
+
+from __future__ import annotations
+
+from cdc_cloudrun_demo_spark.operators import registry
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# bounded by construction — one scalar-aggregate row or a tiny literal
+# relation. Each entry here names its bounded side; anything not listed
+# that plans a BNLJ fails the lint.
+BNLJ_BOUNDED = {
+    "layout_zorder_key": "1-row global min/max bounds aggregate",
+    "join_scalar_subquery": "1-row global mean aggregate",
+    "join_salted_skew": "n_salt-row literal salt relation",
+    "text_heavy_hitters": "<= counters x partitions Misra-Gries candidates",
+    "qx_sales_opportunity": "1-row scalar AVG subquery (TPC-H Q22 shape)",
+    "sample_mixture": "n_sources-row quota aggregate",
+    "cdc_keygen": "1-row bounds aggregate + P-row offset table",
+    "sim_cosine_topk": "bounded query set (fixed id filter)",
+    "text_unigram_logprob": "1-row total/UNK aggregate",
+    "qx_nested_agg": "1-row scalar aggregate subquery",
+}
+
+
+def test_no_scale_killers_in_any_registry_plan(spark, sf_smoke):
+    queries, _ = registry()
+    offenders: list[str] = []
+    for name, fn in queries.items():
+        df = fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "Exchange SinglePartition" in plan:
+            # a single-reducer exchange funnels the data through one task
+            offenders.append(f"{name}: Exchange SinglePartition")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
+            offenders.append(f"{name}: unvetted BroadcastNestedLoopJoin")
+        if "BroadcastNestedLoopJoin" in plan and name in BNLJ_BOUNDED:
+            # the vetted BNLJ must actually broadcast (never shuffle-NLJ)
+            assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), name
+    assert not offenders, "scale-killers found:\n" + "\n".join(offenders)
