@@ -195,3 +195,108 @@ def test_zorder_layout_improves_two_column_pruning(spark, sf_smoke, tmp_path):
     olo = ostats["mn"]
     ohi = ostats["mn"] + (ostats["mx"] - ostats["mn"]) // 10
     assert overlapping_files(by_z, "l_orderkey", olo, ohi) < n_files
+
+
+def test_pii_redaction_is_idempotent(spark, tmp_path):
+    """Redacting already-redacted text is a no-op: the placeholder tokens
+    contain no match for any detector (the property that lets a pipeline
+    re-run the scrub safely on partially-processed data)."""
+    rows = [
+        (1, "alice@example.com called 555-867-5309 from 10.0.0.1"),
+        (2, "plain text"),
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    once = {r["doc_id"]: r for r in text_pii_redact(spark, str(tmp_path)).collect()}
+    # build a corpus whose text IS the redacted text, re-run the scrub
+    from pyspark.sql import functions as _F
+
+    from cdc_cloudrun_demo_spark.functions.pipeline import (
+        _EMAIL_RE,
+        _IPV4_RE,
+        _PHONE_RE,
+    )
+
+    d = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    redacted_text = _F.regexp_replace(
+        _F.regexp_replace(
+            _F.regexp_replace(_F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    d.select(
+        "doc_id", redacted_text.alias("text"), "lang", "source", "n_chars"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/round2/documents.parquet")
+    twice = {
+        r["doc_id"]: r
+        for r in text_pii_redact(spark, f"{tmp_path}/round2").collect()
+    }
+    for i in (1, 2):
+        assert (twice[i]["n_emails"], twice[i]["n_phones"], twice[i]["n_ipv4"]) == (
+            0,
+            0,
+            0,
+        )
+        assert twice[i]["redacted_md5"] == once[i]["redacted_md5"]
+
+
+def test_zorder_interleave_is_bijective_and_monotone():
+    """Pure-math properties of the Morton interleave (mirrors the SQL
+    expression bit for bit): (a) bijective on 16-bit pairs — deinterleave
+    recovers the inputs; (b) monotone in each argument with the other
+    fixed — the ordering property range-partition pruning relies on."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    def interleave(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    u16 = st.integers(min_value=0, max_value=(1 << 16) - 1)
+
+    @given(u16, u16, u16)
+    def check(a, b, c):
+        assert deinterleave(interleave(a, b)) == (a, b)
+        if a < c:
+            assert interleave(a, b) != interleave(c, b)
+            # fixing b, the even-bit contribution is monotone in a
+            assert interleave(a, 0) < interleave(c, 0)
+
+    check()
+
+
+def test_zorder_sql_matches_python_model(spark):
+    """The generated Spark SQL interleave expression equals the Python
+    reference model on a deterministic grid (so both engines' SQL — which
+    hash-matched in parity — also equals the spec, not just each other)."""
+    from cdc_cloudrun_demo_spark.operators.layout import _interleave_sql
+
+    def interleave(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(a, b) for a in (0, 1, 2, 255, 65535, 43690) for b in (0, 1, 37, 65535)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.selectExpr(
+            "a", "b", f"({_interleave_sql('a', 'b', 'fn')}) AS z"
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == interleave(a, b), (a, b, z)
