@@ -207,12 +207,90 @@ def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_curation_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus curation flagship, one oracled query: the
+    documents that survive every gate a real training-data pipeline
+    applies — the dedup kept-set (≥5-word gate → exact-dedup survivor →
+    near-dup canonical, `dedup.pipeline_dedup_kept`), the C4/Gopher
+    integer-exact quality filter (`text.pipeline_quality_kept`), and
+    eval-split exclusion (the `text_contamination` split: eval docs
+    never reach training shards) — landed into the deterministic
+    16-shard layout with order-independent manifest digests
+    (`pipeline_shard_manifest`). Every stage is individually oracled;
+    this entry proves the COMPOSITION hash-exact, which is the artifact
+    a training job actually consumes. Plan cost = the stages' own plans
+    plus two doc-id semi-joins; nothing new shuffles."""
+    from .dedup import pipeline_dedup_kept
+    from .text import pipeline_quality_kept
+
+    d = load_table(spark, sf_dir, "documents")
+    dk = pipeline_dedup_kept(spark, sf_dir).select("doc_id")
+    qk = pipeline_quality_kept(spark, sf_dir).filter("kept").select("doc_id")
+    final = (
+        d.filter(F.col("doc_id") % 50 != 0)  # eval split stays out of training
+        .join(dk, "doc_id", "left_semi")
+        .join(qk, "doc_id", "left_semi")
+        .select("doc_id", "n_chars")
+    )
+    shard = (_knuth_hash(F.col("doc_id")) % F.lit(N_SHARDS)).alias("shard")
+    member_v = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(1000003)
+    )
+    return (
+        final.select(shard, "doc_id", "n_chars", member_v.alias("v"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("v").alias("manifest_digest"),
+        )
+    )
+
+
+def _curation_export_oracle() -> str:
+    """Compose the stage oracles textually (DuckDB allows WITH — even
+    WITH RECURSIVE — inside a subquery), then re-apply the shard math."""
+    from .dedup import ORACLES as DEDUP_ORACLES
+    from .text import ORACLES as TEXT_ORACLES
+
+    dk = DEDUP_ORACLES["pipeline_dedup_kept"]
+    qk = TEXT_ORACLES["pipeline_quality_kept"]
+    return f"""
+        WITH dk AS (SELECT doc_id FROM ({dk})),
+        qk AS (SELECT doc_id FROM ({qk}) WHERE kept),
+        final AS (
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            JOIN dk USING (doc_id)
+            JOIN qk USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        ), tagged AS (
+            SELECT {_SQL_KNUTH} % {N_SHARDS} AS shard, doc_id, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 AS v
+            FROM final
+        )
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               CAST(SUM(v) AS BIGINT) AS manifest_digest
+        FROM tagged GROUP BY shard
+    """
+
+
 QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_word_bigrams": text_word_bigrams,
     "text_novelty": text_novelty,
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_split_assign": pipeline_split_assign,
+    "pipeline_curation_export": pipeline_curation_export,
 }
 
 ORACLES = {
@@ -300,3 +378,7 @@ ORACLES = {
         FROM tagged GROUP BY split, lang
     """,
 }
+
+# Composed lazily from the stage oracles at import (no cycles: dedup/text
+# never import this module).
+ORACLES["pipeline_curation_export"] = _curation_export_oracle()

@@ -150,6 +150,48 @@ def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "current"))
 
 
+def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_session_windows as a REAL Structured Streaming run — the
+    hardest window class live, because sessions MERGE across micro-batches:
+    an event in batch 3 can bridge two sessions the state store built in
+    batches 1 and 2, and the engine must collapse them (windows are not
+    fixed buckets). Events replay as a 4-file parquet stream in arbitrary
+    slicing; the identical gap-sessionization fold runs in complete mode
+    (nothing may drop — the contract is exact equality with the batch
+    oracle's lag→flag→cumulative-sum reconstruction), and the converged
+    snapshot hash-matches the same SQL oracle as the batch twin."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..sources import file_stream
+    from ..streaming.event_windows import run_to_parquet_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    root = scratch_dir("evsess_")
+    log = os.path.join(root, "log")
+    ev.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = os.path.join(root, "out")
+    q = run_to_parquet_snapshot(agg, out, os.path.join(root, "ckpt"))
+    finished = q.awaitTermination(300)
+    assert finished, "streaming session-window query did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(os.path.join(out, "current"))
+
+
 def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful deduplication as a REAL Structured Streaming
     run: the events table replays as a 4-file parquet stream where the
@@ -271,6 +313,7 @@ QUERIES = {
     "stream_dedup_live": stream_dedup_live,
     "stream_tumbling_daily": stream_tumbling_daily,
     "stream_tumbling_daily_live": stream_tumbling_daily_live,
+    "stream_session_windows_live": stream_session_windows_live,
     "stream_gap_fill": stream_gap_fill,
     "stream_sliding_2d_1d": stream_sliding_2d_1d,
     "stream_session_windows": stream_session_windows,
@@ -356,6 +399,34 @@ ORACLES = {
         GROUP BY window_start
     """,
     "stream_session_windows": f"""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER
+                               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT *, SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+
+    "stream_session_windows_live": f"""
         WITH ordered AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
                    CASE WHEN CAST(ts AS TIMESTAMP)
