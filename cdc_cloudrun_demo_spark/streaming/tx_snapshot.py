@@ -148,7 +148,25 @@ class TxSnapshotStore:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, os.path.join(self.manifest_dir, f"v{version}.json"))
+        # Publish via link(2), not rename(2): rename silently OVERWRITES,
+        # so two racing writers that both computed version V+1 would lose
+        # one commit; link fails with EEXIST — a true compare-and-swap,
+        # which is exactly the primitive Iceberg requires of its catalog
+        # (on S3: a conditional PUT). The loser must re-read and retry
+        # atop the winner's manifest; we surface it loudly instead of
+        # auto-merging because the streaming sink is single-writer by
+        # contract (foreachBatch batches are serial) and a second writer
+        # is a deployment bug, not a race to paper over.
+        final = os.path.join(self.manifest_dir, f"v{version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise RuntimeError(
+                f"concurrent commit detected: manifest v{version} already "
+                "published by another writer; this store is single-writer"
+            ) from e
+        finally:
+            os.unlink(tmp)
 
     def gc(self, retain_versions: int = 1) -> int:
         """Delete data generations referenced by NONE of the newest

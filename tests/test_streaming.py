@@ -921,3 +921,40 @@ def test_stream_stream_left_outer_join_watermark_semantics(spark, sf_smoke, tmp_
         if r["purchase_id"] is None and r["click_ts"] < cutoff
     }
     assert must_emit <= got_null, f"missing {len(must_emit - got_null)} closed-window nulls"
+
+
+def test_tx_sink_rejects_concurrent_commit(spark, tmp_path):
+    """The manifest publish is a compare-and-swap: if another writer
+    already published the version this commit computed, the commit must
+    fail LOUDLY (single-writer contract), never silently overwrite the
+    winner's manifest — the lost-update failure rename-based publishing
+    would allow."""
+    import json as _json
+
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import TxSnapshotStore
+
+    store = TxSnapshotStore(str(tmp_path / "state"))
+    df = spark.createDataFrame(
+        [(0, 1, "a", 1, None, False)],
+        "bucket int, id long, content string, last_seq long, "
+        "updated_at timestamp, is_deleted boolean",
+    ).select("bucket", "id", "content", "last_seq", "updated_at", "is_deleted")
+    store.commit(df, [0], batch_id=0)
+    # a rogue second writer publishes v2 behind our back
+    os.makedirs(store.manifest_dir, exist_ok=True)
+    rogue = {"version": 2, "batch_id": 99, "buckets": {}}
+    with open(os.path.join(store.manifest_dir, "v2.json"), "w") as fh:
+        _json.dump(rogue, fh)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        # our writer believes latest is v2 (the rogue one)... no — it
+        # would build v3. Simulate the true race: we compute v2 ourselves
+        # from the v1 snapshot while the rogue already owns v2.
+        prev = store.manifest(1)
+        store_race = TxSnapshotStore(str(tmp_path / "state"))
+        # force the racing writer's view of "latest" to v1
+        import unittest.mock as mock
+
+        with mock.patch.object(store_race, "latest_manifest", return_value=prev):
+            store_race.commit(df, [0], batch_id=1)
+    # the rogue's manifest survived untouched (no silent overwrite)
+    assert store.manifest(2) == rogue
