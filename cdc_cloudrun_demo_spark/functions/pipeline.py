@@ -36,18 +36,23 @@ _IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 N_SHARDS = 16
 
-# Knuth multiplicative hash: h(id) = (id * 2654435761) mod 2^32.
+# Knuth multiplicative hash: h(id) = ((id mod 2^31) * 2654435761) mod 2^32.
 # Engine-portable (pure BIGINT arithmetic) and well-mixed on dense ids;
-# production swaps this one expression for xxhash64(id).
+# production swaps this one expression for xxhash64(id). The mod-2^31
+# BEFORE the multiply is overflow discipline, not mixing: 2^31 · 2654435761
+# < 2^63, so the product never exceeds BIGINT at ANY id — without it a
+# trillion-scale doc_id would silently wrap in Spark (Java semantics) but
+# RAISE in DuckDB, a cross-engine divergence waiting for big corpora.
 _KNUTH = 2654435761
+_M31 = 2147483648
 _M32 = 4294967296
 
 
 def _knuth_hash(col: Column) -> Column:
-    return (col.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+    return ((col.cast("long") % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
 
 
-_SQL_KNUTH = f"(CAST(doc_id AS BIGINT) * {_KNUTH} % {_M32})"
+_SQL_KNUTH = f"((CAST(doc_id AS BIGINT) % {_M31}) * {_KNUTH} % {_M32})"
 
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
