@@ -581,7 +581,105 @@ def text_unigram_logprob(
     )
 
 
+def text_bigram_logprob(
+    spark: SparkSession,
+    sf_dir: str,
+    top_v: int = 65536,
+    top_b: int = 131072,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — one step up the LM
+    ladder from `text_unigram_logprob`, the standard next quality proxy:
+    for every within-document adjacent token pair,
+    ``p = 0.75·c(w₁w₂)/c(w₁) + 0.25·c(w₂)/N``, falling back to the pure
+    unigram term when the bigram is outside the model. λ = 0.75/0.25
+    are EXACT binary fractions, so the interpolation arithmetic is the
+    identical IEEE operation tree in both engines.
+
+    Boundedness at corpus scale (the unigram entry's discipline, twice):
+    tokens UNK-encode against the top-V unigram vocab FIRST, then the
+    bigram table truncates to the top-B pairs (distributed top-k, ties
+    broken lexicographically) — both model tables broadcast at fixed
+    size regardless of corpus size; out-of-model pairs take the backoff
+    path, exercised by a small-B fixture test in tests/test_llm_ops.py.
+    The conditional uses the plain unigram count of w₁ as the prefix
+    mass (the always-bounded approximation; exact prefix counting would
+    subtract doc-final occurrences — same plan, one more aggregate).
+    Float discipline: every count ratio is an exact-rational→double,
+    scaled to micro-nats and rounded at 3 decimals BEFORE the floor so
+    a 1-ulp libm ln disagreement cannot flip the per-token long; the
+    per-doc sum is exact integer addition. Plan: one doc_id exchange
+    for the lag (production keeps per-doc arrays co-located and builds
+    pairs array-side), two bounded top-k model builds, broadcast joins."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    toks = d.select("doc_id", words.alias("__words")).filter(F.size("__words") >= 2)
+    pos = toks.select("doc_id", F.posexplode("__words").alias("i", "word"))
+    counts = pos.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("word"))
+        .limit(top_v)
+        .select("word", F.lit(1).alias("__in"))
+    )
+    enc = pos.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        "i",
+        F.when(F.col("__in").isNotNull(), F.col("word"))
+        .otherwise(F.lit("<unk>"))
+        .alias("tok"),
+    )
+    uc = enc.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    n_total = uc.agg(F.sum("cu").cast("double").alias("n_total"))
+    prev = F.lag("tok").over(Window.partitionBy("doc_id").orderBy("i"))
+    pairs = (
+        enc.select("doc_id", "i", prev.alias("prev"), "tok")
+        .filter(F.col("prev").isNotNull())
+    )
+    bc = (
+        pairs.groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("prev"), F.asc("tok"))
+        .limit(top_b)
+    )
+    up = uc.select(F.col("tok").alias("prev"), F.col("cu").alias("c_prev"))
+    ut = uc.select("tok", F.col("cu").alias("c_tok"))
+    uni_term = F.lit(0.25) * (F.col("c_tok").cast("double") / F.col("n_total"))
+    p = F.when(
+        F.col("cb").isNotNull(),
+        F.lit(0.75) * (F.col("cb").cast("double") / F.col("c_prev").cast("double"))
+        + uni_term,
+    ).otherwise(uni_term)
+    scored = (
+        pairs.join(F.broadcast(bc), ["prev", "tok"], "left")
+        .join(F.broadcast(up), "prev")
+        .join(F.broadcast(ut), "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.floor(F.round(F.log(p) * F.lit(1_000_000.0), 3))
+            .cast("long")
+            .alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").alias("sum_logp_unats"),
+        )
+        .withColumn(
+            "mean_logp",
+            F.round(
+                F.col("sum_logp_unats").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_bigrams"),
+                6,
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "text_bigram_logprob": text_bigram_logprob,
     "text_contamination": text_contamination,
     "text_unigram_logprob": text_unigram_logprob,
     "text_repetition_signals": text_repetition_signals,
@@ -625,6 +723,55 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_bigram_logprob": """
+        WITH docs AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS w
+            FROM documents WHERE len(regexp_extract_all(LOWER(text), '[a-z]+')) >= 2
+        ), tokens AS (
+            SELECT doc_id, UNNEST(generate_series(1, len(w))) AS i, w
+            FROM docs
+        ), toks AS (
+            SELECT doc_id, i, w[i] AS word FROM tokens
+        ), counts AS (
+            SELECT word, COUNT(*) AS c FROM toks GROUP BY word
+        ), vocab AS (
+            SELECT word FROM counts ORDER BY c DESC, word LIMIT 65536
+        ), enc AS (
+            SELECT t.doc_id, t.i,
+                   CASE WHEN v.word IS NULL THEN '<unk>' ELSE t.word END AS tok
+            FROM toks t LEFT JOIN vocab v USING (word)
+        ), uc AS (
+            SELECT tok, COUNT(*) AS cu FROM enc GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(cu) AS DOUBLE) AS n_total FROM uc
+        ), pairs AS (
+            SELECT e.doc_id, e.i, p.tok AS prev, e.tok
+            FROM enc e JOIN enc p ON e.doc_id = p.doc_id AND p.i = e.i - 1
+        ), bc AS (
+            SELECT prev, tok, COUNT(*) AS cb FROM pairs GROUP BY prev, tok
+            ORDER BY cb DESC, prev, tok LIMIT 131072
+        ), scored AS (
+            SELECT pr.doc_id,
+                   CAST(FLOOR(ROUND(LN(
+                       CASE WHEN b.cb IS NOT NULL
+                            THEN 0.75 * (CAST(b.cb AS DOUBLE)
+                                         / CAST(up.cu AS DOUBLE))
+                                 + 0.25 * (CAST(ut.cu AS DOUBLE) / n_total)
+                            ELSE 0.25 * (CAST(ut.cu AS DOUBLE) / n_total)
+                       END) * 1000000.0, 3)) AS BIGINT) AS logp
+            FROM pairs pr
+            LEFT JOIN bc b ON pr.prev = b.prev AND pr.tok = b.tok
+            JOIN uc up ON pr.prev = up.tok
+            JOIN uc ut ON pr.tok = ut.tok
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(logp) AS BIGINT) AS sum_logp_unats,
+               ROUND(CAST(SUM(logp) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+                 AS mean_logp
+        FROM scored GROUP BY doc_id
+    """,
     "text_unigram_logprob": """
         WITH words AS (
             SELECT doc_id,

@@ -480,3 +480,36 @@ def test_unigram_logprob_unk_pools_truncated_tail(spark, tmp_path):
     got_tie = text_unigram_logprob(spark, sf, top_v=2).collect()[0]
     aa2, bb2, unk2 = unats(2 / 4), unats(1 / 4), unats(1 / 4)
     assert (got_tie["n_tokens"], got_tie["sum_logp_unats"]) == (4, 2 * aa2 + bb2 + unk2)
+
+
+def test_bigram_logprob_backoff_outside_truncated_table(spark, tmp_path):
+    """With the bigram table truncated to top-1, every pair except the
+    most frequent takes the 0.25·unigram backoff path; the kept pair
+    gets the interpolated mass. Checked against a hand-computed model
+    on an enumerable corpus (mirrors the unigram UNK fixture)."""
+    import math
+
+    from cdc_cloudrun_demo_spark.functions.text import text_bigram_logprob
+
+    #  doc1: a b a b   -> pairs (a,b) (b,a) (a,b)
+    #  doc2: a b c     -> pairs (a,b) (b,c)
+    _write_documents(spark, str(tmp_path), [(1, "a b a b"), (2, "a b c")])
+    got = {
+        r["doc_id"]: r
+        for r in text_bigram_logprob(spark, str(tmp_path), top_b=1).collect()
+    }
+    # unigram counts: a=3 b=3 c=1, N=7; top-1 bigram: (a,b) cb=3
+    N = 7.0
+    cu = {"a": 3, "b": 3, "c": 1}
+
+    def p_interp(prev, tok, cb=None):
+        uni = 0.25 * (cu[tok] / N)
+        return (0.75 * (cb / cu[prev]) + uni) if cb else uni
+
+    def unats(p):
+        return math.floor(round(math.log(p) * 1_000_000.0, 3))
+
+    want1 = unats(p_interp("a", "b", 3)) * 2 + unats(p_interp("b", "a"))
+    want2 = unats(p_interp("a", "b", 3)) + unats(p_interp("b", "c"))
+    assert got[1]["n_bigrams"] == 3 and got[1]["sum_logp_unats"] == want1
+    assert got[2]["n_bigrams"] == 2 and got[2]["sum_logp_unats"] == want2

@@ -26,6 +26,7 @@ BNLJ_BOUNDED = {
     "cdc_keygen": "1-row bounds aggregate + P-row offset table",
     "sim_cosine_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",
+    "text_bigram_logprob": "1-row token-total aggregate",
     "qx_nested_agg": "1-row scalar aggregate subquery",
 }
 
