@@ -82,6 +82,54 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16-digit card shape, optional space/dash group separators. The REGEX
+# only proposes candidates; the Luhn CHECKSUM decides (regex alone
+# false-positives on any 16-digit number — the checksum is what makes
+# card scrubbing precise enough to act on).
+_CARD_RE = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"
+
+
+def text_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card detection with Luhn validation: extract 16-digit
+    candidates, strip separators, and verify the checksum — entirely in
+    JVM higher-order array functions (transform/aggregate over digit
+    positions), no UDF, so the validation runs at scan speed like the
+    regex detectors in `text_pii_redact`. Reports candidate and
+    Luhn-valid counts per document; the oracle reproduces the checksum
+    with the same integer CASE arithmetic (no engine-specific digit
+    helpers), so hash parity proves the checksum itself."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(_CARD_RE), 0),
+        lambda s: F.regexp_replace(s, "[ -]", ""),
+    )
+    # Luhn over a 16-digit string: from the right, double every 2nd
+    # digit, subtract 9 when the double exceeds 9, sum ≡ 0 (mod 10).
+    # Position i (1-based from the LEFT of a 16-digit string) is doubled
+    # when i is odd (16 - i + 1 even ⇔ i odd).
+    digit = lambda s, i: (F.ascii(F.substring(s, i, 1)) - F.lit(48)).cast("long")
+
+    def luhn_ok(s):
+        terms = F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.when(
+                i % 2 == 1,
+                F.when(digit(s, i) * 2 > 9, digit(s, i) * 2 - 9).otherwise(
+                    digit(s, i) * 2
+                ),
+            ).otherwise(digit(s, i)),
+        )
+        total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return total % 10 == 0
+
+    valid = F.filter(cands, luhn_ok)
+    return d.select(
+        "doc_id",
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+    )
+
+
 def text_word_bigrams(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
     """Corpus-wide top-k adjacent word pairs — the statistic a
     tokenizer-training / collocation pass reads first. One explode +
@@ -291,6 +339,7 @@ def _curation_export_oracle() -> str:
 
 QUERIES = {
     "text_pii_redact": text_pii_redact,
+    "text_pii_cards": text_pii_cards,
     "text_word_bigrams": text_word_bigrams,
     "text_novelty": text_novelty,
     "pipeline_shard_manifest": pipeline_shard_manifest,
@@ -299,6 +348,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pii_cards": rf"""
+        WITH cands AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all(text, '{_CARD_RE}'),
+                       s -> regexp_replace(s, '[ -]', '', 'g')) AS cc
+            FROM documents
+        ), checked AS (
+            SELECT doc_id, cc,
+                   list_filter(cc, s -> (
+                       list_sum(list_transform(range(1, 17), i ->
+                           CASE WHEN i % 2 = 1
+                                THEN CASE WHEN (ascii(substring(s, i, 1)) - 48) * 2 > 9
+                                          THEN (ascii(substring(s, i, 1)) - 48) * 2 - 9
+                                          ELSE (ascii(substring(s, i, 1)) - 48) * 2 END
+                                ELSE ascii(substring(s, i, 1)) - 48 END))
+                       % 10 = 0)) AS ok
+            FROM cands
+        )
+        SELECT doc_id,
+               CAST(len(cc) AS BIGINT) AS n_candidates,
+               CAST(len(ok) AS BIGINT) AS n_luhn_valid
+        FROM checked
+    """,
     "text_pii_redact": rf"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)

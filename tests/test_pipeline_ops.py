@@ -300,3 +300,27 @@ def test_zorder_sql_matches_python_model(spark):
     }
     for (a, b), z in got.items():
         assert z == interleave(a, b), (a, b, z)
+
+
+def test_pii_cards_luhn_discriminates(spark, tmp_path):
+    """The checksum, not the regex, decides: a well-formed but
+    Luhn-invalid 16-digit number is a candidate, never a detection.
+    4532015112830366 is Luhn-valid; flipping its last digit is not;
+    separators don't matter."""
+    rows = [
+        (1, "pay with 4532015112830366 today"),  # valid
+        (2, "pay with 4532015112830367 today"),  # invalid (last digit)
+        (3, "card 4532-0151-1283-0366 and 1234 5678 9012 3456"),  # 1 of 2
+        (4, "no numbers at all"),
+    ]
+    _write_documents(spark, str(tmp_path), rows)
+    from cdc_cloudrun_demo_spark.functions.pipeline import text_pii_cards
+
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["n_luhn_valid"])
+        for r in text_pii_cards(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 0)
+    assert got[3] == (2, 1)
+    assert got[4] == (0, 0)
