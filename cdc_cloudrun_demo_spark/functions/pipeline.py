@@ -236,6 +236,42 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def export_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """The WRITE side of the shard layout: land every document in its
+    deterministic shard directory (`shard=N/` partitions — at 100 TB
+    each shard is further split into many files by the writer's task
+    parallelism, which is fine: the shard is the unit of assignment,
+    not of file count), then recompute the manifest FROM THE WRITTEN
+    FILES and return it. A caller compares this against
+    `pipeline_shard_manifest` (computed from the source): equal rows
+    prove the export wrote exactly the claimed membership — the
+    validation a training job runs before trusting a new export.
+    One round trip, no collect; digests are the same order-independent
+    modular sum, so file order within shards is irrelevant."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (_knuth_hash(F.col("doc_id")) % F.lit(N_SHARDS)).alias("shard")
+    d.select(shard, *d.columns).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    member_v = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(1000003)
+    )
+    return (
+        back.select("shard", "doc_id", "n_chars", member_v.alias("v"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("v").alias("manifest_digest"),
+        )
+    )
+
+
 def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 98/1/1 train/val/test split: bucket = knuth(doc_id)
     % 100 → train (< 98), val (98), test (99). Per (split, lang) report

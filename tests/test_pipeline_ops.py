@@ -324,3 +324,20 @@ def test_pii_cards_luhn_discriminates(spark, tmp_path):
     assert got[2] == (1, 0)
     assert got[3] == (2, 1)
     assert got[4] == (0, 0)
+
+
+def test_export_shards_files_match_claimed_manifest(spark, sf_smoke, tmp_path):
+    """Write-side validation loop: export the corpus into its shard
+    layout, recompute the manifest from the files on disk, and assert
+    row-for-row equality with the source-side manifest — the check a
+    training job runs before trusting an export. Also: every doc lands
+    in exactly one shard directory (no loss, no duplication)."""
+    from cdc_cloudrun_demo_spark.functions.pipeline import export_shards
+
+    out = str(tmp_path / "shards")
+    from_files = export_shards(spark, sf_smoke, out).collect()
+    claimed = pipeline_shard_manifest(spark, sf_smoke).collect()
+    assert sorted(map(tuple, from_files)) == sorted(map(tuple, claimed))
+    total_written = spark.read.parquet(out).count()
+    total_src = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    assert total_written == total_src

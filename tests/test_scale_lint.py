@@ -52,3 +52,37 @@ def test_no_scale_killers_in_any_registry_plan(spark, sf_smoke):
             # the vetted BNLJ must actually broadcast (never shuffle-NLJ)
             assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), name
     assert not offenders, "scale-killers found:\n" + "\n".join(offenders)
+
+
+def test_no_unvetted_driver_collects_in_engine_source():
+    """Static lint: `.collect()`/`.toPandas()` in engine source funnels
+    data through the driver — fatal at 100 TB unless the collected set
+    is bounded by construction. Every occurrence must be on the vetted
+    list below (each names its bound); a new one fails CI until it is
+    justified here."""
+    import glob
+    import os
+
+    VETTED = {
+        # file -> (max occurrences, bound)
+        "plans/__init__.py": (1, "plan-audit tooling, not an operator path"),
+        "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
+        "streaming/tx_snapshot.py": (1, "<= n_buckets ints of touched-bucket ids"),
+        "session.py": (2, "64-row session warmup, corpus-independent"),
+        "functions/similarity.py": (1, "fixed 2048-row k-means training sample"),
+    }
+    root = os.path.join(os.path.dirname(__file__), "..", "cdc_cloudrun_demo_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, root)
+        n = 0
+        for line in open(path):
+            stripped = line.split("#", 1)[0]
+            if ".collect()" in stripped or ".toPandas()" in stripped:
+                n += 1
+        if n == 0:
+            continue
+        cap = VETTED.get(rel, (0, None))[0]
+        if n > cap:
+            offenders.append(f"{rel}: {n} collect/toPandas (vetted cap {cap})")
+    assert not offenders, "unvetted driver-side collection:\n" + "\n".join(offenders)
