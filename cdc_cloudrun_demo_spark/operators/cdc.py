@@ -305,7 +305,67 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta rule
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, specialized to the common
+    fact-aggregation shape V = orders ⋈ (lineitem ⊳ Σ revenue per key):
+
+    * lineitem splits into a historical segment and a delta (late lines
+      l_linenumber > 4 arriving for EXISTING orders); each segment
+      aggregates ALONE and the two |keys|-row aggregate tables merge
+      with a full-outer coalesce-sum — history is never re-scanned;
+    * orders splits likewise (new orders o_orderkey % 10 = 0); the
+      dimension-side delta is a plain union of rows.
+
+    The view after BOTH deltas — incremental on the fact side, union on
+    the dim side — must equal the direct join-aggregate over the full
+    tables, which is exactly what the oracle computes: a hash match
+    proves the IVM algebra, not just a rerun. Revenue sums are exact
+    scaled longs, so the merge is associative with zero float drift.
+    At 100 TB this is how a revenue view absorbs a day's lineitems:
+    aggregate the new slice (map-side partial), merge |touched keys|
+    rows of state, re-join only through the aggregate — the raw history
+    is never read again."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.sum(
+        F.floor(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+    ).alias("s")
+
+    def seg_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_orderkey").agg(rev, F.count(F.lit(1)).alias("n"))
+
+    li_old = seg_agg(li.filter(F.col("l_linenumber") <= 4))
+    li_new = seg_agg(li.filter(F.col("l_linenumber") > 4))
+    a = li_old.select("l_orderkey", F.col("s").alias("s0"), F.col("n").alias("n0"))
+    b = li_new.select("l_orderkey", F.col("s").alias("s1"), F.col("n").alias("n1"))
+    merged = a.join(b, "l_orderkey", "full_outer").select(
+        "l_orderkey",
+        (F.coalesce("s0", F.lit(0)) + F.coalesce("s1", F.lit(0))).alias("s"),
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))).alias("n"),
+    )
+    orders_all = orders.filter(F.col("o_orderkey") % 10 != 0).unionByName(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+    )
+    return (
+        orders_all.join(
+            merged, orders_all["o_orderkey"] == merged["l_orderkey"]
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("s").cast("double") / F.lit(100.0)).alias("revenue"),
+            F.col("n").alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
+    "cdc_incremental_join": cdc_incremental_join,
     "cdc_incremental_agg": cdc_incremental_agg,
     "cdc_materialize": cdc_materialize,
     "cdc_log_compact": cdc_log_compact,
@@ -328,6 +388,17 @@ _FOLD_SQL = """
 """
 
 ORACLES = {
+    # full recompute — the join-view IVM must be indistinguishable from it
+    "cdc_incremental_join": """
+        SELECT o.o_orderkey,
+               o.o_orderdate,
+               CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1.0 - l.l_discount))
+                                   * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS revenue,
+               COUNT(*) AS n_lines
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    """,
     # full recompute — the IVM merge must be indistinguishable from it
     "cdc_incremental_agg": f"""
         SELECT user_id, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
