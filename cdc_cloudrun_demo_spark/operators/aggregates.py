@@ -300,7 +300,54 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_quantile_sketch_merge(
+    spark: SparkSession, sf_dir: str, k: int = 256
+) -> DataFrame:
+    """Mergeable QUANTILE sketch — the percentile twin of
+    `agg_hll_merge`, closing the sketch-merge family for the other big
+    non-self-maintainable aggregate. The sketch is a bottom-k sample by
+    a deterministic hash (the KMV construction): keeping the k rows with
+    the smallest md5(o_orderkey) is a uniform sample of the keys, and
+    the merge — union the per-segment sketches, keep the global
+    bottom-k — is ASSOCIATIVE and order-independent, so
+    segment-then-merge equals the sketch a single whole-corpus pass
+    would build (bit-identical, not just approximately: the bottom-k
+    set is a pure function of the membership). Per-month segments here;
+    at 100 TB each partition stores its k-row sketch and a refresh
+    merges |segments|·k rows, never the raw history.
+
+    Everything — the hash ranking, the merge, the quantile read-off
+    (ceil(p·k)-th element of the sample ordered by (value, hash)) — is
+    deterministic SQL reproduced exactly by the DuckDB oracle, so this
+    sketch gets a full hash-match check where engine-opaque sketches
+    (HLL) get rows-only + property tests. Sampling accuracy vs the
+    exact percentiles is asserted separately in tests/test_properties.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    seg = orders.select(
+        F.month("o_orderdate").alias("m"), "o_totalprice", h.alias("h")
+    )
+    per_seg = Window.partitionBy("m").orderBy("h")
+    sketches = (
+        seg.withColumn("rn", F.row_number().over(per_seg))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    merged = sketches.orderBy("h").limit(k)
+    by_value = Window.orderBy("o_totalprice", "h")
+    ranked = merged.withColumn("r", F.row_number().over(by_value))
+    picks = {p: -(-int(p * 100) * k // 100) for p in (0.5, 0.9, 0.99)}  # ceil(p·k)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("sample_k"),
+        F.count_distinct("m").alias("n_segments_sampled"),
+        F.max(F.when(F.col("r") == picks[0.5], F.col("o_totalprice"))).alias("p50"),
+        F.max(F.when(F.col("r") == picks[0.9], F.col("o_totalprice"))).alias("p90"),
+        F.max(F.when(F.col("r") == picks[0.99], F.col("o_totalprice"))).alias("p99"),
+    )
+
+
 QUERIES = {
+    "agg_quantile_sketch_merge": agg_quantile_sketch_merge,
     "agg_hll_merge": agg_hll_merge,
     "agg_mode": agg_mode,
     "agg_pricing_summary": agg_pricing_summary,
@@ -325,6 +372,29 @@ _SQL_VY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAS
 _SQL_COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
 
 ORACLES = {
+    "agg_quantile_sketch_merge": """
+        WITH seg AS (
+            SELECT month(o_orderdate) AS m, o_totalprice,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS h
+            FROM orders
+        ), sk AS (
+            SELECT m, o_totalprice, h FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY m ORDER BY h) AS rn
+                FROM seg
+            ) WHERE rn <= 256
+        ), merged AS (
+            SELECT * FROM sk ORDER BY h LIMIT 256
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY o_totalprice, h) AS r
+            FROM merged
+        )
+        SELECT COUNT(*) AS sample_k,
+               COUNT(DISTINCT m) AS n_segments_sampled,
+               MAX(CASE WHEN r = 128 THEN o_totalprice END) AS p50,
+               MAX(CASE WHEN r = 231 THEN o_totalprice END) AS p90,
+               MAX(CASE WHEN r = 254 THEN o_totalprice END) AS p99
+        FROM ranked
+    """,
     "agg_mode": """
         WITH hc AS (
             SELECT event_type,

@@ -230,3 +230,43 @@ def test_scaled_long_discipline_is_exact_for_cent_values(cents):
     recovered = [math.floor((k / 100) * 100 + 0.5) for k in cents]
     assert recovered == cents
     assert sum(recovered) == sum(cents)
+
+
+def test_quantile_sketch_rank_error_and_merge_identity(spark, sf_oracle):
+    """Two contracts of the KMV quantile sketch: (a) the merged bottom-k
+    equals the bottom-k a single whole-corpus pass builds (the sketch is
+    a pure function of membership — merge loses nothing); (b) each
+    estimated percentile's TRUE rank in the full data is within the
+    sampling tolerance of its target (rank error ~ O(1/sqrt(k)))."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.aggregates import (
+        agg_quantile_sketch_merge,
+    )
+
+    row = agg_quantile_sketch_merge(spark, sf_oracle).collect()[0]
+    orders = load_table(spark, sf_oracle, "orders")
+    n = orders.count()
+    k = row["sample_k"]
+    assert k == 256
+
+    # (a) merge identity: global bottom-k without segmenting
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    direct = [
+        r["o_totalprice"]
+        for r in orders.select("o_totalprice", h.alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    ]
+    merged_vals = sorted(direct)
+    import math
+
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert row[col] == merged_vals[math.ceil(p * k) - 1], col
+
+    # (b) rank accuracy: true CDF position of the estimate near p
+    for p, col in ((0.5, "p50"), (0.9, "p90")):
+        below = orders.filter(F.col("o_totalprice") <= row[col]).count()
+        assert abs(below / n - p) < 4 / (k ** 0.5), (col, below / n)
