@@ -309,6 +309,11 @@ def kmeans_centroid_rows(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        # empty corpus: one zero centroid keeps every downstream plan
+        # well-formed (assignment evaluates over zero rows; top-k and
+        # dedup both yield empty results instead of a numpy axis error)
+        return [(0, [0.0])]
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -194,7 +194,16 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("streaming materializer did not finish within 300s")
     if q.exception() is not None:
         raise q.exception()
-    snapshot = spark.read.parquet(os.path.join(tmp, "state", "current"))
+    current = os.path.join(tmp, "state", "current")
+    if not os.path.exists(current):
+        # empty change log: no batch ever touched a bucket, so the sink
+        # never materialized a snapshot — the folded state is empty
+        from ..streaming.cdc_stream import UPDATES_SCHEMA
+
+        return spark.createDataFrame([], UPDATES_SCHEMA).select(
+            "id", "content", "last_seq", "updated_at"
+        )
+    snapshot = spark.read.parquet(current)
     return snapshot.filter(~F.col("is_deleted")).select(
         "id", "content", "last_seq", "updated_at"
     )

@@ -51,8 +51,11 @@ def _roundtrip_via_derby(df: DataFrame, table: str, partition_column: str) -> Da
         .save()
     )
     # Partition bounds: one map-side-combined min/max — two scalars back
-    # to the driver regardless of table size.
+    # to the driver regardless of table size. An empty source has NULL
+    # bounds; any [lo, hi) works for zero rows — use [0, 1).
     lo, hi = df.agg(F.min(partition_column), F.max(partition_column)).first()
+    if lo is None:
+        lo, hi = 0, 0
     return read_jdbc(
         spark,
         url,

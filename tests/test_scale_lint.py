@@ -86,3 +86,30 @@ def test_no_unvetted_driver_collects_in_engine_source():
         if n > cap:
             offenders.append(f"{rel}: {n} collect/toPandas (vetted cap {cap})")
     assert not offenders, "unvetted driver-side collection:\n" + "\n".join(offenders)
+
+
+def test_every_entry_survives_an_empty_corpus(spark, sf_smoke, tmp_path):
+    """Degenerate-input sweep: every registry entry must run (not
+    necessarily return rows) against a corpus where every table has its
+    real schema and ZERO rows. Empty partitions are routine at scale —
+    a fresh ingest, an over-pruned filter, a dried-up stream — and an
+    operator that crashes on them (null aggregate bounds, empty k-means
+    samples, zero-length models) fails in production exactly when
+    things are already going wrong."""
+    import os
+
+    empty = str(tmp_path / "empty_sf")
+    os.makedirs(empty)
+    for f in os.listdir(sf_smoke):
+        if f.endswith(".parquet"):
+            spark.read.parquet(os.path.join(sf_smoke, f)).limit(0).coalesce(
+                1
+            ).write.parquet(os.path.join(empty, f))
+
+    failures = []
+    for name, fn in registry()[0].items():
+        try:
+            fn(spark, empty).count()
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
+    assert not failures, "entries crash on an empty corpus:\n" + "\n".join(failures)
