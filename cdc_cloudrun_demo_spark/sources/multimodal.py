@@ -71,12 +71,21 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+
+def _decodable(payloads: DataFrame) -> DataFrame:
+    """Decode-boundary guard: a NULL payload (missing/corrupt blob, a
+    fact of life in any object-store-backed corpus) is SKIPPED before
+    the Arrow UDF rather than crashing the whole batch — the metadata
+    scan still surfaces such rows for triage (`multimodal_metadata`
+    keeps them; length(NULL) is NULL there, not an error)."""
+    return payloads.filter(F.col("payload").isNotNull())
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal path: binary column → mapInPandas decode →
     typed feature columns. Oracle-checkable because the fake decoder's
     outputs are pure functions of the payload bytes."""
     d = load_table(spark, sf_dir, "documents")
-    payloads = with_binary_payload(d).select("doc_id", "payload")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
     return payloads.mapInPandas(_fake_decode_batch, schema=FEATURE_SCHEMA)
 
 
@@ -112,7 +121,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the payload bytes (DuckDB: generate_series over
     substrings)."""
     d = load_for_compute(spark, sf_dir, "documents")
-    payloads = with_binary_payload(d).select("doc_id", "payload")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
     return payloads.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
 
 
@@ -158,7 +167,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     character codes); at 100 TB the payload bytes stream through the
     Arrow batches once and are never shuffled."""
     d = load_for_compute(spark, sf_dir, "documents")
-    payloads = with_binary_payload(d).select("doc_id", "payload")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
     return payloads.mapInPandas(_audio_energy_batch, schema=_AUDIO_SCHEMA)
 
 
@@ -204,7 +213,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload (summarized here by length + md5 so the oracle can check the
     exact bytes without shipping them twice)."""
     d = load_for_compute(spark, sf_dir, "documents")
-    payloads = with_binary_payload(d).select("doc_id", "payload")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
     return payloads.mapInPandas(_fake_resize_batch, schema=RESIZE_SCHEMA)
 
 
@@ -250,7 +259,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import hamming_banded_pairs
 
     d = load_for_compute(spark, sf_dir, "documents")
-    payloads = with_binary_payload(d).select("doc_id", "payload")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
     sk = payloads.mapInPandas(_phash_batch, schema=PHASH_SCHEMA)
     return hamming_banded_pairs(sk, "phash", max_hamming=3)
 

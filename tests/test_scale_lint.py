@@ -113,3 +113,46 @@ def test_every_entry_survives_an_empty_corpus(spark, sf_smoke, tmp_path):
         except Exception as e:
             failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
     assert not failures, "entries crash on an empty corpus:\n" + "\n".join(failures)
+
+
+def test_every_entry_survives_injected_nulls(spark, sf_smoke, tmp_path):
+    """Degenerate-input sweep #2: NULLs in the value columns (missing
+    text, lost payloads, null measurements — routine in any real-world
+    feed). ~10% of documents.text/lang, events.value/payload, and the
+    comment columns are nulled; every registry entry must run without
+    raising. The multimodal decode boundary skips NULL payloads by
+    contract (`sources/multimodal.py:_decodable`) instead of letting a
+    missing blob kill a whole Arrow batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    nullable = {
+        "documents.parquet": ["text", "lang"],
+        "events.parquet": ["value", "payload"],
+        "orders.parquet": ["o_comment"],
+        "lineitem.parquet": ["l_comment"],
+    }
+    out = str(tmp_path / "null_sf")
+    os.makedirs(out)
+    for f in os.listdir(sf_smoke):
+        if not f.endswith(".parquet"):
+            continue
+        df = spark.read.parquet(os.path.join(sf_smoke, f))
+        for c in nullable.get(f, []):
+            if c in df.columns:
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.xxhash64(df.columns[0]) % 10 == 0, F.lit(None)
+                    ).otherwise(F.col(c)),
+                )
+        df.coalesce(1).write.parquet(os.path.join(out, f))
+
+    failures = []
+    for name, fn in registry()[0].items():
+        try:
+            fn(spark, out).count()
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
+    assert not failures, "entries crash on injected nulls:\n" + "\n".join(failures)
