@@ -46,6 +46,10 @@ def test_no_scale_killers_in_any_registry_plan(spark, sf_smoke):
         if "Exchange SinglePartition" in plan:
             # a single-reducer exchange funnels the data through one task
             offenders.append(f"{name}: Exchange SinglePartition")
+        if "BatchEvalPython" in plan:
+            # row-at-a-time Python; Arrow paths show ArrowEvalPython /
+            # MapInPandas instead and are allowed
+            offenders.append(f"{name}: BatchEvalPython (row-wise Python UDF)")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
             offenders.append(f"{name}: unvetted BroadcastNestedLoopJoin")
         if "BroadcastNestedLoopJoin" in plan and name in BNLJ_BOUNDED:
