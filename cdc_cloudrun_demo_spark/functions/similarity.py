@@ -428,6 +428,119 @@ def sim_ann_ivf_topk(
     )
 
 
+def _pq_codebooks(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    n_iter: int = 15,
+    seed: int = 42,
+    corpus_key: str = "",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and run L2 Lloyd k-means (``ksub`` centroids) per
+    subspace on the same bounded deterministic sample discipline as
+    `kmeans_centroid_rows` (fixed-size hash-ordered sample — the only
+    collect, independent of corpus size; memoized per corpus like the
+    IVF quantizer, so the codebook is built once at ingest)."""
+    import numpy as np
+
+    fp = _corpus_fingerprint(corpus_key) if corpus_key else None
+    cache_key = ("pq", corpus_key, fp, m, ksub, sample_size, n_iter, seed)
+    if fp is not None:
+        with _centroid_lock:
+            if cache_key in _centroid_cache:
+                _centroid_cache.move_to_end(cache_key)
+                return _centroid_cache[cache_key]
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample:
+        return [[[0.0]] for _ in range(m)]
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    dsub = X.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    if fp is not None:
+        with _centroid_lock:
+            _centroid_cache[cache_key] = books
+            _centroid_cache.move_to_end(cache_key)
+            while len(_centroid_cache) > _CENTROID_CACHE_MAX:
+                _centroid_cache.popitem(last=False)
+    return books
+
+
+def sim_pq_codes(
+    spark: SparkSession, sf_dir: str, m: int = 8, ksub: int = 16
+) -> DataFrame:
+    """Product quantization — the memory-compression stage of a
+    large-scale ANN index: each vector becomes ``m`` sub-codes (here
+    8 codes × 16 centroids = 8 bytes for a 64-float vector, 32×
+    compression), the format an ADC (asymmetric distance computation)
+    search scans in RAM when the float corpus no longer fits. Codes are
+    assigned by a NARROW per-row argmin over the inlined codebook
+    literals — the IVF assignment discipline (`ivf_ranked_cells`):
+    zero exchanges, scan-speed at any corpus size. Deterministic ties
+    (first minimal code); codebooks are engine-trained → rows-only
+    check; the reconstruction-error contract and determinism are
+    property-tested in tests/test_llm_ops.py."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
+    dsub = len(books[0][0])
+    code_cols = []
+    for j, book in enumerate(books):
+        structs = ", ".join(
+            "named_struct('code', {}, 'cvec', array({}))".format(
+                int(c), ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+            )
+            for c, vec in enumerate(book)
+        )
+        book_arr = F.expr(f"array({structs})")
+        sub = F.slice(F.col("embedding"), j * dsub + 1, dsub)
+
+        def _score(sub_col):
+            # single-arg lambda: PySpark binds a 2-arg transform lambda
+            # to (element, index), so the subvector must close over a
+            # factory, not a default argument
+            return lambda cent: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sub_col, cent.cvec, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                ).alias("d2"),
+                cent.code.alias("code"),
+            )
+
+        scored = F.transform(book_arr, _score(sub))
+        code_cols.append(
+            F.element_at(F.array_sort(scored), 1)["code"].alias(f"c{j}")
+        )
+    return emb.select(
+        "vec_id",
+        F.array(*code_cols).cast("array<int>").alias("pq_codes"),
+    )
+
+
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norms (sanity surface for the vector column)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -479,6 +592,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_pq_codes": sim_pq_codes,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_pairs_above": sim_pairs_above,

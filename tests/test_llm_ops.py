@@ -513,3 +513,40 @@ def test_bigram_logprob_backoff_outside_truncated_table(spark, tmp_path):
     want2 = unats(p_interp("a", "b", 3)) + unats(p_interp("b", "c"))
     assert got[1]["n_bigrams"] == 3 and got[1]["sum_logp_unats"] == want1
     assert got[2]["n_bigrams"] == 2 and got[2]["sum_logp_unats"] == want2
+
+
+def test_pq_codes_reconstruction_and_determinism(spark, sf_oracle):
+    """PQ contracts: (a) codes are in-range and deterministic across
+    invocations (pure function of corpus + seed); (b) reconstructing
+    from the codebooks beats the best constant predictor (the per-
+    dimension corpus mean) — i.e., the 32x-compressed representation
+    retains real structure, the property ADC search depends on."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _pq_codebooks,
+        sim_pq_codes,
+    )
+
+    rows1 = {r["vec_id"]: r["pq_codes"] for r in sim_pq_codes(spark, sf_oracle).collect()}
+    rows2 = {r["vec_id"]: r["pq_codes"] for r in sim_pq_codes(spark, sf_oracle).collect()}
+    assert rows1 == rows2
+    assert all(0 <= c < 16 for codes in rows1.values() for c in codes)
+    assert all(len(codes) == 8 for codes in rows1.values())
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    books = _pq_codebooks(spark, emb, corpus_key=sf_oracle)
+    X = np.array(
+        [r["embedding"] for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    dsub = X.shape[1] // 8
+    recon = np.zeros_like(X)
+    for row_i, vid in enumerate(ids):
+        for j, c in enumerate(rows1[vid]):
+            recon[row_i, j * dsub : (j + 1) * dsub] = books[j][c]
+    mse_pq = ((X - recon) ** 2).mean()
+    mse_mean = ((X - X.mean(axis=0)) ** 2).mean()
+    assert mse_pq < 0.8 * mse_mean, (mse_pq, mse_mean)
