@@ -550,3 +550,32 @@ def test_pq_codes_reconstruction_and_determinism(spark, sf_oracle):
     mse_pq = ((X - recon) ** 2).mean()
     mse_mean = ((X - X.mean(axis=0)) ** 2).mean()
     assert mse_pq < 0.8 * mse_mean, (mse_pq, mse_mean)
+
+
+def test_pq_adc_recall_vs_exact_euclidean(spark, sf_oracle):
+    """ADC over 8-byte codes must retain most of the exact-L2 top-10
+    (the ADC pass generates top-100 candidates from the 8-byte codes;
+    the exact re-rank then scores only those — recall lost is recall
+    the candidate stage failed to surface, the IVFPQ+rerank contract)."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_ann_pq_topk
+
+    approx: dict[int, set] = {}
+    for r in sim_ann_pq_topk(spark, sf_oracle).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = total = 0
+    for q in range(5):
+        qv = X[ids == q][0]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        d2[ids == q] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        hits += len(exact & approx[q])
+        total += 10
+    assert hits / total >= 0.7, hits / total

@@ -73,7 +73,11 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "streaming/tx_snapshot.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "session.py": (2, "64-row session warmup, corpus-independent"),
-        "functions/similarity.py": (1, "fixed 2048-row k-means training sample"),
+        "functions/similarity.py": (
+            3,
+            "fixed 2048-row k-means + PQ training samples; the bounded "
+            "(vec_id < 5) ANN query set",
+        ),
     }
     root = os.path.join(os.path.dirname(__file__), "..", "cdc_cloudrun_demo_spark")
     offenders = []
