@@ -562,9 +562,13 @@ def sim_ann_pq_topk(
     (one broadcast-semi-joined fetch of just those rows) and the final
     top-k ranks on the exact distance, the standard IVFPQ+rerank
     pipeline shape. Lookup tables inline as literals (the IVF centroid
-    discipline); wide ops: the two per-query top-k windows, both over
-    bounded inputs. Approximate → rows-only check; recall@10 vs exact
-    L2 is property-tested."""
+    discipline); wide ops: the candidate top-C window over the skinny
+    (query, id, dist) scan output — at corpus scale this takes the
+    `win_topn_salted` two-phase pre-prune (partition-local top-C, then
+    global top-C over partitions·C rows; same pattern, no semantic
+    change) — and the final top-k over the bounded re-ranked set.
+    Approximate → rows-only check; recall@10 vs exact L2 is
+    property-tested."""
     import numpy as np
 
     emb = load_for_compute(spark, sf_dir, "embeddings")

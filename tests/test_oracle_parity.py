@@ -41,6 +41,8 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "agg_approx_percentiles",
         "agg_hll_merge",  # sketch binary/estimator are engine-specific; exact-merge property test instead
         "multimodal_phash_dedup",  # sketch computed in the Arrow UDF; recall/perturbation property tests instead
+        "sim_pq_codes",  # codebooks are engine-trained (driver k-means); determinism + reconstruction property tests instead
+        "sim_ann_pq_topk",  # approximate ANN over engine-trained codebooks; recall-vs-exact property test instead
     }
     assert rows_only <= allowed, f"unexpected rows-only queries: {rows_only - allowed}"
 
