@@ -63,6 +63,7 @@ def driver_verified_names() -> frozenset[str]:
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from . import (
         aggregates,
+        graph,
         layout,
         analytics,
         bench_ops,
@@ -115,6 +116,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         # the sweep window, not displace them (round-4 verdict item 1).
         pipeline,
         layout,
+        graph,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

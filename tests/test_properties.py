@@ -270,3 +270,35 @@ def test_quantile_sketch_rank_error_and_merge_identity(spark, sf_oracle):
     for p, col in ((0.5, "p50"), (0.9, "p90")):
         below = orders.filter(F.col("o_totalprice") <= row[col]).count()
         assert abs(below / n - p) < 4 / (k ** 0.5), (col, below / n)
+
+
+def test_pagerank_mass_conservation_and_structure(spark, sf_oracle):
+    """Fixed-point PageRank invariants: (a) total rank mass stays within
+    the floor-division leakage envelope (each node loses < 1 unit per
+    division, bounded and explicit — never created); (b) every node gets
+    at least the undamped base mass; (c) both node kinds are present."""
+    from cdc_cloudrun_demo_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        N_ITER,
+        TOTAL_MASS,
+        graph_pagerank,
+    )
+
+    rows = graph_pagerank(spark, sf_oracle).collect()
+    n = len(rows)
+    total = sum(r["rank_units"] for r in rows)
+    assert total <= TOTAL_MASS
+    # floor-division leakage per iteration: the contribution split loses
+    # up to (outdeg-1) units per node (outdeg·(rank//outdeg) ≤ rank), i.e.
+    # ≤ |edges| - n per iteration graph-wide, plus <1 unit per node at the
+    # damping division, plus the init remainder
+    from cdc_cloudrun_demo_spark.operators.graph import _trade_edges
+
+    n_edges = _trade_edges(spark, sf_oracle).count()
+    max_loss = N_ITER * (n_edges - n + n) + TOTAL_MASS % n
+    assert total >= TOTAL_MASS - max_loss, (total, max_loss)
+    base = (DAMP_DEN - DAMP_NUM) * (TOTAL_MASS // n) // DAMP_DEN
+    assert all(r["rank_units"] >= base for r in rows)
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"customer", "supplier"}

@@ -6,7 +6,7 @@ from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, pipeline, similarity, text
 from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
-    cdc, joins, layout, metrics, relational, sampling, scalar_fns,
+    cdc, graph, joins, layout, metrics, relational, sampling, scalar_fns,
     schema_evolution, setops, streaming_batch, windows)
 
 q, o = registry()
@@ -21,6 +21,7 @@ groups = [
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
  ("Export pipeline (PII/sharding/novelty)", pipeline),
  ("Data layout (Z-order clustering)", layout),
+ ("Graph analytics (exact fixed-point PageRank)", graph),
  ("Multimodal", multimodal), ("JDBC ingestion", jdbc_io),
  ("File-format ingestion (CSV/JSONL)", file_formats),
  ("Schema evolution", schema_evolution),
