@@ -150,6 +150,39 @@ def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "current"))
 
 
+def stream_sliding_2d_1d_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_sliding_2d_1d as a REAL Structured Streaming run: each
+    event lands in TWO overlapping windows, so the state store maintains
+    multiple open windows per event — the overlap bookkeeping is what
+    this twin proves live (tumbling has one window per event; sessions
+    merge; sliding OVERLAPS). Same 4-file replay, complete mode, exact
+    equality with the batch oracle's offset-expansion SQL."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..sources import file_stream
+    from ..streaming.event_windows import run_to_parquet_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    root = scratch_dir("evslide_")
+    log = os.path.join(root, "log")
+    ev.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    agg = (
+        stream.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+    out = os.path.join(root, "out")
+    q = run_to_parquet_snapshot(agg, out, os.path.join(root, "ckpt"))
+    finished = q.awaitTermination(300)
+    assert finished, "streaming sliding-window query did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(os.path.join(out, "current"))
+
+
 def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_session_windows as a REAL Structured Streaming run — the
     hardest window class live, because sessions MERGE across micro-batches:
@@ -314,6 +347,7 @@ QUERIES = {
     "stream_tumbling_daily": stream_tumbling_daily,
     "stream_tumbling_daily_live": stream_tumbling_daily_live,
     "stream_session_windows_live": stream_session_windows_live,
+    "stream_sliding_2d_1d_live": stream_sliding_2d_1d_live,
     "stream_gap_fill": stream_gap_fill,
     "stream_sliding_2d_1d": stream_sliding_2d_1d,
     "stream_session_windows": stream_session_windows,
@@ -389,6 +423,17 @@ ORACLES = {
         GROUP BY 1, 2, 3
     """,
     "stream_sliding_2d_1d": f"""
+        SELECT window_start, COUNT(*) AS n, {sql_davg("value")} AS avg_value
+        FROM (
+            SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+                     - (INTERVAL '1 day' * off) AS window_start,
+                   value
+            FROM events, (SELECT UNNEST([0, 1]) AS off) offsets
+        ) expanded
+        GROUP BY window_start
+    """,
+
+    "stream_sliding_2d_1d_live": f"""
         SELECT window_start, COUNT(*) AS n, {sql_davg("value")} AS avg_value
         FROM (
             SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))

@@ -579,3 +579,24 @@ def test_pq_adc_recall_vs_exact_euclidean(spark, sf_oracle):
         hits += len(exact & approx[q])
         total += 10
     assert hits / total >= 0.7, hits / total
+
+
+def test_jaccard_posting_cap_on_all_identical_corpus(spark, tmp_path):
+    """Pathological dedup input: 500 VERBATIM copies of one document.
+    Naive pairwise similarity would emit 500·499/2 pairs per shingle;
+    the MAX_SHINGLE_DF posting cap (50) must drop every posting list
+    (df=500 > 50) so candidate generation emits ZERO pairs — the
+    documented recall/cost tradeoff behaving exactly as specified under
+    the worst case — while exact dedup still collapses the corpus to
+    one survivor (the cheap path catches what the capped near-dup path
+    deliberately skips)."""
+    from cdc_cloudrun_demo_spark.functions.dedup import (
+        dedup_exact,
+        dedup_ngram_jaccard,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    _write_documents(spark, str(tmp_path), [(i, text) for i in range(500)])
+    assert dedup_ngram_jaccard(spark, str(tmp_path)).count() == 0
+    exact = dedup_exact(spark, str(tmp_path)).collect()
+    assert len(exact) == 1 and exact[0]["n_copies"] == 500
