@@ -176,6 +176,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_tolerance(
+    spark: SparkSession, sf_dir: str, max_staleness_days: int = 9000
+) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the point-in-time-correctness
+    variant a feature store needs: a training example may only join the
+    most recent feature value AND only if that value is fresher than
+    ``max_staleness_days`` (a stale match is worse than no match — it
+    leaks an obsolete world state into training). Same single-shuffle
+    union+window plan as `join_asof`, additionally carrying the matched
+    order's timestamp through the window so the staleness predicate is
+    a post-filter, not a second join; staleness is exact integer
+    datediff, so the boundary cannot flip between engines. The default
+    bound is calibrated to the driver testdata's synthetic clock skew
+    (orders predate events by ~8200-9800 days), so the filter KEEPS
+    roughly half the matches — a real selection, not a no-op."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_t"),
+        F.lit(1).alias("is_probe"),
+    )
+    build = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_t"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_probe", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_build = lambda c: F.last(
+        F.when(F.col("is_probe") == 0, c), ignorenulls=True
+    ).over(w)
+    unioned = probe.unionByName(build).select(
+        "*",
+        last_build(F.col("o_orderkey")).alias("matched_order"),
+        last_build(F.col("o_t")).alias("matched_t"),
+    )
+    staleness = F.datediff(F.to_date("t"), F.to_date("matched_t"))
+    return (
+        unioned.filter(F.col("is_probe") == 1)
+        .filter(F.col("matched_order").isNotNull())
+        .filter(staleness <= max_staleness_days)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            "matched_order",
+            staleness.cast("long").alias("staleness_days"),
+        )
+    )
+
+
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi join with a range residual: lineitems whose quantity falls
     within ±5 of the part's size (theta condition evaluated post-probe)."""
@@ -404,6 +464,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_asof": join_asof,
+    "join_asof_tolerance": join_asof_tolerance,
     "join_theta_range": join_theta_range,
     "join_scalar_subquery": join_scalar_subquery,
     "join_interval_bucketed": join_interval_bucketed,
@@ -516,6 +577,24 @@ ORACLES = {
     # as-of semantics from first principles (arg_max over the <= window),
     # with the same (date, orderkey) tie-break the Spark window uses —
     # DuckDB's native ASOF JOIN leaves equal-time ties unspecified
+    "join_asof_tolerance": """
+        WITH latest AS (
+            SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ets,
+                   MAX(o.o_orderdate) AS d
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+            GROUP BY e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP)
+        )
+        SELECT l.event_id, l.user_id, MAX(o.o_orderkey) AS matched_order,
+               CAST(datediff('day', CAST(l.d AS DATE), CAST(l.ets AS DATE))
+                    AS BIGINT) AS staleness_days
+        FROM latest l
+        JOIN orders o ON o.o_custkey = l.user_id AND o.o_orderdate = l.d
+        WHERE datediff('day', CAST(l.d AS DATE), CAST(l.ets AS DATE)) <= 9000
+        GROUP BY l.event_id, l.user_id, l.d, l.ets
+    """,
     "join_asof": """
         WITH latest AS (
             SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS d
