@@ -678,7 +678,63 @@ def text_bigram_logprob(
     )
 
 
+def text_tfidf_topterms(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic retrieval /
+    keyword-extraction statistic. Rank determinism is engineered the
+    same way as the LM scores: idf = ln((N+1)/(df+1)) is an
+    exact-rational→double (identical IEEE input in both engines),
+    scaled to micro-nats and rounded at 3 decimals BEFORE the floor
+    (the libm 1-ulp guard), and the final score is tf · idf_unats —
+    INTEGER × INTEGER, so the ranking key is exact and no document near
+    a score boundary can order differently across engines or
+    partitionings. Plan: one tf groupBy, one vocab-sized df aggregate
+    joined back on the term (AQE picks broadcast vs shuffle by actual
+    vocab size; at 100 TB the df table is the unbounded object and gets
+    the top-V truncation the LM ops use), one per-doc top-k window."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = words.agg(F.countDistinct("doc_id").alias("n"))
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.floor(
+            F.round(
+                F.log(
+                    (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                )
+                * F.lit(1_000_000.0),
+                3,
+            )
+        )
+        .cast("long")
+        .alias("idf_unats"),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_unats")).alias("score_unats"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_unats"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score_unats", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 QUERIES = {
+    "text_tfidf_topterms": text_tfidf_topterms,
     "text_bigram_logprob": text_bigram_logprob,
     "text_contamination": text_contamination,
     "text_unigram_logprob": text_unigram_logprob,
@@ -723,6 +779,35 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_tfidf_topterms": """
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df_t AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n_docs AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+        ), idf AS (
+            SELECT term,
+                   CAST(FLOOR(ROUND(LN((n + 1.0) / (df + 1.0))
+                                    * 1000000.0, 3)) AS BIGINT) AS idf_unats
+            FROM df_t CROSS JOIN n_docs
+        ), scored AS (
+            SELECT t.doc_id, t.term, t.tf,
+                   t.tf * i.idf_unats AS score_unats
+            FROM tf t JOIN idf i USING (term)
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score_unats DESC, term ASC
+            ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, score_unats, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
     "text_bigram_logprob": """
         WITH docs AS (
             SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS w

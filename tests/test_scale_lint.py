@@ -27,6 +27,7 @@ BNLJ_BOUNDED = {
     "sim_cosine_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",
     "text_bigram_logprob": "1-row token-total aggregate",
+    "text_tfidf_topterms": "1-row document-count aggregate",
     "qx_nested_agg": "1-row scalar aggregate subquery",
 }
 
