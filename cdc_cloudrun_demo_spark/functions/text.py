@@ -570,13 +570,13 @@ def text_unigram_logprob(
             F.sum("logp").alias("sum_logp_unats"),
         )
         .withColumn(
+            # raw IEEE division — see text_bigram_logprob note (round(x,6)
+            # near a boundary is engine-ambiguous; the quotient of two
+            # identical integers is not)
             "mean_logp",
-            F.round(
-                F.col("sum_logp_unats").cast("double")
-                / F.lit(1_000_000.0)
-                / F.col("n_tokens"),
-                6,
-            ),
+            F.col("sum_logp_unats").cast("double")
+            / F.lit(1_000_000.0)
+            / F.col("n_tokens"),
         )
     )
 
@@ -667,13 +667,15 @@ def text_bigram_logprob(
             F.sum("logp").alias("sum_logp_unats"),
         )
         .withColumn(
+            # RAW IEEE division, no rounding: sum and count are identical
+            # integers in both engines, so the quotient is bit-identical —
+            # whereas round(x, 6) near a 6-dp boundary can flip between
+            # Spark's BigDecimal HALF_UP and DuckDB's multiply-based round
+            # (observed at sf0.1: one doc's mean at ...2825 exactly).
             "mean_logp",
-            F.round(
-                F.col("sum_logp_unats").cast("double")
-                / F.lit(1_000_000.0)
-                / F.col("n_bigrams"),
-                6,
-            ),
+            F.col("sum_logp_unats").cast("double")
+            / F.lit(1_000_000.0)
+            / F.col("n_bigrams"),
         )
     )
 
@@ -853,7 +855,7 @@ ORACLES = {
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
                CAST(SUM(logp) AS BIGINT) AS sum_logp_unats,
-               ROUND(CAST(SUM(logp) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+               CAST(SUM(logp) AS DOUBLE) / 1000000.0 / COUNT(*)
                  AS mean_logp
         FROM scored GROUP BY doc_id
     """,
@@ -887,8 +889,8 @@ ORACLES = {
                COUNT(*) AS n_tokens,
                CAST(SUM(COALESCE(v.logp_unats, u.unk_logp_unats)) AS BIGINT)
                  AS sum_logp_unats,
-               ROUND(CAST(SUM(COALESCE(v.logp_unats, u.unk_logp_unats)) AS DOUBLE)
-                     / 1000000.0 / COUNT(*), 6) AS mean_logp
+               CAST(SUM(COALESCE(v.logp_unats, u.unk_logp_unats)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*) AS mean_logp
         FROM words w LEFT JOIN vocab v USING (word) CROSS JOIN unk u
         GROUP BY w.doc_id
     """,
