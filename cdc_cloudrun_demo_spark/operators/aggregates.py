@@ -335,14 +335,25 @@ def agg_quantile_sketch_merge(
     )
     merged = sketches.orderBy("h").limit(k)
     by_value = Window.orderBy("o_totalprice", "h")
-    ranked = merged.withColumn("r", F.row_number().over(by_value))
-    picks = {p: -(-int(p * 100) * k // 100) for p in (0.5, 0.9, 0.99)}  # ceil(p·k)
+    # Rank picks come from the OBSERVED sample count, not the nominal k:
+    # a corpus yielding fewer than k sketch rows would otherwise read
+    # quantiles at ranks that don't exist and silently return NULL
+    # (round-5 advice). ceil(p·nk) via the all-positive integer form
+    # (p100·nk + 99) div 100 — Spark `div` truncates toward zero while
+    # DuckDB `//` floors, so the negated-ceil trick would diverge on the
+    # intermediate negatives; this form stays positive in both engines.
+    ranked = (
+        merged.withColumn("r", F.row_number().over(by_value))
+        .withColumn("nk", F.max("r").over(Window.partitionBy()))
+    )
+    def _pick(p100: int):
+        return F.expr(f"({p100} * nk + 99) div 100")
     return ranked.agg(
         F.count(F.lit(1)).alias("sample_k"),
         F.count_distinct("m").alias("n_segments_sampled"),
-        F.max(F.when(F.col("r") == picks[0.5], F.col("o_totalprice"))).alias("p50"),
-        F.max(F.when(F.col("r") == picks[0.9], F.col("o_totalprice"))).alias("p90"),
-        F.max(F.when(F.col("r") == picks[0.99], F.col("o_totalprice"))).alias("p99"),
+        F.max(F.when(F.col("r") == _pick(50), F.col("o_totalprice"))).alias("p50"),
+        F.max(F.when(F.col("r") == _pick(90), F.col("o_totalprice"))).alias("p90"),
+        F.max(F.when(F.col("r") == _pick(99), F.col("o_totalprice"))).alias("p99"),
     )
 
 
@@ -385,14 +396,15 @@ ORACLES = {
         ), merged AS (
             SELECT * FROM sk ORDER BY h LIMIT 256
         ), ranked AS (
-            SELECT *, ROW_NUMBER() OVER (ORDER BY o_totalprice, h) AS r
+            SELECT *, ROW_NUMBER() OVER (ORDER BY o_totalprice, h) AS r,
+                   COUNT(*) OVER () AS nk
             FROM merged
         )
         SELECT COUNT(*) AS sample_k,
                COUNT(DISTINCT m) AS n_segments_sampled,
-               MAX(CASE WHEN r = 128 THEN o_totalprice END) AS p50,
-               MAX(CASE WHEN r = 231 THEN o_totalprice END) AS p90,
-               MAX(CASE WHEN r = 254 THEN o_totalprice END) AS p99
+               MAX(CASE WHEN r = (50 * nk + 99) // 100 THEN o_totalprice END) AS p50,
+               MAX(CASE WHEN r = (90 * nk + 99) // 100 THEN o_totalprice END) AS p90,
+               MAX(CASE WHEN r = (99 * nk + 99) // 100 THEN o_totalprice END) AS p99
         FROM ranked
     """,
     "agg_mode": """

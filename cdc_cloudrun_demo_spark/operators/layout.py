@@ -58,8 +58,18 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_bounds = li.crossJoin(F.broadcast(bounds))
     scale = (1 << _BITS) - 1
-    a = f"CAST((l_orderkey - o_mn) * {scale} AS BIGINT) div CAST(o_mx - o_mn AS BIGINT)"
-    b = f"CAST((l_partkey - p_mn) * {scale} AS BIGINT) div CAST(p_mx - p_mn AS BIGINT)"
+    # greatest(span, 1): a constant clustering column has span 0, and
+    # both Spark `div` and DuckDB `//` return NULL on /0 — the guard
+    # makes the normalized value 0 (a degenerate-but-defined key) instead
+    # of NULLing every zkey; the oracle applies the same guard.
+    a = (
+        f"CAST((l_orderkey - o_mn) * {scale} AS BIGINT)"
+        f" div greatest(CAST(o_mx - o_mn AS BIGINT), 1)"
+    )
+    b = (
+        f"CAST((l_partkey - p_mn) * {scale} AS BIGINT)"
+        f" div greatest(CAST(p_mx - p_mn AS BIGINT), 1)"
+    )
     return with_bounds.select(
         "l_orderkey",
         "l_partkey",
@@ -76,8 +86,8 @@ ZORDER_ORACLE = f"""
         FROM lineitem
     ), normed AS (
         SELECT l_orderkey, l_partkey,
-               ((l_orderkey - o_mn) * {(1 << _BITS) - 1}) // (o_mx - o_mn) AS na,
-               ((l_partkey - p_mn) * {(1 << _BITS) - 1}) // (p_mx - p_mn) AS nb
+               ((l_orderkey - o_mn) * {(1 << _BITS) - 1}) // greatest(o_mx - o_mn, 1) AS na,
+               ((l_partkey - p_mn) * {(1 << _BITS) - 1}) // greatest(p_mx - p_mn, 1) AS nb
         FROM lineitem CROSS JOIN bounds
     )
     SELECT l_orderkey, l_partkey,

@@ -255,9 +255,9 @@ ORACLES = {
     "fn_map_ops": """
         SELECT n_nationkey,
                MAP(['name', 'region'],
-                   [n_name, CAST(n_regionkey AS VARCHAR)])['name'] AS map_name,
+                   [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS map_name,
                MAP(['name', 'region'],
-                   [n_name, CAST(n_regionkey AS VARCHAR)])['region'] AS map_region,
+                   [n_name, CAST(n_regionkey AS VARCHAR)])['region'][1] AS map_region,
                CAST(NULL AS VARCHAR) AS map_absent,
                TRUE AS has_region,
                CAST(2 AS BIGINT) AS map_size

@@ -55,7 +55,7 @@ def _roundtrip_via_derby(df: DataFrame, table: str, partition_column: str) -> Da
     # bounds; any [lo, hi) works for zero rows — use [0, 1).
     lo, hi = df.agg(F.min(partition_column), F.max(partition_column)).first()
     if lo is None:
-        lo, hi = 0, 0
+        lo, hi = 0, 1
     return read_jdbc(
         spark,
         url,

@@ -37,6 +37,47 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_SCALAR_OK = (str, bytes, bytearray, bool, int, float, type(None))
+
+
+def assert_driver_sortable(pdf: pd.DataFrame, side: str, name: str) -> None:
+    """Fail loudly if any output cell is not scalar-sortable.
+
+    The driver canonicalizes BOTH frames with pandas ``sort_values``
+    before hashing; a list/ndarray/dict cell makes that raise
+    "unhashable type" and the whole entry hard-errors (round-5:
+    `sim_pq_codes` spark-side, `fn_map_ops` oracle-side). The old local
+    replica str-sorted such cells, so local green failed to predict
+    driver green — this assertion closes that gap: every output column
+    of every entry (oracled AND rows-only) must contain only scalar
+    cells (str/bytes/date/datetime/Decimal/bool/int/float/None)."""
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype != object:
+            continue
+        for v in s:
+            if v is None or isinstance(v, _SCALAR_OK):
+                continue
+            if hasattr(v, "isoformat"):  # date/datetime/Timestamp/time
+                continue
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                continue
+            if isinstance(v, float) and math.isnan(v):
+                continue
+            try:
+                if v is pd.NaT or pd.isna(v):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            raise AssertionError(
+                f"{name}: {side} column {col!r} has non-scalar cell "
+                f"{type(v).__name__} — the driver cannot sort it; emit "
+                f"scalar columns (explode / concat_ws / struct fields)"
+            )
+
+
 def _canon_cell(v):
     if v is None:
         return None
@@ -79,6 +120,8 @@ def compare_one(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareResu
         odf = con.sql(sql).df()
     except Exception as e:
         return CompareResult(name, False, f"ORACLE ERROR: {type(e).__name__}: {e}")
+    assert_driver_sortable(sdf, "spark", name)
+    assert_driver_sortable(odf, "oracle", name)
     r = CompareResult(name, True, spark_rows=len(sdf), oracle_rows=len(odf))
     if sorted(sdf.columns) != sorted(odf.columns):
         r.ok = False

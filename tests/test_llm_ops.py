@@ -529,11 +529,18 @@ def test_pq_codes_reconstruction_and_determinism(spark, sf_oracle):
         sim_pq_codes,
     )
 
-    rows1 = {r["vec_id"]: r["pq_codes"] for r in sim_pq_codes(spark, sf_oracle).collect()}
-    rows2 = {r["vec_id"]: r["pq_codes"] for r in sim_pq_codes(spark, sf_oracle).collect()}
+    def collect_codes():
+        # registry-facing exploded scalar form: (vec_id, subspace, code)
+        out: dict[int, list[int]] = {}
+        for r in sim_pq_codes(spark, sf_oracle).collect():
+            out.setdefault(r["vec_id"], [None] * 8)[r["subspace"]] = r["code"]
+        return {k: tuple(v) for k, v in out.items()}
+
+    rows1 = collect_codes()
+    rows2 = collect_codes()
     assert rows1 == rows2
     assert all(0 <= c < 16 for codes in rows1.values() for c in codes)
-    assert all(len(codes) == 8 for codes in rows1.values())
+    assert all(len(codes) == 8 and None not in codes for codes in rows1.values())
 
     emb = load_for_compute(spark, sf_oracle, "embeddings")
     books = _pq_codebooks(spark, emb, corpus_key=sf_oracle)

@@ -48,9 +48,16 @@ def test_all_queries_have_oracle_or_are_whitelisted():
 
 
 def test_rows_only_queries_run(spark, sf_oracle):
+    """Rows-only entries still pass through the driver's canonicalizer
+    (it sorts+hashes the Spark frame before noticing there's no oracle),
+    so materialize with toPandas() and assert every cell is scalar-
+    sortable — a count() alone masked the round-5 `sim_pq_codes` ERR."""
+    from tests.oracle_check import assert_driver_sortable
+
     for name in sorted(set(QUERIES) - set(ORACLES)):
-        df = QUERIES[name](spark, sf_oracle)
-        assert df.count() >= 0, name
+        pdf = QUERIES[name](spark, sf_oracle).toPandas()
+        assert len(pdf) >= 0, name
+        assert_driver_sortable(pdf, "spark", name)
 
 
 def test_entry_smoke(spark):
