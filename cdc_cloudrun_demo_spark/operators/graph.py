@@ -11,12 +11,13 @@ fixed-point PageRank hash-matches its oracle (the oracle unrolls the
 iterations as chained CTEs — no recursive-aggregate support needed).
 
 Scale shape: each iteration is one shuffle keyed on the destination node
-(contribution aggregation) plus a broadcast of the bounded rank-mass
-remainder; the edge list never re-derives. `localCheckpoint` every few
-iterations truncates the lineage the same way the connected-components
-operator does (`functions/dedup.py`). Rank leakage from floor division
-(< 1 unit per node per iteration) stays in the system as an explicit
-residual — conservation is property-tested.
+(contribution aggregation) plus a broadcast of the bounded per-source
+contribution vector; the annotated edge list is derived once and pinned
+with `localCheckpoint` (the Pregel/GraphX edge-partition discipline), so
+it never re-derives and the iterative lineage stays a shallow chain of
+LogicalRDD→join→agg steps. Rank leakage from floor division (< 1 unit
+per node per iteration) stays in the system as an explicit residual —
+conservation is property-tested.
 """
 
 from __future__ import annotations
@@ -45,43 +46,95 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    return fwd.unionByName(rev)
+    # Both directions come from ONE pass over the distinct pairs: a
+    # union of two selects duplicates the whole join+distinct subtree in
+    # the plan (lineitem scanned and shuffled twice — observed, not
+    # hypothetical); explode(array(fwd, rev)) emits both edges per pair
+    # from the single materialized subtree.
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cust").alias("src"), F.col("supp").alias("dst")),
+                F.struct(F.col("supp").alias("src"), F.col("cust").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str, n_iter: int = N_ITER) -> DataFrame:
     """Fixed-point PageRank (damping 0.85, ``n_iter`` iterations) over
     the trade graph; returns every node's rank in integer units plus its
-    kind. See module docstring for why this is hash-match oracleable."""
-    edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = deg.select(F.col("src").alias("node"), "outdeg")
-    n_nodes = nodes.count()  # bounded: the node-count scalar, not data
-    if n_nodes == 0:
-        return spark.createDataFrame([], "node long, kind string, rank_units long")
-    base = (DAMP_DEN - DAMP_NUM) * (TOTAL_MASS // n_nodes) // DAMP_DEN
-    ranks = nodes.select("node", F.lit(TOTAL_MASS // n_nodes).alias("rank"))
+    kind. See module docstring for why this is hash-match oracleable.
+
+    Iteration shape (round-6 rework — the r5 version re-derived the
+    lineitem⋈orders edge join inside every iteration's lineage and paid
+    3 joins per step): the destination's outdegree and the damping
+    constants are attached to the edge list ONCE, and the whole annotated
+    edge list is materialized via lazy localCheckpoint (the Pregel/GraphX
+    discipline — every iterative graph system pins the edge partitions).
+    Each iteration is then exactly ONE broadcast join (the slim
+    per-source contribution vector onto the pinned edges) and ONE
+    aggregation keyed on dst — which yields the next rank vector
+    directly, because the graph is symmetric by construction (both
+    directions of every pair are emitted), so every node has indegree
+    ≥ 1 and no left-join against a node table is needed. Constants are
+    computed IN-PLAN (the oracle's consts CTE) — no driver-side count().
+    NOTE on timing: AQE resolves the checkpoint's query stages at toRdd,
+    so the one-time edge materialization executes while this function
+    BUILDS the plan, before any action fires; bench.py therefore times
+    this query from construction start (FULL_TIMED) so that cost cannot
+    escape the measurement. The
+    contribution-vector broadcast is bounded: the node set is customer ∪
+    supplier — DIMENSION cardinality, not fact cardinality (at a scale
+    where it outgrows the broadcast threshold, swap the broadcast for
+    co-hash-partitioning ranks and edges on src; the arithmetic is
+    unchanged)."""
+    raw = _trade_edges(spark, sf_dir)
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    consts = deg.agg(
+        F.expr(f"{TOTAL_MASS} div count(1)").alias("init"),
+        F.expr(
+            f"({DAMP_DEN - DAMP_NUM} * ({TOTAL_MASS} div count(1)))"
+            f" div {DAMP_DEN}"
+        ).alias("base"),
+    )
+    dst_deg = deg.select(F.col("src").alias("dst"), F.col("outdeg").alias("dst_outdeg"))
+    edges = (
+        raw.join(dst_deg, "dst")
+        .crossJoin(F.broadcast(consts))
+        .select("src", "dst", "dst_outdeg", "init", "base")
+        .localCheckpoint(eager=False)
+    )
+    # rank vector: (node, outdeg, base, rank); seeded from the annotated
+    # edges so an empty corpus yields an empty, correctly-typed result
+    ranks = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.min("dst_outdeg").alias("outdeg"),
+        F.min("base").alias("base"),
+        F.min("init").alias("rank"),
+    )
     for i in range(n_iter):
-        contrib = (
-            ranks.join(deg, ranks.node == deg.src)
-            .join(edges, "src")
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
-        )
+        contribs = ranks.select("node", F.expr("rank div outdeg").alias("c"))
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
+            edges.join(F.broadcast(contribs), edges.src == contribs.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min("dst_outdeg").alias("outdeg"),
+                F.min("base").alias("base"),
                 (
-                    F.lit(base)
-                    + F.expr(f"{DAMP_NUM} * coalesce(inc, 0) div {DAMP_DEN}")
+                    F.min("base")
+                    + F.expr(f"{DAMP_NUM} * sum(c) div {DAMP_DEN}")
                 ).alias("rank"),
             )
         )
-        if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint()  # truncate iterative lineage
+        # truncate the iterative lineage every few steps: one giant AQE
+        # plan re-optimizes the WHOLE logical plan after every finished
+        # stage (quadratic in stage count — measured ~2× slower across 10
+        # iterations); short checkpointed segments keep each AQE plan
+        # small. FULL_TIMED in bench.py times this query from
+        # construction start, so the work these checkpoints execute
+        # early is still measured.
+        if (i + 1) % 3 == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))

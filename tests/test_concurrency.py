@@ -106,3 +106,27 @@ def test_fair_pools_isolate_concurrent_callers(spark, sf_oracle):
     assert r2.ok, f"{n2} diverged in pool adhoc: {r2.detail}"
     # the main thread's pool was never touched by the workers
     assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_two_spark_sessions_concurrent_oracle_green(spark, sf_oracle):
+    """TWO SparkSessions (newSession(): isolated SQL conf / temp views /
+    current database over one shared SparkContext) driving the posting
+    and bucketed-join families concurrently — the way the reference
+    actually runs: multiple service instances multiplexed onto one
+    database (PgBouncer, terraform/database.tf:27-31), here multiple
+    sessions multiplexed onto one cluster. Both sides must stay
+    oracle-green: the posting machinery holds no module-global state
+    and the bucketed-join generation GC is keyed per-session, so
+    neither session may observe or evict the other's intermediate
+    state (round-5 advice item 8)."""
+    s1 = spark.newSession()
+    s2 = spark.newSession()
+    assert s1 is not spark and s2 is not spark and s1 is not s2
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(_run_green, s1, sf_oracle, "dedup_ngram_jaccard")
+        f2 = pool.submit(_run_green, s2, sf_oracle, "join_bucketed_colocated")
+        n1, r1, _ = f1.result(timeout=300)
+        n2, r2, _ = f2.result(timeout=300)
+    assert r1.ok, f"{n1} diverged across sessions: {r1.detail}"
+    assert r2.ok, f"{n2} diverged across sessions: {r2.detail}"

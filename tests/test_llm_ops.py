@@ -607,3 +607,33 @@ def test_jaccard_posting_cap_on_all_identical_corpus(spark, tmp_path):
     assert dedup_ngram_jaccard(spark, str(tmp_path)).count() == 0
     exact = dedup_exact(spark, str(tmp_path)).collect()
     assert len(exact) == 1 and exact[0]["n_copies"] == 500
+
+
+def test_decode_image_netpbm_pure_python():
+    """decode_image is a real netpbm parser, not a stub: P6 and P5 blobs
+    decode with exact dims/channel sums, header comments are skipped per
+    the public spec, and truncated payloads fail loudly instead of
+    returning garbage."""
+    import pytest as _pytest
+
+    from cdc_cloudrun_demo_spark.sources.multimodal import decode_image
+
+    # 2x1 RGB: pixels (1,2,3) and (250,251,252)
+    p6 = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    r = decode_image(p6)
+    assert (r["width"], r["height"], r["channels"]) == (2, 1, 3)
+    assert (r["r_sum"], r["g_sum"], r["b_sum"]) == (251, 253, 255)
+
+    # comment line in the header (spec: '#' runs to newline)
+    p6c = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    assert decode_image(p6c) == r
+
+    # P5 grayscale 3x1
+    p5 = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    g = decode_image(p5)
+    assert (g["width"], g["channels"], g["r_sum"]) == (3, 1, 60)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n2 1\n255\n" + bytes([1, 2, 3]))
+    with _pytest.raises(ValueError, match="unsupported|PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
