@@ -357,7 +357,82 @@ def agg_quantile_sketch_merge(
     )
 
 
+_CMS_D, _CMS_W = 4, 256
+_CMS_SALTS = [f"{i}:" for i in range(_CMS_D)]
+_CMS_PROBES = [1, 2, 5]
+
+
+def _cms_bucket_sql(salt_col: str, key_col: str) -> str:
+    """Portable bucket hash: first 8 hex chars of md5(salt||key) as an
+    integer, mod w. Spark `conv(hex,16,10)` and DuckDB `('0x'||hex)::
+    BIGINT` parse the identical md5 hex substring to the identical
+    nonnegative value (< 2^32), so both engines place every key in the
+    same counter cell — the whole sketch is hash-oracle-able where
+    engine-seeded CMS implementations are not."""
+    return (
+        f"CAST(conv(substring(md5(concat({salt_col}, {key_col})), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+def agg_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN sketch — the frequency twin of the KMV
+    quantile sketch, closing the third big mergeable-sketch family
+    (distinct=HLL, quantiles=KMV, frequencies=CMS). d=4 hash rows ×
+    w=256 counters; a key's estimate is min_i counts[i][bucket_i(key)],
+    an overestimate by construction (collisions only ever ADD). The
+    sketch is built per month-segment and MERGED by cell-wise summation
+    — sums are associative and order-independent, so segment-then-merge
+    equals the whole-corpus sketch exactly (the property a 100 TB
+    per-partition sketch refresh depends on: |segments|·d·w counter
+    rows into the merge, never the raw history; map-side partial
+    aggregation bounds the first shuffle the same way).
+
+    Bucket hashes are md5-derived and reproduced exactly by DuckDB
+    (`_cms_bucket_sql`) → full hash-match check, where engine-seeded
+    sketches (HLL) get rows-only. Output: probe-key estimates joined
+    with exact counts; estimate ≥ exact for EVERY key and exact
+    mergeability are property-tested in tests/test_properties.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.month("o_orderdate").alias("m"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    salts = F.array(*[F.lit(s) for s in _CMS_SALTS])
+    hashed = rows.select("m", "k", F.explode(salts).alias("s"))
+    seg = hashed.groupBy(
+        "m", "s", F.expr(_cms_bucket_sql("s", "k")).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = seg.groupBy("s", "b").agg(F.sum("c").alias("c"))
+
+    probes = spark.createDataFrame([(str(p),) for p in _CMS_PROBES], "k string")
+    pb = probes.select("k", F.explode(salts).alias("s")).select(
+        "k", "s", F.expr(_cms_bucket_sql("s", "k")).alias("b")
+    )
+    # LEFT join: a probe key whose cell no data row touched estimates 0
+    # (an empty cell is a 0 counter, not a missing row)
+    est = (
+        pb.join(merged, ["s", "b"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("estimate"))
+    )
+    exact = (
+        orders.filter(F.col("o_custkey").isin(_CMS_PROBES))
+        .groupBy(F.col("o_custkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("probe_key"),
+            F.col("estimate").cast("long").alias("estimate"),
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).cast("long").alias("exact_cnt"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_cms_merge": agg_cms_merge,
     "agg_quantile_sketch_merge": agg_quantile_sketch_merge,
     "agg_hll_merge": agg_hll_merge,
     "agg_mode": agg_mode,
@@ -383,6 +458,42 @@ _SQL_VY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAS
 _SQL_COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
 
 ORACLES = {
+    "agg_cms_merge": f"""
+        WITH rows AS (
+            SELECT month(o_orderdate) AS m, CAST(o_custkey AS VARCHAR) AS k
+            FROM orders
+        ), h AS (
+            SELECT m, k, unnest(['0:', '1:', '2:', '3:']) AS s FROM rows
+        ), hb AS (
+            SELECT m, s,
+                   CAST(('0x' || substr(md5(s || k), 1, 8)) AS BIGINT)
+                     % {_CMS_W} AS b
+            FROM h
+        ), seg AS (
+            SELECT m, s, b, COUNT(*) AS c FROM hb GROUP BY 1, 2, 3
+        ), merged AS (
+            SELECT s, b, SUM(c) AS c FROM seg GROUP BY 1, 2
+        ), probes AS (
+            SELECT unnest(['1', '2', '5']) AS k
+        ), pb AS (
+            SELECT p.k, sl.s,
+                   CAST(('0x' || substr(md5(sl.s || p.k), 1, 8)) AS BIGINT)
+                     % {_CMS_W} AS b
+            FROM probes p
+            CROSS JOIN (SELECT unnest(['0:', '1:', '2:', '3:']) AS s) sl
+        ), est AS (
+            SELECT pb.k, MIN(COALESCE(m.c, 0)) AS estimate
+            FROM pb LEFT JOIN merged m ON m.s = pb.s AND m.b = pb.b
+            GROUP BY pb.k
+        ), exact AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS exact_cnt
+            FROM orders WHERE o_custkey IN (1, 2, 5) GROUP BY 1
+        )
+        SELECT CAST(e.k AS BIGINT) AS probe_key,
+               CAST(e.estimate AS BIGINT) AS estimate,
+               CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est e LEFT JOIN exact x ON e.k = x.k
+    """,
     "agg_quantile_sketch_merge": """
         WITH seg AS (
             SELECT month(o_orderdate) AS m, o_totalprice,

@@ -192,10 +192,48 @@ def _pagerank_oracle(n_iter: int = N_ITER) -> str:
     return head + "".join(steps) + tail
 
 
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph, split by node kind — the
+    first diagnostic any graph pipeline runs (skew detection: a
+    power-law hub is what forces salting/broadcast decisions in the
+    iterative ops). One aggregation to per-node degree, one to the
+    (kind, degree) histogram; the histogram is |distinct degrees| rows
+    regardless of graph size."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            "degree",
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("kind", F.col("degree").cast("long").alias("degree"), "n_nodes")
+    )
+
+
 QUERIES = {
+    "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
 }
 
 ORACLES = {
+    "graph_degree_stats": """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs
+        ), deg AS (
+            SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+        )
+        SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               CAST(degree AS BIGINT) AS degree,
+               COUNT(*) AS n_nodes
+        FROM deg GROUP BY 1, 2
+    """,
     "graph_pagerank": _pagerank_oracle(),
 }

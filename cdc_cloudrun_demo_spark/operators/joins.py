@@ -455,7 +455,54 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the partition-layout twin of
+    `join_bucketed_colocated`: when the fact table is PARTITIONED on the
+    join key and the dim side carries a runtime filter, Catalyst injects
+    the dim's key set as a partition filter into the fact SCAN
+    (`PartitionFilters: [dynamicpruning#...]`, asserted in
+    tests/test_plans.py) — at 100 TB this is the difference between
+    scanning every partition and touching only the months the dim
+    selects, decided at RUNTIME (a static filter can't express "the
+    months in quarter Q1 of the dim table" without reading the dim).
+
+    Local mechanics: orders is written once per call to scratch parquet
+    partitioned by order month (the ingest-layout stand-in), and a
+    12-row month→quarter dim is written as a separate parquet so its
+    filter value is genuinely data-dependent (a literal in-memory dim
+    would constant-fold into static pruning and prove nothing). The dim
+    broadcasts; the aggregate shuffles only the grouped result."""
+    from .._scratch import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.month("o_orderdate").alias("om")
+    )
+    fact_path = os.path.join(scratch_dir("dpp_"), "orders_by_month")
+    o.write.mode("overwrite").partitionBy("om").parquet(fact_path)
+    dim_path = os.path.join(os.path.dirname(fact_path), "month_dim")
+    spark.createDataFrame(
+        [(m, f"Q{(m - 1) // 3 + 1}") for m in range(1, 13)],
+        "m int, quarter string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    # explicit schema: an empty corpus writes zero partition files and
+    # schema inference would fail; the layout contract is known anyway
+    fact = spark.read.schema("o_orderkey bigint, o_totalprice double, om int").parquet(
+        fact_path
+    )
+    dim = spark.read.parquet(dim_path).filter(F.col("quarter") == "Q1")
+    return (
+        fact.join(F.broadcast(dim), fact.om == dim.m)
+        .groupBy(F.col("om").cast("int").alias("om"))
+        .agg(
+            dsum("o_totalprice", 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 QUERIES = {
+    "join_dpp_partitioned": join_dpp_partitioned,
     "join_null_aware_anti": join_null_aware_anti,
     "join_broadcast_dim": join_broadcast_dim,
     "join_star_revenue": join_star_revenue,
@@ -473,6 +520,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    # partition layout must not change the result: oracle is the plain
+    # month filter (Q1 = months 1-3, the dim's quarter mapping)
+    "join_dpp_partitioned": f"""
+        SELECT CAST(month(o_orderdate) AS INT) AS om,
+               {sql_dsum('o_totalprice', 2)} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE month(o_orderdate) IN (1, 2, 3)
+        GROUP BY 1
+    """,
     "join_null_aware_anti": """
         SELECT o_orderstatus, COUNT(*) AS n_orders
         FROM orders

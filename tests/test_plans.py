@@ -402,3 +402,18 @@ def test_partition_directory_pruning(spark, sf_smoke, tmp_path):
     # rows returned equal exactly the one day's rows
     want = ev.filter(F.col("day") == "2024-01-03").count()
     assert one_day.count() == want and want > 0
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_smoke):
+    """Dynamic partition pruning: the month-partitioned fact scan must
+    carry a `dynamicpruning` partition filter injected from the dim's
+    runtime filter — the scan touches only the dim-selected months at
+    any scale — and the result must actually come from a pruned read
+    (3 of 12 month partitions)."""
+    from cdc_cloudrun_demo_spark.operators.joins import join_dpp_partitioned
+
+    df = join_dpp_partitioned(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = df.collect()
+    assert {r["om"] for r in rows} <= {1, 2, 3} and rows, rows

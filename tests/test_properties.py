@@ -302,3 +302,62 @@ def test_pagerank_mass_conservation_and_structure(spark, sf_oracle):
     assert all(r["rank_units"] >= base for r in rows)
     kinds = {r["kind"] for r in rows}
     assert kinds == {"customer", "supplier"}
+
+
+def test_cms_overestimates_every_key_and_merges_exactly(spark, sf_oracle):
+    """CMS contracts: (a) for EVERY key in the corpus (not just the
+    probes) the sketch estimate is >= the exact count — collisions only
+    ever add; (b) the per-month segment sketches summed cell-wise equal
+    the whole-pass sketch bit-for-bit (sum associativity is the merge
+    guarantee a distributed per-partition sketch refresh relies on);
+    (c) total sketch mass per hash row equals the corpus row count
+    (every row lands in exactly one cell per row)."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.aggregates import (
+        _CMS_SALTS,
+        _cms_bucket_sql,
+    )
+
+    orders = load_table(spark, sf_oracle, "orders")
+    rows = orders.select(
+        F.month("o_orderdate").alias("m"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    salts = F.array(*[F.lit(s) for s in _CMS_SALTS])
+    hashed = rows.select("m", "k", F.explode(salts).alias("s"))
+    seg = hashed.groupBy("m", "s", F.expr(_cms_bucket_sql("s", "k")).alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = {
+        (r["s"], r["b"]): r["c"]
+        for r in seg.groupBy("s", "b").agg(F.sum("c").alias("c")).collect()
+    }
+    whole = {
+        (r["s"], r["b"]): r["c"]
+        for r in hashed.groupBy("s", F.expr(_cms_bucket_sql("s", "k")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert merged == whole  # (b) segment-then-merge == whole-pass
+
+    n_rows = orders.count()
+    for s in _CMS_SALTS:
+        assert sum(c for (ss, _), c in merged.items() if ss == s) == n_rows  # (c)
+
+    # (a) estimate >= exact for every key
+    key_buckets = {
+        (r["k"], r["s"]): r["b"]
+        for r in rows.select("k").distinct()
+        .select("k", F.explode(salts).alias("s"))
+        .select("k", "s", F.expr(_cms_bucket_sql("s", "k")).alias("b"))
+        .collect()
+    }
+    exact = {
+        r["k"]: r["c"]
+        for r in rows.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for k, cnt in exact.items():
+        est = min(merged.get((s, key_buckets[(k, s)]), 0) for s in _CMS_SALTS)
+        assert est >= cnt, (k, est, cnt)
