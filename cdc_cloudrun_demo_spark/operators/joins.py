@@ -455,6 +455,73 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 4096  # bits
+_BLOOM_SALTS = [f"{i}:" for i in range(4)]
+
+
+def _bloom_pos_sql(salt: str, key_col: str) -> str:
+    """Portable Bloom bit position: md5-derived (the CMS discipline,
+    `aggregates._cms_bucket_sql`) so Spark and DuckDB agree exactly."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}', {key_col})), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled BLOOM runtime filter ahead of a semi join — the
+    row-level twin of `join_dpp_partitioned`'s partition-level pruning,
+    and the mechanism behind Spark's own runtime bloom-filter join,
+    made deterministic so the oracle can prove it changes nothing: the
+    build side's key set is folded into an m=4096-bit / 4-hash Bloom
+    whose SET BIT POSITIONS are collected (bounded by m — never the
+    keys, never data-scaled) and inlined as 64 long literals; the fact
+    side tests its 4 md5-derived positions with narrow bit arithmetic —
+    ZERO exchanges before the filter — and only survivors (true matches
+    + ≲(fill)⁴ false positives) enter the exact semi join. At 100 TB
+    this is the difference between shuffling every fact row and
+    shuffling ~the matching fraction; no false negative is possible
+    (every build-key bit is set), which is exactly what the plain
+    semi-join oracle checks. Pruning effectiveness is asserted in
+    tests/test_plans.py."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    # build: distinct set bit positions — ≤ m rows regardless of dim size
+    pos_arrays = [
+        F.expr(_bloom_pos_sql(s, "c_custkey")) for s in _BLOOM_SALTS
+    ]
+    positions = {
+        r["p"]
+        for r in c.select(F.explode(F.array(*pos_arrays)).alias("p"))
+        .distinct()
+        .collect()
+    }
+    words = [0] * (_BLOOM_M // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed long literals, inlined as one array
+    bits_sql = "array({})".format(
+        ", ".join(
+            f"CAST({w - (1 << 64) if w >= 1 << 63 else w} AS BIGINT)" for w in words
+        )
+    )
+    clauses = []
+    for s in _BLOOM_SALTS:
+        p = _bloom_pos_sql(s, "o_custkey")
+        clauses.append(
+            f"((shiftright(element_at({bits_sql}, CAST(({p}) div 64 AS INT) + 1),"
+            f" CAST(({p}) % 64 AS INT)) & 1) = 1)"
+        )
+    prefiltered = o.filter(F.expr(" AND ".join(clauses)))
+    return (
+        prefiltered.join(c, prefiltered.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC partition pruning — the partition-layout twin of
     `join_bucketed_colocated`: when the fact table is PARTITIONED on the
@@ -502,6 +569,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "join_bloom_prefiltered": join_bloom_prefiltered,
     "join_dpp_partitioned": join_dpp_partitioned,
     "join_null_aware_anti": join_null_aware_anti,
     "join_broadcast_dim": join_broadcast_dim,
@@ -520,6 +588,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the Bloom prefilter must be semantically invisible (no false
+    # negatives by construction): oracle is the plain semi join
+    "join_bloom_prefiltered": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderpriority
+    """,
     # partition layout must not change the result: oracle is the plain
     # month filter (Q1 = months 1-3, the dim's quarter mapping)
     "join_dpp_partitioned": f"""

@@ -131,7 +131,59 @@ def sample_mixture(spark: SparkSession, sf_dir: str, total: int = 200) -> DataFr
     )
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """WEIGHTED systematic sampling — quality/length-weighted corpus
+    selection (longer documents proportionally likelier, the standard
+    token-budgeted corpus draw), fully deterministic and engine-exact:
+    no `pow`/`log` ranking (Efraimidis-Spirakis keys need transcendentals
+    whose last ulp differs across libms), just integer cumulative weight
+    crossing integer step boundaries.
+
+    Order is the md5 hash of the key (engine-identical, de-correlated
+    from storage order). The cumulative weight is a DISTRIBUTED two-phase
+    prefix sum — the scale-correct shape, not a single global window:
+    the first hex byte of the ordering hash partitions the corpus into
+    256 buckets whose (bucket, hash) order equals the global hash order
+    (the bucket IS the hash prefix); phase 1 cumsums within each bucket
+    in parallel, phase 2 computes running bucket offsets over exactly
+    256 rows (bounded window, the merged-KMV discipline). A row is
+    selected iff its weight interval [cum-w, cum) crosses a multiple of
+    step = w_total div k — floor-division crossings, exact in both
+    engines. At 100 TB nothing changes: the corpus never hits a single
+    reducer, and the per-bucket windows salt like any hot window."""
+    d = load_for_compute(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    rows = d.select(
+        "doc_id", "w", h.alias("h"), F.substring(h, 1, 2).alias("bkt")
+    )
+    w_local = Window.partitionBy("bkt").orderBy("h")
+    local = rows.withColumn("lcum", F.sum("w").over(w_local))
+    bkt_tot = rows.groupBy("bkt").agg(F.sum("w").alias("btot"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_tot.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+    )
+    tot = bkt_tot.agg(F.sum("btot").alias("w_total"))
+    cum = (
+        local.join(F.broadcast(offsets.select("bkt", "boff")), "bkt")
+        .withColumn("cum", F.col("boff") + F.col("lcum"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("step", F.expr(f"greatest(w_total div {k}, 1)"))
+    )
+    return cum.filter(
+        F.expr("(cum div step) > ((cum - w) div step)")
+    ).select(
+        "doc_id",
+        "w",
+        F.col("cum").alias("cum_w"),
+        F.expr("cum div step").cast("long").alias("pick_idx"),
+    )
+
+
 QUERIES = {
+    "sample_weighted": sample_weighted,
     "sample_mixture": sample_mixture,
     "sample_systematic": sample_systematic,
     "sample_stratified": sample_stratified,
@@ -139,6 +191,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the oracle computes the SAME cumulative sum with one global window
+    # (single-node engine: no distribution needed) — the two-phase
+    # bucketed prefix sum must be arithmetically invisible
+    "sample_weighted": """
+        WITH rows AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, w,
+                   SUM(w) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER () AS w_total
+            FROM rows
+        ), stepped AS (
+            SELECT doc_id, w, cum, GREATEST(w_total // 100, 1) AS step
+            FROM cum
+        )
+        SELECT doc_id, w, CAST(cum AS BIGINT) AS cum_w,
+               CAST(cum // step AS BIGINT) AS pick_idx
+        FROM stepped
+        WHERE (cum // step) > ((cum - w) // step)
+    """,
     "sample_mixture": """
         WITH counts AS (
             SELECT source, COUNT(*) AS c,

@@ -29,6 +29,7 @@ BNLJ_BOUNDED = {
     "text_bigram_logprob": "1-row token-total aggregate",
     "text_tfidf_topterms": "1-row document-count aggregate",
     "qx_nested_agg": "1-row scalar aggregate subquery",
+    "sample_weighted": "1-row total-weight aggregate (step size)",
 }
 
 
@@ -78,6 +79,11 @@ def test_no_unvetted_driver_collects_in_engine_source():
             3,
             "fixed 2048-row k-means + PQ training samples; the bounded "
             "(vec_id < 5) ANN query set",
+        ),
+        "operators/joins.py": (
+            1,
+            "<= m=4096 distinct Bloom bit positions (never keys, never "
+            "data-scaled) for the inlined runtime filter",
         ),
     }
     root = os.path.join(os.path.dirname(__file__), "..", "cdc_cloudrun_demo_spark")
