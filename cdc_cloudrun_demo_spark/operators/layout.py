@@ -95,10 +95,118 @@ ZORDER_ORACLE = f"""
     FROM normed
 """
 
+_HBITS = 8  # Hilbert grid: 2^8 x 2^8 cells, key in [0, 2^16)
+_HSIDE = 1 << _HBITS
+
+
+def hilbert_step_exprs(level: int, x: str, y: str, d: str) -> tuple[str, str, str]:
+    """One unrolled level of the standard Hilbert xy→d walk (the
+    public-domain Wikipedia formulation), as PORTABLE integer SQL:
+    no xor operator anywhere — Spark's `^` is XOR while DuckDB's `^` is
+    POWER, so `(3·rx) xor ry` is expanded to its closed CASE form
+    (rx=0 → ry; rx=1 → 3-ry). Quadrant rotation folds the conditional
+    swap/reflect into two CASE projections. All +,-,*,&,CASE — identical
+    text in both engines."""
+    s = 1 << level
+    rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+    d_new = f"({d} + {s * s} * (CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END))"
+    x_new = (
+        f"(CASE WHEN {ry} = 0 THEN"
+        f" (CASE WHEN {rx} = 1 THEN {_HSIDE - 1} - {y} ELSE {y} END)"
+        f" ELSE {x} END)"
+    )
+    y_new = (
+        f"(CASE WHEN {ry} = 0 THEN"
+        f" (CASE WHEN {rx} = 1 THEN {_HSIDE - 1} - {x} ELSE {x} END)"
+        f" ELSE {y} END)"
+    )
+    return x_new, y_new, d_new
+
+
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (l_orderkey, l_partkey) — the
+    locality-stronger sibling of `layout_zorder_key` (a Hilbert walk
+    never jumps: consecutive keys are always Manhattan-adjacent cells,
+    where Morton order teleports at quadrant seams, so range predicates
+    overlap fewer files; this is why Delta/Iceberg grew HILBERT
+    clustering next to ZORDER). Same plan shape as the Morton key: one
+    tiny min/max bounds aggregate broadcast onto a NARROW per-row
+    expression — the corpus never shuffles to get its key. The 8-level
+    walk is unrolled into chained integer projections (Catalyst
+    constant-folds and fuses them into one codegen stage); the identical
+    step text runs as chained CTE projections in the DuckDB oracle, so
+    the key is hash-checked bit-for-bit. Bijectivity on the full grid
+    and the unit-step adjacency property are tested directly in
+    tests/test_pipeline_ops.py."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("o_mn"),
+        F.max("l_orderkey").alias("o_mx"),
+        F.min("l_partkey").alias("p_mn"),
+        F.max("l_partkey").alias("p_mx"),
+    )
+    scale = _HSIDE - 1
+    with_bounds = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(
+            f"CAST((l_orderkey - o_mn) * {scale} AS BIGINT)"
+            f" div greatest(CAST(o_mx - o_mn AS BIGINT), 1)"
+        ).alias("hx"),
+        F.expr(
+            f"CAST((l_partkey - p_mn) * {scale} AS BIGINT)"
+            f" div greatest(CAST(p_mx - p_mn AS BIGINT), 1)"
+        ).alias("hy"),
+    )
+    cur = with_bounds.withColumn("hd", F.lit(0).cast("long"))
+    for level in range(_HBITS - 1, -1, -1):
+        x_new, y_new, d_new = hilbert_step_exprs(level, "hx", "hy", "hd")
+        cur = cur.select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr(x_new).alias("hx"),
+            F.expr(y_new).alias("hy"),
+            F.expr(d_new).alias("hd"),
+        )
+    return cur.select(
+        "l_orderkey", "l_partkey", F.col("hd").cast("long").alias("hkey")
+    )
+
+
+def _hilbert_oracle() -> str:
+    scale = _HSIDE - 1
+    steps = []
+    prev = "lvl_in"
+    for i, level in enumerate(range(_HBITS - 1, -1, -1)):
+        x_new, y_new, d_new = hilbert_step_exprs(level, "hx", "hy", "hd")
+        steps.append(
+            f", lvl{i} AS (SELECT l_orderkey, l_partkey,"
+            f" {x_new} AS hx, {y_new} AS hy, {d_new} AS hd FROM {prev})"
+        )
+        prev = f"lvl{i}"
+    return f"""
+        WITH bounds AS (
+            SELECT MIN(l_orderkey) AS o_mn, MAX(l_orderkey) AS o_mx,
+                   MIN(l_partkey) AS p_mn, MAX(l_partkey) AS p_mx
+            FROM lineitem
+        ), lvl_in AS (
+            SELECT l_orderkey, l_partkey,
+                   ((l_orderkey - o_mn) * {scale}) // greatest(o_mx - o_mn, 1) AS hx,
+                   ((l_partkey - p_mn) * {scale}) // greatest(p_mx - p_mn, 1) AS hy,
+                   0 AS hd
+            FROM lineitem CROSS JOIN bounds
+        ){''.join(steps)}
+        SELECT l_orderkey, l_partkey, CAST(hd AS BIGINT) AS hkey FROM {prev}
+    """
+
+
 QUERIES = {
+    "layout_hilbert_key": layout_hilbert_key,
     "layout_zorder_key": layout_zorder_key,
 }
 
 ORACLES = {
+    "layout_hilbert_key": _hilbert_oracle(),
     "layout_zorder_key": ZORDER_ORACLE,
 }

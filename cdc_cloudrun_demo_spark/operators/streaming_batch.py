@@ -341,7 +341,107 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics inner joins can't
+    show: an unmatched view must STILL emit (null-extended) once the
+    watermark proves no purchase can arrive for its window anymore.
+    Null emission is driven by state EXPIRY, which happens in the batch
+    AFTER the watermark advances — so a stream that simply ends strands
+    every unmatched row still in state (observed: 90% of the outer rows
+    silently absent on a first cut with a short watermark, which also
+    dropped later batches' rows as late under the random file split).
+    The fix is the production pattern made explicit: the 35-day
+    watermark (≥ the event span) guarantees NO row is ever late, and
+    two trailing far-future SENTINEL files (a view+purchase pair at
+    +40d, another at +41d, delivered last under maxFilesPerTrigger=1)
+    first jump the watermark past every real window, then trigger the
+    eviction batch that flushes every unmatched view — after which the
+    streamed result equals the batch left join EXACTLY, no cutoff, no
+    tail exclusion. The sentinels (negative user ids) are filtered from
+    the rollup. At scale the sentinel is the upstream's end-of-stream /
+    epoch-close marker; the 'rows younger than interval+delay are not
+    final yet' line is what any outer-join consumer must draw when the
+    stream does NOT end."""
+    import os
+    import time
+
+    from .._scratch import scratch_dir
+
+    from ..sources import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = scratch_dir("outerjoinstream_")
+    log = os.path.join(root, "log")
+    ev.repartition(4).write.parquet(log)
+    # two sentinel files appended AFTER the main log (file order =
+    # delivery order under maxFilesPerTrigger=1): each carries one view
+    # + one purchase far past the real span, on negative user ids. File
+    # 5 advances both sides' watermarks past every real window; file 6's
+    # batch performs the eviction that emits the stranded outer rows.
+    for i, days in enumerate((40, 41)):
+        time.sleep(1.1)  # distinct mtimes: delivery order = write order
+        sentinel = ev.agg(F.max("ts").alias("mx")).filter(
+            F.col("mx").isNotNull()  # empty corpus: no sentinel needed
+        ).select(
+            F.lit(-1000 - i).cast("long").alias("event_id"),
+            F.expr(f"mx + INTERVAL {days} DAYS").alias("ts"),
+            F.lit(-1 - i).cast(ev.schema["user_id"].dataType.simpleString()).alias(
+                "user_id"
+            ),
+            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias("event_type"),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    views = (
+        file_stream(spark, log, schema, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "35 days")
+    )
+    buys = (
+        file_stream(spark, log, schema, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "35 days")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "v_ts", "p_ts")
+    out = os.path.join(root, "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "stream-stream outer join did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel rows
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("p_ts").alias("n_matched"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unmatched"),
+        )
+    )
+
+
 QUERIES = {
+    "stream_join_outer_live": stream_join_outer_live,
     "stream_join_live": stream_join_live,
     "stream_dedup_live": stream_dedup_live,
     "stream_tumbling_daily": stream_tumbling_daily,
@@ -360,6 +460,27 @@ ORACLES = {
     "stream_dedup_live": f"""
         SELECT event_type, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
         FROM events GROUP BY event_type
+    """,
+    # the streamed outer join must equal the batch left join below the
+    # emission-proof cutoff (max ts - 3h; see operator docstring)
+    "stream_join_outer_live": """
+        WITH v AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts
+            FROM events WHERE event_type = 'view'
+        ), p AS (
+            SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.user_id, COUNT(*) AS n_rows,
+               COUNT(p.p_ts) AS n_matched,
+               CAST(SUM(CASE WHEN p.p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched
+        FROM v
+        LEFT JOIN p
+          ON v.user_id = p.p_user
+         AND p.p_ts >  v.v_ts
+         AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id
     """,
     # the streamed attribution join must equal the batch range join
     "stream_join_live": """

