@@ -679,6 +679,140 @@ def sim_ann_pq_topk(
     )
 
 
+def sim_ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF + PQ + exact re-rank — the COMPLETE production ANN index
+    (the FAISS IVFPQ shape), composing the two halves this module
+    already proves separately: the IVF coarse quantizer restricts each
+    query's scan to its ``n_probe`` nearest cells (n_probe/n_clusters of
+    the corpus, `sim_ann_ivf_topk`'s speedup), and within those cells
+    the scan reads 8-byte PQ codes via ADC table lookups instead of
+    float vectors (`sim_ann_pq_topk`'s 32× memory compression) — the
+    multiplicative win that makes 100 TB of vectors searchable: touch
+    1/4 of the corpus at 1/32 of the bytes, then re-score only the
+    bounded top-``rerank`` candidates per query with EXACT L2. Cell
+    assignment and code assignment are both NARROW inlined-literal
+    per-row ops; the one corpus-keyed join (cid ⋈ codes on vec_id)
+    models the ingest-time layout — production stores (cid, codes)
+    in one row at index build, making it free. Probed cells per query
+    are computed driver-side over the same centroid constants with the
+    same round-6 tie-break as the in-plan ranking. Approximate →
+    rows-only check; recall vs exact L2 property-tested."""
+    import numpy as np
+
+    emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cent_rows = kmeans_centroid_rows(spark, emb, n_clusters, corpus_key=sf_dir)
+    books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
+    ranked_cids = ivf_ranked_cells(cent_rows)
+    assigned = emb.select(
+        "vec_id", ranked_cids(F.col("embedding"), F.col("nrm"))[0].alias("cid")
+    )
+    codes = _pq_codes_arr(spark, sf_dir, m=m, ksub=ksub)
+    corpus = assigned.join(codes, "vec_id")
+
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, l2_dist double"
+        )
+    cents = {cid: np.array(v, dtype=np.float64) for cid, v in cent_rows}
+    dsub = len(books[0][0])
+    per_query = []
+    for qr in queries:
+        q = np.array(qr["embedding"], dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum()))
+        # same scoring + tie-break as ivf_ranked_cells: round-6 cosine
+        # desc, cid asc (centroids are unit-norm)
+        probed = [
+            cid
+            for _, cid in sorted(
+                (-round(float(cents[cid] @ q) / qn, 6), cid) for cid in cents
+            )[:n_probe]
+        ]
+        table = [
+            [
+                float(((q[j * dsub : (j + 1) * dsub] - np.array(c)) ** 2).sum())
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        tbl_sql = "array({})".format(
+            ", ".join(
+                "array({})".format(
+                    ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in row)
+                )
+                for row in table
+            )
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.expr(tbl_sql),
+                F.col("pq_codes"),
+                lambda row, c: F.element_at(row, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_query.append(
+            F.struct(
+                F.lit(int(qr["vec_id"])).alias("query_id"),
+                F.array(*[F.lit(int(c)) for c in probed]).alias("probed"),
+                F.round(dist, 9).alias("adc_dist"),
+            )
+        )
+    scored = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cid",
+            F.explode(F.array(*per_query)).alias("q"),
+        )
+        .filter(F.array_contains(F.col("q.probed"), F.col("cid")))
+        .select("q.query_id", "neighbor_id", "q.adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    cands = (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= rerank)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in queries],
+        "query_id long, qvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("embedding"),
+            lambda a, b: (a - b.cast("double")) * (a - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", F.round(d2, 6).alias("l2_dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "l2_dist")
+    )
+
+
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norms (sanity surface for the vector column)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -730,6 +864,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
     "sim_pq_codes": sim_pq_codes,
     "sim_ann_pq_topk": sim_ann_pq_topk,
     "sim_quantize_int8": sim_quantize_int8,

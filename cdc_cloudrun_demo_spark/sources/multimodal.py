@@ -295,6 +295,62 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(_decode_image_batch, schema=IMAGE_SCHEMA)
 
 
+SCENE_SCHEMA = "doc_id bigint, frame_idx bigint, byte_sum bigint"
+
+
+def _frame_sums_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-frame byte sums over EVERY 256-byte frame (the gradual signal
+    scene detection needs — a hash changes completely on any edit, a
+    byte sum moves proportionally). numpy reduces each payload in one
+    vectorized pass; a real video stage swaps bytes→luma here."""
+    import numpy as np
+
+    frame = 256
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "byte_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = -(-data.size // frame)
+            for i in range(n):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(i)
+                out["byte_sum"].append(int(data[i * frame : (i + 1) * frame].sum()))
+        yield pd.DataFrame(out)
+
+
+def multimodal_scene_cuts(
+    spark: SparkSession, sf_dir: str, threshold: int = 1000
+) -> DataFrame:
+    """Scene-cut detection — the shot-boundary stage of a video pipeline:
+    per-frame features from one Arrow pass over the blobs (read once,
+    never shuffled), then a lag window PER DOCUMENT flags frames whose
+    feature delta exceeds the threshold, and a per-doc rollup reports
+    cut count and first cut. The window shuffles only the skinny
+    (doc_id, frame_idx, byte_sum) feature rows — at 100 TB of video the
+    payload bytes stay in the feature-extraction stage and the state
+    that moves is 24 bytes per frame. All-integer features make the
+    oracle exact (DuckDB recomputes the same sums from character
+    codes)."""
+    from pyspark.sql.window import Window
+
+    d = load_for_compute(spark, sf_dir, "documents")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
+    frames = payloads.mapInPandas(_frame_sums_batch, schema=SCENE_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.withColumn("prev_sum", F.lag("byte_sum").over(w)).withColumn(
+        "is_cut",
+        (
+            F.col("prev_sum").isNotNull()
+            & (F.abs(F.col("byte_sum") - F.col("prev_sum")) > threshold)
+        ).cast("int"),
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("is_cut").cast("long").alias("n_cuts"),
+        F.min(F.when(F.col("is_cut") == 1, F.col("frame_idx"))).alias("first_cut_idx"),
+    )
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only scan (no payload decode) — the cheap pre-filter pass
     a real pipeline runs first; column pruning keeps payload bytes unread."""
@@ -389,6 +445,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_image_decode": multimodal_image_decode,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_features": multimodal_features,
@@ -413,6 +470,41 @@ ORACLES = {
                CAST(list_sum(list_transform(range(0, 64),
                      p -> (doc_id * 31 + 3 * p + 2) % 256)) AS BIGINT) AS b_sum
         FROM documents
+    """,
+    # frame byte sums recompute exactly from character codes (ASCII
+    # corpus: byte == char, the audio-energy premise); the lag/threshold
+    # logic is the identical window in both engines
+    "multimodal_scene_cuts": """
+        WITH d AS (
+            SELECT doc_id, text, LENGTH(text) AS n FROM documents
+        ), fr AS (
+            SELECT doc_id, text,
+                   UNNEST(generate_series(0, (n - 1) // 256)) AS frame_idx
+            FROM d WHERE n > 0
+        ), sums AS (
+            SELECT doc_id, frame_idx,
+                   CAST(list_sum(list_transform(
+                       regexp_extract_all(
+                           substring(text, frame_idx * 256 + 1, 256), '(?s).'),
+                       ch -> unicode(ch))) AS BIGINT) AS byte_sum
+            FROM fr
+        ), deltas AS (
+            SELECT doc_id, frame_idx, byte_sum,
+                   LAG(byte_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                     AS prev_sum
+            FROM sums
+        ), cuts AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN prev_sum IS NOT NULL
+                             AND ABS(byte_sum - prev_sum) > 1000
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM deltas
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+               MIN(CASE WHEN is_cut = 1 THEN frame_idx END) AS first_cut_idx
+        FROM cuts GROUP BY doc_id
     """,
     # payloads are utf-8 of ASCII-only text, so byte codes == character
     # codes and the windowed energy recomputes exactly from substrings.

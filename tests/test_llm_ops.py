@@ -637,3 +637,67 @@ def test_decode_image_netpbm_pure_python():
         decode_image(b"P6\n2 1\n255\n" + bytes([1, 2, 3]))
     with _pytest.raises(ValueError, match="unsupported|PIL"):
         decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_ivfpq_recall_and_probed_cell_subset(spark, sf_oracle):
+    """IVFPQ contracts: (a) the composed index retains a usable share of
+    the exact-L2 top-10 (it can lose recall at BOTH stages — cells not
+    probed, codes too coarse — so its floor is below the PQ-only path's);
+    (b) every returned neighbor ACTUALLY lives in one of its query's
+    probed cells — the candidate generator never leaks a row the IVF
+    restriction should have excluded; (c) ≤ k rows per query."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        ivf_ranked_cells,
+        kmeans_centroid_rows,
+        norm,
+        sim_ann_ivfpq_topk,
+    )
+
+    rows = sim_ann_ivfpq_topk(spark, sf_oracle).collect()
+    approx: dict[int, set] = {}
+    for r in rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert approx and all(len(v) <= 10 for v in approx.values())
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    data = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in data])
+    X = np.array([r["embedding"] for r in data], dtype=np.float64)
+
+    # (b) probed-cell subset, against the engine's own assignment
+    cent_rows = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    ranked = ivf_ranked_cells(cent_rows)
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", ranked(F.col("embedding"), F.col("nrm"))[0].alias("cid")
+        ).collect()
+    }
+    cents = {cid: np.array(v) for cid, v in cent_rows}
+    for q, neigh in approx.items():
+        qv = X[ids == q][0]
+        qn = float(np.sqrt((qv * qv).sum()))
+        probed = [
+            cid
+            for _, cid in sorted(
+                (-round(float(cents[c] @ qv) / qn, 6), c) for c in cents
+            )[:4]
+        ]
+        for n in neigh:
+            assert cid_of[n] in probed, (q, n, cid_of[n], probed)
+
+    # (a) recall floor vs exact L2 (isotropic testdata: modest floor)
+    hits = total = 0
+    for q in range(5):
+        qv = X[ids == q][0]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        d2[ids == q] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        hits += len(exact & approx.get(q, set()))
+        total += 10
+    assert hits / total >= 0.2, hits / total

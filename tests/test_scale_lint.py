@@ -18,6 +18,7 @@ from cdc_cloudrun_demo_spark.operators import registry
 # that plans a BNLJ fails the lint.
 BNLJ_BOUNDED = {
     "layout_zorder_key": "1-row global min/max bounds aggregate",
+    "layout_hilbert_key": "1-row global min/max bounds aggregate",
     "join_scalar_subquery": "1-row global mean aggregate",
     "join_salted_skew": "n_salt-row literal salt relation",
     "text_heavy_hitters": "<= counters x partitions Misra-Gries candidates",
@@ -76,9 +77,9 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "streaming/tx_snapshot.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "session.py": (2, "64-row session warmup, corpus-independent"),
         "functions/similarity.py": (
-            3,
+            4,
             "fixed 2048-row k-means + PQ training samples; the bounded "
-            "(vec_id < 5) ANN query set",
+            "(vec_id < 5) ANN query sets of the PQ and IVFPQ entries",
         ),
         "operators/joins.py": (
             1,
