@@ -373,7 +373,42 @@ def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness metrics over the change log — the statistic that
+    SIZES a watermark: per key in commit (seq) order, an event is LATE
+    by how far its event time sits behind the max event time already
+    seen for that key; the max over the log is the smallest watermark
+    delay that would drop nothing, and the late fraction is what a
+    smaller delay sacrifices. One window pass (the same key-partitioned
+    shuffle as the LWW fold — at scale this piggybacks on the fold's
+    exchange), lateness in exact integer microseconds, rolled up per op
+    so insert/update/delete disorder is visible separately."""
+    changes = message_changes_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = changes.withColumn(
+        "late_us",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(
+                F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+                F.lit(0).cast("long"),
+            ),
+        ),
+    )
+    return late.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.max("late_us").alias("max_late_us"),
+        F.sum("late_us").alias("sum_late_us"),
+    )
+
+
 QUERIES = {
+    "cdc_disorder_stats": cdc_disorder_stats,
     "cdc_incremental_join": cdc_incremental_join,
     "cdc_incremental_agg": cdc_incremental_agg,
     "cdc_materialize": cdc_materialize,
@@ -397,6 +432,25 @@ _FOLD_SQL = """
 """
 
 ORACLES = {
+    "cdc_disorder_stats": f"""
+        {_CTE}
+        , late AS (
+            SELECT op,
+                   GREATEST(0, COALESCE(
+                       MAX(epoch_us(ts)) OVER (
+                           PARTITION BY id ORDER BY seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) - epoch_us(ts), 0)) AS late_us
+            FROM message_changes
+        )
+        SELECT op,
+               COUNT(*) AS n_changes,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+               CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+        FROM late GROUP BY op
+    """,
     # full recompute — the join-view IVM must be indistinguishable from it
     "cdc_incremental_join": """
         SELECT o.o_orderkey,
