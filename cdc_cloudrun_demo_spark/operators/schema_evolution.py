@@ -99,7 +99,68 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cdc_schema_evolution": cdc_schema_evolution}
+def _write_widening_log(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation log where the SAME column changes TYPE: v1 wrote
+    ``value_cents`` as INT; the producer's counter outgrew 2^31 and v2
+    writes BIGINT. Values derive from seq (v2 offset by 3e9, provably
+    outside int range) so the oracle recomputes them."""
+    root = scratch_dir("cdc_widen_")
+    changes = message_changes_df(spark, sf_dir)
+    cut = F.col("ts") < F.lit(_SPLIT).cast("timestamp")
+    (
+        changes.filter(cut)
+        .withColumn("value_cents", (F.col("seq") % 100000).cast("int"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "v1"))
+    )
+    (
+        changes.filter(~cut)
+        .withColumn(
+            "value_cents", (F.col("seq") % 100000 + F.lit(3_000_000_000)).cast("long")
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "v2"))
+    )
+    return root
+
+
+def cdc_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING schema evolution — the migration `mergeSchema`
+    CANNOT do: parquet footer merging refuses int vs bigint ("Failed to
+    merge incompatible data types", asserted in
+    tests/test_sources.py), because unlike an added nullable column
+    there is no lossless union of two physical encodings at planning
+    time. The correct 100 TB path is explicit SCHEMA-ON-READ: each
+    segment generation is read with its own schema, the narrow
+    generation is cast up to the widened type (int→bigint is lossless
+    by construction), and the union + LWW fold proceed as if the log
+    had always been wide — still zero data rewrite, the cast rides the
+    scan projection. This is exactly what table formats (Delta/Iceberg
+    type widening) do under the hood; here the mechanism is explicit
+    and oracle-checked."""
+    root = _write_widening_log(spark, sf_dir)
+    v1 = spark.read.parquet(os.path.join(root, "v1")).withColumn(
+        "value_cents", F.col("value_cents").cast("long")
+    )
+    v2 = spark.read.parquet(os.path.join(root, "v2"))
+    log = v1.unionByName(v2)
+    w = Window.partitionBy("id").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select(
+            "id",
+            F.col("seq").alias("last_seq"),
+            "value_cents",
+            (F.col("value_cents") > F.lit(2_147_483_647)).alias("post_widening"),
+        )
+    )
+
+
+QUERIES = {
+    "cdc_schema_widen": cdc_schema_widen,
+    "cdc_schema_evolution": cdc_schema_evolution,
+}
 
 ORACLES = {
     "cdc_schema_evolution": f"""
@@ -116,6 +177,24 @@ ORACLES = {
             FROM unioned
         )
         SELECT id, content, channel, seq AS last_seq, ts AS updated_at
+        FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+    """,
+    "cdc_schema_widen": f"""
+        WITH message_changes AS ({MESSAGE_CHANGES_SQL}),
+        unioned AS (
+            SELECT seq, op, id,
+                   CASE WHEN ts < TIMESTAMP '{_SPLIT}'
+                        THEN CAST(seq % 100000 AS BIGINT)
+                        ELSE CAST(seq % 100000 + 3000000000 AS BIGINT) END
+                     AS value_cents
+            FROM message_changes
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+            FROM unioned
+        )
+        SELECT id, seq AS last_seq, value_cents,
+               value_cents > 2147483647 AS post_widening
         FROM ranked WHERE rn = 1 AND op <> 'DELETE'
     """,
 }

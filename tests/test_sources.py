@@ -163,3 +163,26 @@ def test_compact_parquet_small_files(spark, sf_smoke, tmp_path):
     assert compact_parquet(spark, path, target_file_bytes=1 << 30) == 1
     assert os.path.getmtime(f) == mtime
     assert sorted(spark.read.parquet(path).collect()) == sorted(df.collect())
+
+
+def test_merge_schema_refuses_type_widening(spark, sf_smoke):
+    """Documents WHY cdc_schema_widen uses explicit schema-on-read:
+    parquet mergeSchema unions footers for ADDED columns but refuses a
+    TYPE change on the same column (int vs bigint) — the widened read
+    must be expressed as per-segment cast + union, which the operator
+    does and its oracle verifies."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from cdc_cloudrun_demo_spark.operators.schema_evolution import (
+        _write_widening_log,
+    )
+
+    root = _write_widening_log(spark, sf_smoke)
+    with _pytest.raises(Exception) as exc:
+        (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{root}/v1", f"{root}/v2")
+            .collect()
+        )
+    assert "merge" in str(exc.value).lower() or "incompatible" in str(exc.value).lower(), str(exc.value)[:300]
