@@ -270,7 +270,45 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_TERMS = 31  # contributions beyond 2^-31 of the scale are exactly 0
+
+
+def win_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA time-series smoothing with EXACT integer arithmetic — the
+    float-free twist this repo applies to every 'inherently float'
+    operator: with α = 1/2 every coefficient (1/2)^(j+1) is a power of
+    two, so the smoothed value at scale 2^31 is Σ_j X_{i-j}·2^(30-j) —
+    pure integer shifts and adds, bit-identical in any engine, where
+    the textbook recursive float EWMA accumulates in partition order
+    and never cross-checks. The operator is DEFINED as the 31-term
+    dyadic filter (a finite impulse response with coefficients
+    2^-1 … 2^-31) rather than the infinite recursion: the dropped tail
+    is bounded by 2^-31 of the signal's running magnitude — below one
+    scaled unit for this column's range — and making the cut explicit
+    is what keeps every emitted value exact instead of
+    approximately-converged. One key-partitioned window pass (31 LAG
+    reads share one sort); output is the scaled long plus its double
+    read-off (one exact division by 2^31)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = scaled_long(F.col("value"), 2)  # exact cents-scale input
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    smoothed = sum(
+        (
+            F.coalesce(F.lag(x, j).over(w), F.lit(0)) * F.lit(1 << (30 - j))
+            for j in range(1, _EWMA_TERMS)
+        ),
+        x * F.lit(1 << 30),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        smoothed.cast("long").alias("ewma_scaled"),
+        (smoothed.cast("double") / F.lit(float(1 << 31))).alias("ewma"),
+    )
+
+
 QUERIES = {
+    "win_ewma_dyadic": win_ewma_dyadic,
     "win_streaks": win_streaks,
     "win_sessionize": win_sessionize,
     "win_distribution": win_distribution,
@@ -295,7 +333,30 @@ _TOPN_SQL = """
         ) t WHERE rnk <= 3
     """
 
+_EWMA_TERMS_SQL = " + ".join(
+    ["x * {}".format(1 << 30)]
+    + [
+        f"COALESCE(LAG(x, {j}) OVER w, 0) * {1 << (30 - j)}"
+        for j in range(1, _EWMA_TERMS)
+    ]
+)
+
 ORACLES = {
+    "win_ewma_dyadic": f"""
+        WITH base AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events
+        ), sm AS (
+            SELECT user_id, event_id,
+                   CAST({_EWMA_TERMS_SQL} AS BIGINT) AS ewma_scaled
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+        )
+        SELECT user_id, event_id, ewma_scaled,
+               CAST(ewma_scaled AS DOUBLE) / 2147483648.0 AS ewma
+        FROM sm
+    """,
     "win_streaks": """
         WITH islands AS (
             SELECT user_id, event_type, ts,

@@ -60,6 +60,13 @@ COMMENTARY = {
  "join_bloom_prefiltered": "Runtime Bloom filter ahead of the semi join: the build side folds into m=4096 bits whose SET POSITIONS (<= m values, never keys) inline as 64 long literals; the fact probe is narrow bit arithmetic - zero exchanges before the filter - so only true matches + ~(fill)^4 false positives enter the join shuffle. No false negatives by construction; the plain-semi-join oracle proves semantic invisibility.",
  "sample_weighted": "Weighted systematic sampling via a DISTRIBUTED two-phase prefix sum: md5-prefix buckets cumsum in parallel (the bucket IS the hash prefix, so (bucket, hash) order equals global hash order), bucket offsets windowed over exactly 256 rows, selection = integer step-boundary crossings. No transcendental ranking keys, no single reducer over the corpus.",
  "multimodal_image_decode": "The real-decoder image path: PPM blobs synthesized and decoded in one fused ArrowEvalPython stage (encode and decode are back-to-back mapInPandas - no exchange between them); the netpbm parse is pure Python over Arrow batches, per-channel sums exact integers hash-matched by the congruence oracle.",
+ "layout_hilbert_key": "Hilbert clustering key: the 8-level xy->d walk unrolls into chained integer projections that Catalyst fuses into ONE codegen stage over the broadcast min/max bounds - same zero-shuffle shape as the Morton key, stronger locality (consecutive keys are Manhattan-adjacent cells, proven against an independent reference model).",
+ "multimodal_scene_cuts": "Shot-boundary detection: blobs stream through one ArrowEvalPython pass emitting 24-byte (doc, frame, byte_sum) rows; the lag window shuffles ONLY those skinny rows on doc_id; the rollup is per-doc scalars. The payload bytes never shuffle at any scale.",
+ "sim_ann_ivfpq_topk": "The composed production ANN index: narrow inlined-literal cell+code assignment, ADC scan restricted to each query's probed cells (array_contains on the exploded bounded query structs), candidate top-C window over skinny rows, exact re-rank on the bounded fetch. Corpus touched: n_probe/n_clusters of the rows at 8 bytes each.",
+ "cdc_disorder_stats": "Watermark-sizing metrics: one key-partitioned window (the fold's own shuffle) computes per-event lateness vs the running max event time in commit order; the rollup is 3 rows of exact-integer scalars.",
+ "cdc_schema_widen": "Type-widening migration: per-segment schema-on-read (the int generation cast up inside its scan projection) + union + the standard one-exchange LWW fold. mergeSchema refuses int-vs-bigint (test-pinned), so the explicit cast IS the migration; zero data rewrite.",
+ "win_ewma_dyadic": "Float-free EWMA: 31 dyadic-coefficient LAG terms share ONE key-partitioned sort; the smoothed value is pure integer shifts+adds (exact, order-insensitive), with a single exact division for the double read-off.",
+ "stream_join_outer_live": "Left-outer stream-stream join: watermark >= span means nothing is ever late; the two trailing sentinel files first advance the watermark past every real window, then trigger the eviction batch that emits the stranded null-extended rows - availableNow converges to the batch left join exactly.",
 }
 
 print("# Plan audit — headline queries\n")
