@@ -373,7 +373,33 @@ def _curation_export_oracle() -> str:
     """
 
 
+_PPL_THRESHOLD_UNATS = -7_000_000  # mean logp ≥ -7 nats ⇔ perplexity ≤ e^7
+
+
+def pipeline_perplexity_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality gate — the CCNet-style filter that closes
+    the loop on the bigram LM: score every document with the corpus's
+    own interpolated bigram model (`text_bigram_logprob`) and keep those
+    whose mean log-probability clears the threshold. The keep decision
+    is EXACT INTEGER arithmetic: `sum_logp_unats ≥ threshold·n_bigrams`
+    compares the micro-nat integer sum directly — never the float mean —
+    so no document sitting on the perplexity boundary can flip between
+    engines or partitionings (the same discipline as the quality-filter
+    pass). Documents too short to score (< 2 tokens) are dropped, the
+    conservative gate a quality filter applies to unscorable inputs.
+    Plan: the LM machinery's bounded model builds + one integer filter —
+    nothing new moves."""
+    from .text import text_bigram_logprob
+
+    scored = text_bigram_logprob(spark, sf_dir)
+    return scored.filter(
+        F.col("sum_logp_unats")
+        >= F.lit(_PPL_THRESHOLD_UNATS) * F.col("n_bigrams")
+    ).select("doc_id", "n_bigrams", "sum_logp_unats")
+
+
 QUERIES = {
+    "pipeline_perplexity_kept": pipeline_perplexity_kept,
     "text_pii_redact": text_pii_redact,
     "text_pii_cards": text_pii_cards,
     "text_word_bigrams": text_word_bigrams,
@@ -496,3 +522,18 @@ ORACLES = {
 # Composed lazily from the stage oracles at import (no cycles: dedup/text
 # never import this module).
 ORACLES["pipeline_curation_export"] = _curation_export_oracle()
+
+
+def _perplexity_kept_oracle() -> str:
+    """Wrap the bigram-LM oracle (imported, not duplicated — the model
+    SQL must stay in lockstep with the scorer) in the integer gate."""
+    from .text import ORACLES as _TEXT_ORACLES
+
+    return f"""
+        SELECT doc_id, n_bigrams, sum_logp_unats
+        FROM ({_TEXT_ORACLES["text_bigram_logprob"]})
+        WHERE sum_logp_unats >= {_PPL_THRESHOLD_UNATS} * n_bigrams
+    """
+
+
+ORACLES["pipeline_perplexity_kept"] = _perplexity_kept_oracle()

@@ -28,6 +28,7 @@ BNLJ_BOUNDED = {
     "sim_cosine_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",
     "text_bigram_logprob": "1-row token-total aggregate",
+    "pipeline_perplexity_kept": "1-row token-total aggregate (inherited from the bigram LM)",
     "text_tfidf_topterms": "1-row document-count aggregate",
     "qx_nested_agg": "1-row scalar aggregate subquery",
     "sample_weighted": "1-row total-weight aggregate (step size)",
