@@ -398,7 +398,45 @@ def pipeline_perplexity_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bigrams", "sum_logp_unats")
 
 
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled DOMAIN MIXTURE weights — the data-mixing step
+    that decides how often each source is sampled during training:
+    weight_s ∝ tokens_s^α with α = 0.5 (the square-root temperature that
+    up-samples small domains, the standard multilingual/multi-source
+    rebalancing). Cross-engine float discipline: ``sqrt(double(bigint))``
+    is IEEE-correctly-rounded in both engines, but the SUM over sources
+    is not order-safe — so each source's √tokens is snapped to an exact
+    micro-unit integer (floor(√t·10⁶ + 0.5), the `_util.scaled_long`
+    discipline) and the normalizer is an exact BIGINT sum; the final
+    weight is one double/double division. Plan: one scan to per-source
+    token totals (map-side combined, |sources| rows), one broadcast of
+    the 1-row normalizer. The token count reuses `text_token_stats`'s
+    whitespace tokenization verbatim so mixture weights and tokenizer
+    stats can never disagree about what a token is."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per_src = d.select("source", n_tokens.alias("t")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+    )
+    sqrt_unats = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = per_src.withColumn("sqrt_unats", sqrt_unats)
+    total = scored.agg(F.sum("sqrt_unats").alias("total_unats"))
+    return scored.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sqrt_unats",
+        (
+            F.col("sqrt_unats").cast("double") / F.col("total_unats").cast("double")
+        ).alias("weight"),
+    )
+
+
 QUERIES = {
+    "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_perplexity_kept": pipeline_perplexity_kept,
     "text_pii_redact": text_pii_redact,
     "text_pii_cards": text_pii_cards,
@@ -537,3 +575,21 @@ def _perplexity_kept_oracle() -> str:
 
 
 ORACLES["pipeline_perplexity_kept"] = _perplexity_kept_oracle()
+
+ORACLES["pipeline_domain_mixture"] = """
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(LENGTH(regexp_split_to_array(TRIM(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), scored AS (
+        SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS sqrt_unats
+        FROM per_src
+    ), total AS (
+        SELECT CAST(SUM(sqrt_unats) AS BIGINT) AS total_unats FROM scored
+    )
+    SELECT source, n_docs, n_tokens, sqrt_unats,
+           CAST(sqrt_unats AS DOUBLE) / CAST(total_unats AS DOUBLE) AS weight
+    FROM scored CROSS JOIN total
+"""

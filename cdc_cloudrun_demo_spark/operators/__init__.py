@@ -65,6 +65,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         aggregates,
         graph,
         layout,
+        quality,
         analytics,
         bench_ops,
         cdc,
@@ -117,6 +118,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         pipeline,
         layout,
         graph,
+        quality,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

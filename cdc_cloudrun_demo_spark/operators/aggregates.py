@@ -431,7 +431,149 @@ def agg_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM_WORD = 63  # bits per bitmap word; 63 keeps every shift in signed-positive
+               # BIGINT range (1<<63 overflows DuckDB's signed left shift)
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via fixed-width bitmap words — the
+    roaring-bitmap/ClickHouse `groupBitmap` pattern recast in pure SQL:
+    a key k sets bit ``k % 63`` of word ``k div 63``; per (month, word)
+    the masks OR-combine (``bit_or`` — associative, idempotent, order-
+    independent), and the month's exact distinct count is the sum of
+    popcounts over its words. Unlike count(DISTINCT), the word masks are
+    MERGEABLE state: at 100 TB each partition keeps its (word → mask)
+    rows (≤ keyspace/63 rows, 8 bytes each — o_custkey space / 63 words
+    regardless of row count), a segment refresh re-ORs only touched
+    words, and the global count never rescans raw history. Map-side
+    partial ``bit_or`` collapses the first shuffle to one row per
+    (month, word) per task. The exact twin `n_distinct_exact`
+    (count(DISTINCT)) rides along so the oracle proves bitmap == exact
+    row-by-row; OR-merge associativity across arbitrary segment splits
+    is property-tested in tests/test_properties.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.month("o_orderdate").alias("m"),
+        (F.col("o_custkey") % _BM_WORD).cast("int").alias("bit"),
+        F.expr(f"o_custkey div {_BM_WORD}").alias("word"),
+    )
+    words = keyed.groupBy("m", "word").agg(
+        # expr(): the Python shiftleft binding takes only a literal shift
+        # count; the SQL function accepts a column
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask")
+    )
+    bm = words.groupBy("m").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_bitmap"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    exact = orders.groupBy(F.month("o_orderdate").alias("m")).agg(
+        F.countDistinct("o_custkey").alias("n_distinct_exact")
+    )
+    return bm.join(exact, "m").select(
+        "m", "n_distinct_bitmap", "n_distinct_exact", "n_words"
+    )
+
+
+_KMV_K = 256
+_KMV_SPLIT = "1995-01-01"
+# 2^60 — the first 15 md5 hex chars as a fraction of the hash space; both
+# engines parse the identical substring to the identical integer < 2^60
+_KMV_SPACE = float(1 << 60)
+
+
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch SET OPERATIONS — distinct-set
+    union/intersection/Jaccard estimated from two bottom-k sketches
+    without touching the raw sets, the theta-sketch workflow a 100 TB
+    dedup/audit pipeline uses to compare corpus segments (here: the
+    customer sets ordering before vs since 1995). Each side keeps the k
+    smallest md5 hashes of its DISTINCT keys (bottom-k of a uniform hash
+    = uniform sample of the set); the sketches MERGE by union-then-
+    bottom-k (associative, so per-partition sketches combine in any
+    order), Jaccard is estimated by the intersection share *within the
+    merged sketch*, the union cardinality by the classic (k-1)/h_k
+    estimator on the k-th smallest hash as a fraction of the hash space
+    (exact-count fallback when the union sketch isn't full — the
+    standard KMV rule). Every step — hashing, ranking, the estimator
+    division — is deterministic SQL reproduced exactly by DuckDB, so
+    this *estimator* gets a full hash-match check where engine-seeded
+    sketches (HLL) get rows-only. Exact |A∩B|/|A∪B| ride along for the
+    oracle to certify; estimator error bounds are property-tested."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_KMV_SPLIT).cast("date")
+
+    def sketch(side_filter, tag: str) -> DataFrame:
+        keys = (
+            orders.filter(side_filter)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .select("k", F.md5(F.col("k").cast("string")).alias("h"))
+        )
+        w = Window.orderBy("h")
+        # bounded: ≤ k rows survive; the global window runs over the
+        # per-partition bottom-k pre-prune Spark's TakeOrdered-style
+        # limit gives LIMIT-by-sort; at scale swap for the two-phase
+        # top-k (win_topn_salted) — semantics identical
+        return (
+            keys.orderBy("h")
+            .limit(_KMV_K)
+            .select("h", F.lit(tag).alias("side"))
+        )
+
+    a = sketch(F.col("o_orderdate") < split, "a")
+    b = sketch(F.col("o_orderdate") >= split, "b")
+    both = a.select("h").unionAll(b.select("h")).distinct()
+    merged = both.orderBy("h").limit(_KMV_K)
+    flags = (
+        merged.join(a.select("h", F.lit(1).alias("in_a")), "h", "left")
+        .join(b.select("h", F.lit(1).alias("in_b")), "h", "left")
+    )
+    hk_frac = (
+        F.expr("CAST(conv(substring(max(h), 1, 15), 16, 10) AS DOUBLE)")
+        / F.lit(_KMV_SPACE)
+    )
+    est = flags.agg(
+        F.count(F.lit(1)).alias("k_merged"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("k_inter"),
+        hk_frac.alias("hk_frac"),
+    )
+    cust_sets = orders.select(
+        "o_custkey", (F.col("o_orderdate") < split).alias("early")
+    ).groupBy("o_custkey").agg(
+        F.max(F.when(F.col("early"), 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(~F.col("early"), 1).otherwise(0)).alias("in_b"),
+    )
+    exact = cust_sets.agg(
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inter_exact"),
+    )
+    return est.crossJoin(exact).select(
+        "k_merged",
+        "k_inter",
+        (F.col("k_inter").cast("double") / F.col("k_merged").cast("double")).alias(
+            "jaccard_est"
+        ),
+        F.when(
+            F.col("k_merged") < _KMV_K, F.col("k_merged").cast("double")
+        )
+        .otherwise(F.lit(float(_KMV_K - 1)) / F.col("hk_frac"))
+        .alias("n_union_est"),
+        "n_union_exact",
+        "n_inter_exact",
+        (
+            F.col("n_inter_exact").cast("double")
+            / F.col("n_union_exact").cast("double")
+        ).alias("jaccard_exact"),
+    )
+
+
 QUERIES = {
+    "agg_bitmap_distinct": agg_bitmap_distinct,
+    "agg_kmv_setops": agg_kmv_setops,
     "agg_cms_merge": agg_cms_merge,
     "agg_quantile_sketch_merge": agg_quantile_sketch_merge,
     "agg_hll_merge": agg_hll_merge,
@@ -458,6 +600,71 @@ _SQL_VY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAS
 _SQL_COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
 
 ORACLES = {
+    "agg_bitmap_distinct": f"""
+        WITH keyed AS (
+            SELECT month(o_orderdate) AS m,
+                   CAST(o_custkey % {_BM_WORD} AS INT) AS bit,
+                   o_custkey // {_BM_WORD} AS word
+            FROM orders
+        ), words AS (
+            SELECT m, word, bit_or(1::BIGINT << bit) AS mask
+            FROM keyed GROUP BY 1, 2
+        ), bm AS (
+            SELECT m, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct_bitmap,
+                   COUNT(*) AS n_words
+            FROM words GROUP BY 1
+        ), exact AS (
+            SELECT month(o_orderdate) AS m,
+                   COUNT(DISTINCT o_custkey) AS n_distinct_exact
+            FROM orders GROUP BY 1
+        )
+        SELECT bm.m, n_distinct_bitmap, n_distinct_exact, n_words
+        FROM bm JOIN exact ON bm.m = exact.m
+    """,
+    "agg_kmv_setops": f"""
+        WITH a AS (
+            SELECT md5(CAST(k AS VARCHAR)) AS h FROM (
+                SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE o_orderdate < DATE '{_KMV_SPLIT}'
+            ) ORDER BY h LIMIT {_KMV_K}
+        ), b AS (
+            SELECT md5(CAST(k AS VARCHAR)) AS h FROM (
+                SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE o_orderdate >= DATE '{_KMV_SPLIT}'
+            ) ORDER BY h LIMIT {_KMV_K}
+        ), merged AS (
+            SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+            ORDER BY h LIMIT {_KMV_K}
+        ), est AS (
+            SELECT COUNT(*) AS k_merged,
+                   CAST(SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k_inter,
+                   CAST(('0x' || substr(MAX(m.h), 1, 15)) AS BIGINT)
+                     / CAST({_KMV_SPACE!r} AS DOUBLE) AS hk_frac
+            FROM merged m
+            LEFT JOIN a ia ON ia.h = m.h
+            LEFT JOIN b ib ON ib.h = m.h
+        ), cust_sets AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN o_orderdate < DATE '{_KMV_SPLIT}' THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN o_orderdate >= DATE '{_KMV_SPLIT}' THEN 1 ELSE 0 END) AS in_b
+            FROM orders GROUP BY 1
+        ), exact AS (
+            SELECT COUNT(*) AS n_union_exact,
+                   CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_inter_exact
+            FROM cust_sets
+        )
+        SELECT k_merged, k_inter,
+               CAST(k_inter AS DOUBLE) / CAST(k_merged AS DOUBLE) AS jaccard_est,
+               CASE WHEN k_merged < {_KMV_K} THEN CAST(k_merged AS DOUBLE)
+                    ELSE CAST({float(_KMV_K - 1)!r} AS DOUBLE) / hk_frac
+               END AS n_union_est,
+               n_union_exact, n_inter_exact,
+               CAST(n_inter_exact AS DOUBLE) / CAST(n_union_exact AS DOUBLE)
+                 AS jaccard_exact
+        FROM est CROSS JOIN exact
+    """,
     "agg_cms_merge": f"""
         WITH rows AS (
             SELECT month(o_orderdate) AS m, CAST(o_custkey AS VARCHAR) AS k

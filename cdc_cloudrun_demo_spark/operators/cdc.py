@@ -407,7 +407,39 @@ def cdc_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_ASOF = "2024-01-15"
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the table-format time-travel comparison
+    (`SELECT * FROM t VERSION AS OF a EXCEPT ...` generalized): fold the
+    log as of t1 and as of head, full-outer join on the key, and classify
+    every key as ADDED / REMOVED / CHANGED / UNCHANGED — the audit query
+    a CDC consumer runs to answer "what did this week's replication
+    actually change?". Both snapshots fold from ONE scan of the log
+    (the t1 fold is the head fold's window re-filtered, so Spark reuses
+    the exchange); the join keys on id — the same partitioning the folds
+    already shuffled on, so AQE plans it shuffle-free locally and a
+    key-partitioned 100 TB log diffs without any new exchange. UNCHANGED
+    keys are kept (the oracle certifies the classifier on every key);
+    a production diff would filter them out before materializing."""
+    changes = message_changes_df(spark, sf_dir)
+    t1 = _fold(
+        changes.filter(F.col("ts") < F.lit(_DIFF_ASOF).cast("timestamp"))
+    ).select(F.col("id"), F.col("content").alias("content_before"))
+    t2 = _fold(changes).select(F.col("id"), F.col("content").alias("content_after"))
+    j = t1.join(t2, "id", "full_outer")
+    change = (
+        F.when(F.col("content_before").isNull(), F.lit("ADDED"))
+        .when(F.col("content_after").isNull(), F.lit("REMOVED"))
+        .when(F.col("content_before") != F.col("content_after"), F.lit("CHANGED"))
+        .otherwise(F.lit("UNCHANGED"))
+    )
+    return j.select("id", change.alias("change"), "content_before", "content_after")
+
+
 QUERIES = {
+    "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_disorder_stats": cdc_disorder_stats,
     "cdc_incremental_join": cdc_incremental_join,
     "cdc_incremental_agg": cdc_incremental_agg,
@@ -432,6 +464,27 @@ _FOLD_SQL = """
 """
 
 ORACLES = {
+    "cdc_snapshot_diff": f"""
+        {_CTE}
+        , t1 AS (
+            SELECT id, content AS content_before FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+                FROM message_changes WHERE ts < TIMESTAMP '{_DIFF_ASOF}'
+            ) WHERE rn = 1 AND op <> 'DELETE'
+        ), t2 AS (
+            SELECT id, content AS content_after FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+                FROM message_changes
+            ) WHERE rn = 1 AND op <> 'DELETE'
+        )
+        SELECT COALESCE(t1.id, t2.id) AS id,
+               CASE WHEN t1.content_before IS NULL THEN 'ADDED'
+                    WHEN t2.content_after IS NULL THEN 'REMOVED'
+                    WHEN t1.content_before <> t2.content_after THEN 'CHANGED'
+                    ELSE 'UNCHANGED' END AS change,
+               t1.content_before, t2.content_after
+        FROM t1 FULL OUTER JOIN t2 ON t1.id = t2.id
+    """,
     "cdc_disorder_stats": f"""
         {_CTE}
         , late AS (

@@ -213,9 +213,85 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordered part co-purchase edges (a < b: parts appearing in
+    the same order) — a UNIPARTITE graph (the trade graph is bipartite,
+    so its triangle count is trivially 0). The per-order self-join
+    explodes each order into its item pairs — bounded: C(items,2) per
+    order with ≤7 items — then global distinct. At 100 TB this is one
+    shuffle on l_orderkey (co-partitioned self-join) plus the distinct's
+    shuffle on the pair; a pathological mega-order would need a
+    per-order item cap first (the posting-list cap discipline,
+    functions/dedup.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    return (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT triangle count + global clustering coefficient over the
+    part co-purchase graph — the standard two-join formulation: with
+    every edge oriented low→high (a<b), each triangle a<b<c is counted
+    exactly once as wedge (a,b),(b,c) closed by edge (a,c). Wedge
+    generation is edges⋈edges on the shared middle vertex; closure is a
+    SEMI join back to the edge list — the probe never materializes
+    non-triangle wedges into the result. Wedge total W = Σ_v C(deg,2)
+    comes from the degree table (|V| rows), and clustering = 3T/W is one
+    exact int→double division. At 100 TB the orientation trick is what
+    bounds the wedge join (hubs generate C(deg,2) wedges; orienting by
+    degree instead of id — lower-degree endpoint first — caps it at
+    O(m^1.5), the classic improvement; id-orientation keeps the oracle
+    trivially identical and the fixture degrees are tame). All shuffles
+    key on vertex ids; no broadcast needed beyond AQE's own choices."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    tri = wedges.join(
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("global_clustering"),
+        )
+    )
+
+
 QUERIES = {
     "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
@@ -236,4 +312,32 @@ ORACLES = {
         FROM deg GROUP BY 1, 2
     """,
     "graph_pagerank": _pagerank_oracle(),
+    "graph_triangle_count": """
+        WITH edges AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ), tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            WHERE EXISTS (
+                SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b
+            )
+        ), deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+            ) GROUP BY v
+        ), stats AS (
+            SELECT COUNT(*) AS n_nodes,
+                   CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+            FROM deg
+        ), ne AS (
+            SELECT COUNT(*) AS n_edges FROM edges
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                 AS global_clustering
+        FROM stats CROSS JOIN ne CROSS JOIN tri
+    """,
 }

@@ -1,0 +1,178 @@
+"""Data-quality constraint suite — Deequ-style declarative checks.
+
+The reference's only validity probe is the actuator health endpoint and
+the row-count sanity check (SURVEY §2.1 S8, `MetricsController.java:61`
+guarding `count == 0`); a 100 TB ingest pipeline needs the table-level
+generalization: a suite of declared constraints (completeness,
+uniqueness, referential integrity, ranges, domain membership) evaluated
+in one pass per table and reported as one row per constraint — the
+gate a curation job runs before publishing a snapshot.
+
+Scale shape: every check is a map-side-combined aggregate over one scan
+of its table (conditional sums — no per-check scan); the FK check is the
+one join, keyed on the FK column (shuffle join at scale; the dimension
+side here is broadcast-eligible and AQE picks that locally). The output
+is |constraints| rows regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_ALLOWED_LANGS = ("en", "es", "fr", "de", "zh")
+
+
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per constraint: (constraint, tbl, n_checked, n_violations,
+    passed). Single-scan conditional aggregates per table; the orders→
+    customer referential check counts FK values with no matching PK via
+    a left join + null test (null-safe: a NULL FK is counted by the
+    completeness check, not the FK check)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    documents = load_table(spark, sf_dir, "documents")
+
+    # orders: totalprice range + FK integrity share one scan each
+    orders_range = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    fk = (
+        orders.select("o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("n_checked")))
+    )
+    pk = lineitem.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("n_violations"),
+    )
+    nn = customer.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    qty = lineitem.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+    # cross-table temporal consistency: a line can't ship before its
+    # order was placed — the one constraint that NEEDS a join (keyed on
+    # the FK, the partitioning both tables already carry at scale)
+    dates = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    langs = documents.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(~F.col("lang").isin(*_ALLOWED_LANGS), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+
+    def tag(df: DataFrame, name: str, tbl: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint"),
+            F.lit(tbl).alias("tbl"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    return (
+        tag(orders_range, "range_totalprice_positive", "orders")
+        .unionAll(tag(fk, "fk_orders_custkey_in_customer", "orders"))
+        .unionAll(tag(pk, "pk_lineitem_orderkey_linenumber_unique", "lineitem"))
+        .unionAll(tag(nn, "not_null_c_acctbal", "customer"))
+        .unionAll(tag(qty, "range_quantity_1_50", "lineitem"))
+        .unionAll(tag(dates, "ship_not_before_order_date", "lineitem"))
+        .unionAll(tag(langs, "lang_in_allowed_set", "documents"))
+    )
+
+
+QUERIES = {
+    "dq_constraints": dq_constraints,
+}
+
+_LANG_LIST = ", ".join(f"'{x}'" for x in _ALLOWED_LANGS)
+
+ORACLES = {
+    "dq_constraints": f"""
+        SELECT 'range_totalprice_positive' AS constraint, 'orders' AS tbl,
+               COUNT(*) AS n_checked,
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'fk_orders_custkey_in_customer', 'orders',
+               (SELECT COUNT(*) FROM orders),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) = 0
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'pk_lineitem_orderkey_linenumber_unique', 'lineitem',
+               COUNT(*),
+               CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'not_null_c_acctbal', 'customer',
+               COUNT(*),
+               CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) = 0
+        FROM customer
+        UNION ALL
+        SELECT 'range_quantity_1_50', 'lineitem',
+               COUNT(*),
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_not_before_order_date', 'lineitem',
+               COUNT(*),
+               CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) = 0
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lang_in_allowed_set', 'documents',
+               COUNT(*),
+               CAST(SUM(CASE WHEN lang NOT IN ({_LANG_LIST}) THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               SUM(CASE WHEN lang NOT IN ({_LANG_LIST}) THEN 1 ELSE 0 END) = 0
+        FROM documents
+    """,
+}

@@ -391,3 +391,106 @@ def test_weighted_sample_systematic_guarantees(spark, sf_oracle):
         for r in d.filter(F.col("n_chars").cast("long") >= step).collect()
     }
     assert heavy <= set(rows1), heavy - set(rows1)  # (b)
+
+
+def test_bitmap_distinct_merge_is_exact_under_any_split(spark, sf_oracle):
+    """Bitmap-distinct contracts: (a) the bitmap count equals
+    count(DISTINCT) per month (certified row-by-row by the oracle too —
+    re-asserted here so the property stands alone); (b) MERGEABILITY:
+    word masks built per arbitrary segment (here: per order-priority
+    slice, a split uncorrelated with month) OR-combine to the identical
+    global distinct count — the invariant that lets a 100 TB refresh
+    re-OR only touched words instead of rescanning history."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.aggregates import (
+        _BM_WORD,
+        agg_bitmap_distinct,
+    )
+
+    rows = agg_bitmap_distinct(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r["n_distinct_bitmap"] == r["n_distinct_exact"], r  # (a)
+
+    orders = load_table(spark, sf_oracle, "orders")
+    seg_words = (
+        orders.select(
+            F.col("o_orderpriority").alias("seg"),
+            (F.col("o_custkey") % _BM_WORD).cast("int").alias("bit"),
+            F.expr(f"o_custkey div {_BM_WORD}").alias("word"),
+        )
+        .groupBy("seg", "word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    merged = (
+        seg_words.groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n"))
+        .first()["n"]
+    )
+    exact = orders.agg(F.countDistinct("o_custkey")).first()[0]
+    assert merged == exact, (merged, exact)  # (b)
+
+
+def test_kmv_setops_estimator_bounds(spark, sf_oracle):
+    """KMV set-op contracts: (a) k_inter <= k_merged <= k; (b) the union
+    estimate is within the standard KMV relative-error envelope of the
+    exact union (3 standard deviations, sigma ~ 1/sqrt(k-2)); (c) the
+    Jaccard estimate is within the same envelope of exact Jaccard (the
+    merged sketch is a uniform k-sample of the union, so the
+    intersection share is a hypergeometric proportion)."""
+    from cdc_cloudrun_demo_spark.operators.aggregates import _KMV_K, agg_kmv_setops
+
+    r = agg_kmv_setops(spark, sf_oracle).first()
+    assert 0 <= r["k_inter"] <= r["k_merged"] <= _KMV_K  # (a)
+    sigma = 1.0 / (_KMV_K - 2) ** 0.5
+    if r["k_merged"] == _KMV_K:  # estimator regime (fallback is exact)
+        rel = abs(r["n_union_est"] - r["n_union_exact"]) / r["n_union_exact"]
+        assert rel <= 3 * sigma, (rel, sigma)  # (b)
+    assert abs(r["jaccard_est"] - r["jaccard_exact"]) <= 3 * sigma + 1.0 / _KMV_K  # (c)
+
+
+def test_triangle_count_matches_handwritten_graph(spark, tmp_path):
+    """Triangle counting on a graph with a KNOWN answer: build a corpus
+    whose co-purchase graph is K4 plus a pendant edge — K4 has C(4,3)=4
+    triangles, 6 edges; the pendant adds 1 edge, 0 triangles. Wedge
+    total W = sum C(deg,2) = 3*3 + 2*C(4,2)... computed exactly below.
+    Catches both orientation bugs (double/zero counting) and closure
+    bugs that corpus-level totals would mask."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.graph import graph_triangle_count
+
+    # one order containing parts {1,2,3,4} -> K4; one order {4,5} -> pendant
+    rows = [(100, p) for p in (1, 2, 3, 4)] + [(200, 4), (200, 5)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "tri")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    r = graph_triangle_count(spark, d).first()
+    assert r["n_nodes"] == 5
+    assert r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    # degrees: 1,2,3 have deg 3; 4 has deg 4; 5 has deg 1
+    assert r["n_wedges"] == 3 * 3 + 6 + 0
+    assert abs(r["global_clustering"] - 3.0 * 4 / 15) < 1e-12
+
+
+def test_perplexity_gate_is_exact_subset_of_scored(spark, sf_oracle):
+    """The perplexity gate keeps exactly the scored docs whose integer
+    sum clears threshold*n_bigrams — subset + boundary exactness (no
+    float mean anywhere in the decision)."""
+    from cdc_cloudrun_demo_spark.functions.pipeline import (
+        _PPL_THRESHOLD_UNATS,
+        pipeline_perplexity_kept,
+    )
+    from cdc_cloudrun_demo_spark.functions.text import text_bigram_logprob
+
+    kept = {r["doc_id"]: r for r in pipeline_perplexity_kept(spark, sf_oracle).collect()}
+    scored = {r["doc_id"]: r for r in text_bigram_logprob(spark, sf_oracle).collect()}
+    assert set(kept) <= set(scored)
+    for doc_id, r in scored.items():
+        should_keep = r["sum_logp_unats"] >= _PPL_THRESHOLD_UNATS * r["n_bigrams"]
+        assert (doc_id in kept) == should_keep, (doc_id, r)

@@ -29,6 +29,10 @@ BNLJ_BOUNDED = {
     "text_unigram_logprob": "1-row total/UNK aggregate",
     "text_bigram_logprob": "1-row token-total aggregate",
     "pipeline_perplexity_kept": "1-row token-total aggregate (inherited from the bigram LM)",
+    "pipeline_domain_mixture": "1-row sqrt-token normalizer over |sources| rows",
+    "agg_kmv_setops": "k<=256-row sketches + 1-row exact-count aggregates",
+    "graph_triangle_count": "three 1-row count aggregates composed at the end",
+    "dq_constraints": "1-row per-constraint aggregates (FK check's scalar count side)",
     "text_tfidf_topterms": "1-row document-count aggregate",
     "qx_nested_agg": "1-row scalar aggregate subquery",
     "sample_weighted": "1-row total-weight aggregate (step size)",

@@ -6,8 +6,8 @@ from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, pipeline, similarity, text
 from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
-    cdc, graph, joins, layout, metrics, relational, sampling, scalar_fns,
-    schema_evolution, setops, streaming_batch, windows)
+    cdc, graph, joins, layout, metrics, quality, relational, sampling,
+    scalar_fns, schema_evolution, setops, streaming_batch, windows)
 
 q, o = registry()
 groups = [
@@ -20,8 +20,9 @@ groups = [
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
  ("Export pipeline (PII/sharding/novelty)", pipeline),
- ("Data layout (Z-order clustering)", layout),
- ("Graph analytics (exact fixed-point PageRank)", graph),
+ ("Data layout (Z-order + Hilbert clustering)", layout),
+ ("Graph analytics (PageRank, triangles, degree stats)", graph),
+ ("Data quality (constraint suite)", quality),
  ("Multimodal", multimodal), ("JDBC ingestion", jdbc_io),
  ("File-format ingestion (CSV/JSONL)", file_formats),
  ("Schema evolution", schema_evolution),
