@@ -435,7 +435,52 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM binning — partition the corpus into quality quartiles
+    (the ordering a curriculum/annealing schedule feeds from: train on
+    Q3 first or last, drop Q0, oversample the top bin). A global
+    `ntile` would rank the whole corpus through one reducer; instead the
+    three quartile THRESHOLDS come from one `percentile_disc` aggregate
+    (an actual corpus element, not an interpolation — Spark and DuckDB
+    agree on disc semantics exactly, so no rounding tolerance is needed
+    anywhere) broadcast as one row, and per-doc binning is a narrow CASE.
+    At 100 TB the exact disc aggregate becomes approx_percentile with
+    the same downstream shape. Scores reuse `text_quality_score`'s
+    exact rational arithmetic, so both engines bin identical doubles
+    against identical thresholds — boundary docs cannot flip."""
+    from .text import text_quality_score
+
+    scored = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    th = scored.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)"
+        ).alias("t25"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)"
+        ).alias("t50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY quality_score)"
+        ).alias("t75"),
+    )
+    binned = scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "quality_score",
+        F.when(F.col("quality_score") < F.col("t25"), 0)
+        .when(F.col("quality_score") < F.col("t50"), 1)
+        .when(F.col("quality_score") < F.col("t75"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+    )
+
+
 QUERIES = {
+    "pipeline_quality_bins": pipeline_quality_bins,
     "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_perplexity_kept": pipeline_perplexity_kept,
     "text_pii_redact": text_pii_redact,
@@ -575,6 +620,37 @@ def _perplexity_kept_oracle() -> str:
 
 
 ORACLES["pipeline_perplexity_kept"] = _perplexity_kept_oracle()
+
+def _quality_bins_oracle() -> str:
+    """Wrap the quality-score oracle (imported, not duplicated) in the
+    quartile-threshold binning."""
+    from .text import ORACLES as _TEXT_ORACLES
+
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, quality_score
+            FROM ({_TEXT_ORACLES["text_quality_score"]})
+        ), th AS (
+            SELECT quantile_disc(quality_score, 0.25) AS t25,
+                   quantile_disc(quality_score, 0.5) AS t50,
+                   quantile_disc(quality_score, 0.75) AS t75
+            FROM scored
+        ), binned AS (
+            SELECT doc_id, quality_score,
+                   CAST(CASE WHEN quality_score < t25 THEN 0
+                             WHEN quality_score < t50 THEN 1
+                             WHEN quality_score < t75 THEN 2
+                             ELSE 3 END AS INT) AS bin
+            FROM scored CROSS JOIN th
+        )
+        SELECT bin, COUNT(*) AS n_docs,
+               MIN(quality_score) AS min_score,
+               MAX(quality_score) AS max_score
+        FROM binned GROUP BY bin
+    """
+
+
+ORACLES["pipeline_quality_bins"] = _quality_bins_oracle()
 
 ORACLES["pipeline_domain_mixture"] = """
     WITH per_src AS (

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ._util import davg, dsum, scaled_long, sql_davg, sql_dsum
+from ._util import davg, dec_sum, dsum, scaled_long, sql_davg, sql_dsum
 
 def _disc_price():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -43,6 +43,31 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(_charge(), 6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_pricing_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing summary on the DECIMAL(18,s) path — the documented
+    ultra-scale fallback of the scaled-long discipline (`_util` module
+    docstring: past ~9e7 rows·10^s the long sums can overflow 2^63;
+    decimal sums cannot until 10^(38-s)). This entry EXISTS to keep that
+    fallback continuously proven: same grouping, same filter, sums via
+    `dec_sum`, hash-matched against DuckDB's own DECIMAL arithmetic —
+    so flipping `dsum = dec_sum` for a >sf1000 deployment is a tested
+    path, not a comment. Decimal aggregation runs outside codegen's
+    primitive path (~6× slower per the measured note in _util) — the
+    measured price of overflow immunity, which is exactly why BOTH
+    entries exist."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") <= 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(_disc_price(), 6).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -579,6 +604,7 @@ QUERIES = {
     "agg_hll_merge": agg_hll_merge,
     "agg_mode": agg_mode,
     "agg_pricing_summary": agg_pricing_summary,
+    "agg_pricing_decimal": agg_pricing_decimal,
     "agg_distinct_counts": agg_distinct_counts,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup_revenue": agg_rollup_revenue,
@@ -741,6 +767,22 @@ ORACLES = {
         SELECT event_type, hod AS modal_hour, modal_count,
                CAST(modal_count AS DOUBLE) / CAST(n_total AS DOUBLE) AS modal_share
         FROM ranked WHERE rn = 1
+    """,
+    # the DECIMAL twin: DuckDB's decimal sums are exact like Spark's, and
+    # every cast target is unambiguous (2-dp/4-dp values into 18,2/18,6 —
+    # no representable halfway cases), so rounding-mode differences can't
+    # bite; see agg_pricing_decimal docstring
+    "agg_pricing_decimal": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_quantity <= 45
+        GROUP BY l_returnflag, l_linestatus
     """,
     "agg_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,

@@ -237,36 +237,55 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT triangle count + global clustering coefficient over the
-    part co-purchase graph — the standard two-join formulation: with
-    every edge oriented low→high (a<b), each triangle a<b<c is counted
-    exactly once as wedge (a,b),(b,c) closed by edge (a,c). Wedge
-    generation is edges⋈edges on the shared middle vertex; closure is a
-    SEMI join back to the edge list — the probe never materializes
-    non-triangle wedges into the result. Wedge total W = Σ_v C(deg,2)
-    comes from the degree table (|V| rows), and clustering = 3T/W is one
-    exact int→double division. At 100 TB the orientation trick is what
-    bounds the wedge join (hubs generate C(deg,2) wedges; orienting by
-    degree instead of id — lower-degree endpoint first — caps it at
-    O(m^1.5), the classic improvement; id-orientation keeps the oracle
-    trivially identical and the fixture degrees are tame). All shuffles
-    key on vertex ids; no broadcast needed beyond AQE's own choices."""
+    part co-purchase graph, via DEGREE ORIENTATION — the formulation
+    that survives power-law hubs at 100 TB: every undirected edge is
+    directed from its lower-(degree, id) endpoint to its higher one, so
+    each triangle is counted exactly once as two out-edges (u→v, u→w)
+    at its lowest-ranked corner closed by the (necessarily v→w oriented)
+    third edge, and — the point — every out-degree is O(√m), capping
+    the wedge join at O(m^1.5) where an id-orientation lets one hub of
+    degree d generate C(d,2) wedges. The orientation rank is the single
+    scalar (deg·2³² + id): totally ordered without any global window
+    (no single-reducer rank pass). Closure is a SEMI join back to the
+    oriented edge list — non-triangle wedges never reach the output.
+    Wedge total W = Σ_v C(deg,2) comes from the degree table (|V| rows);
+    clustering = 3T/W is one exact int→double division. The oracle
+    keeps the simpler id-oriented SQL: the COUNTS are
+    orientation-invariant, so the cross-engine check certifies the
+    degree-oriented plan against independent arithmetic. Shuffles:
+    pair-gen on l_orderkey, edge distinct, two vertex-keyed degree
+    joins, the wedge join on the low corner — all keyed, no broadcast
+    of anything data-scaled."""
     edges = _copurchase_edges(spark, sf_dir)
-    e1, e2 = edges.alias("e1"), edges.alias("e2")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
-        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
-    )
-    tri = wedges.join(
-        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
-        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-        "left_semi",
-    )
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    rank = (F.col("d") * F.lit(1 << 32) + F.col("v")).alias("r")
+    ranks = deg.select("v", rank)
+    with_ra = edges.join(ranks.withColumnRenamed("v", "a").withColumnRenamed("r", "ra"), "a")
+    with_rb = with_ra.join(
+        ranks.withColumnRenamed("v", "b").withColumnRenamed("r", "rb"), "b"
+    )
+    oriented = with_rb.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.greatest("ra", "rb").alias("rdst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.rdst") < F.col("o2.rdst"))
+        .select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias("n_wedges"),
@@ -288,10 +307,76 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge SUPPORT — for every co-purchase edge, the number of
+    triangles it participates in (= common neighbors of its endpoints):
+    the building block of k-truss decomposition, the standard
+    community-robustness filter (an edge with support < k-2 cannot be in
+    a k-truss) and the graph analog of the dedup pipeline's "how
+    corroborated is this pair" signal. Triangles are ENUMERATED once via
+    the same degree-oriented wedge join as `graph_triangle_count`
+    (out-degrees capped at O(√m), so enumeration is O(m^1.5) not
+    O(Σ C(deg,2))), then each triangle credits its three edges — a
+    3-row explode, narrow — and one count keyed on the (a<b id-ordered)
+    edge. Zero-support edges are reported too (left join from the edge
+    list), since a truss peel needs them first. Exact integers → full
+    hash-match oracle; the oracle re-derives support independently via
+    id-oriented wedges, certifying the degree-oriented enumeration."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranks = deg.select("v", (F.col("d") * F.lit(1 << 32) + F.col("v")).alias("r"))
+    with_ra = edges.join(
+        ranks.withColumnRenamed("v", "a").withColumnRenamed("r", "ra"), "a"
+    )
+    with_rb = with_ra.join(
+        ranks.withColumnRenamed("v", "b").withColumnRenamed("r", "rb"), "b"
+    )
+    oriented = with_rb.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.greatest("ra", "rb").alias("rdst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.rdst") < F.col("o2.rdst"))
+        .select(
+            F.col("o1.src").alias("u"),
+            F.col("o1.dst").alias("v"),
+            F.col("o2.dst").alias("w"),
+        )
+    )
+    triangles = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    tri_edges = triangles.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+                F.struct(F.col("u").alias("x"), F.col("w").alias("y")),
+                F.struct(F.col("v").alias("x"), F.col("w").alias("y")),
+            )
+        ).alias("e")
+    ).select(
+        F.least("e.x", "e.y").alias("a"), F.greatest("e.x", "e.y").alias("b")
+    )
+    support = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return edges.join(support, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
 QUERIES = {
     "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
     "graph_triangle_count": graph_triangle_count,
+    "graph_edge_support": graph_edge_support,
 }
 
 ORACLES = {
@@ -339,5 +424,25 @@ ORACLES = {
                3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
                  AS global_clustering
         FROM stats CROSS JOIN ne CROSS JOIN tri
+    """,
+    "graph_edge_support": """
+        WITH edges AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ), triangles AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), tri_edges AS (
+            SELECT u AS a, v AS b FROM triangles
+            UNION ALL SELECT u, w FROM triangles
+            UNION ALL SELECT v, w FROM triangles
+        ), support AS (
+            SELECT a, b, COUNT(*) AS s FROM tri_edges GROUP BY a, b
+        )
+        SELECT e.a, e.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+        FROM edges e LEFT JOIN support s ON s.a = e.a AND s.b = e.b
     """,
 }

@@ -568,7 +568,38 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    "top-2 orders for every BUILDING customer" shape. Catalyst cannot
+    execute a per-outer-row subquery literally; `DecorrelateInnerQuery`
+    rewrites the correlated LIMIT into a partitioned `row_number`
+    filter, i.e. the planner derives the `win_topn_per_group` plan FROM
+    the declarative SQL — same one keyed shuffle at scale, and the skew
+    escape hatch (salted two-phase, `win_topn_salted`) applies
+    unchanged. The oracle runs the identical LATERAL SQL on DuckDB
+    (which executes it as a real dependent join) — two engines, two
+    execution strategies, one certified result. Ties broken by
+    o_orderkey so the top-2 set is deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer_lat c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
 QUERIES = {
+    "join_lateral_topn": join_lateral_topn,
     "join_bloom_prefiltered": join_bloom_prefiltered,
     "join_dpp_partitioned": join_dpp_partitioned,
     "join_null_aware_anti": join_null_aware_anti,
@@ -588,6 +619,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_lateral_topn": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
     # the Bloom prefilter must be semantically invisible (no false
     # negatives by construction): oracle is the plain semi join
     "join_bloom_prefiltered": """

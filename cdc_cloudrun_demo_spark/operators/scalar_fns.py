@@ -209,7 +209,31 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured ops (Spark 4): `parse_json` into the
+    binary VARIANT encoding, typed path extraction with `variant_get`,
+    and `schema_of_variant` introspection — how an ingest pipeline
+    handles schemaless JSON columns at scale without re-parsing (VARIANT
+    decodes once into a binary tree; repeated path extraction skips
+    re-parsing the text, where `get_json_object` re-parses per call).
+    The VARIANT value itself never reaches the output (binary, not
+    driver-sortable): all outputs are typed scalars, which is also the
+    contract (oracled against DuckDB's JSON extraction on the same
+    `props` strings — the encodings differ, the VALUES cannot)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.absent", "long").alias("absent_long"),
+        F.schema_of_variant(v).alias("vschema"),
+        F.isnull(F.try_parse_json(F.lit("not json"))).alias("bad_parse_is_null"),
+    )
+
+
 QUERIES = {
+    "fn_variant_ops": fn_variant_ops,
     "fn_try_arith": fn_try_arith,
     "fn_map_ops": fn_map_ops,
     "fn_bitwise": fn_bitwise,
@@ -224,6 +248,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    # vschema: the fixture's props are uniformly {"k": <int>}; the oracle
+    # states the resulting VARIANT schema as the literal Spark renders.
+    # A corpus with heterogeneous props would assert per-row schemas via
+    # DuckDB json_structure instead.
+    "fn_variant_ops": """
+        SELECT event_id,
+               CAST(props->>'$.k' AS BIGINT) AS k_long,
+               props->>'$.k' AS k_str,
+               CAST(NULL AS BIGINT) AS absent_long,
+               'OBJECT<k: BIGINT>' AS vschema,
+               TRUE AS bad_parse_is_null
+        FROM events
+    """,
     "fn_try_arith": """
         SELECT o_orderkey,
                CASE WHEN o_custkey % 7 = 0 THEN NULL

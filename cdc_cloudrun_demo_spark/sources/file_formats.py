@@ -117,10 +117,60 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-text ingestion: events → access-log-style LINES →
+    `spark.read.text` → regexp parse → aggregate. The write side
+    renders each event as `user - - [epoch_us] "GET /<type>" 200
+    <value_cents|->` (NULL metrics become `-`, the real access-log
+    convention); the read side recovers every field with ONE
+    `regexp_extract_all` pass per line — all JVM-side, whole-stage
+    codegen, the pattern every raw-log ETL at 100 TB starts with (text
+    splits by line, so a directory of log files scans fully parallel
+    with no schema inference pass). The timestamp rides as integer
+    epoch-µs: log-format timestamp STRINGS (locale month names, zone
+    suffixes) are the classic silent-corruption seam, and the integer
+    form makes the round-trip provably exact. Hash-match oracle
+    aggregates the pristine parquet — losslessness of the text hop,
+    NULL sentinel included, is the thing certified."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    line = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(" - - ["),
+        F.unix_micros(F.col("ts")).cast("string"),
+        F.lit('] "GET /'),
+        F.col("event_type"),
+        F.lit('" 200 '),
+        F.coalesce(cents.cast("string"), F.lit("-")),
+    )
+    path = os.path.join(scratch_dir("textlog_"), "events_log")
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    pat = r'^(\d+) - - \[(\d+)\] "GET /([a-z_]+)" 200 (\d+|-)$'
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            F.regexp_extract("value", pat, 2).cast("long")
+        ).alias("ts"),
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.nullif(F.regexp_extract("value", pat, 4), F.lit("-"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("sum_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
+    "source_text_log_parse": source_text_log_parse,
 }
 
 ORACLES = {
@@ -144,6 +194,17 @@ ORACLES = {
         FROM lineitem
         WHERE l_quantity < 25
         GROUP BY l_returnflag
+    """,
+    "source_text_log_parse": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        FROM events
+        GROUP BY event_type
     """,
     "source_jsonl_roundtrip": f"""
         SELECT event_type,

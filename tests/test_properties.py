@@ -494,3 +494,25 @@ def test_perplexity_gate_is_exact_subset_of_scored(spark, sf_oracle):
     for doc_id, r in scored.items():
         should_keep = r["sum_logp_unats"] >= _PPL_THRESHOLD_UNATS * r["n_bigrams"]
         assert (doc_id in kept) == should_keep, (doc_id, r)
+
+
+def test_edge_support_matches_handwritten_graph(spark, tmp_path):
+    """Edge support on K4 + pendant: every K4 edge sits in exactly 2
+    triangles, the pendant in 0; Σ support = 3 · n_triangles (each
+    triangle credits its three edges exactly once)."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.graph import graph_edge_support
+
+    rows = [(100, p) for p in (1, 2, 3, 4)] + [(200, 4), (200, 5)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "sup")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    sup = {(r["a"], r["b"]): r["support"] for r in graph_edge_support(spark, d).collect()}
+    assert len(sup) == 7
+    assert sup[(4, 5)] == 0
+    k4_edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    for e in k4_edges:
+        assert sup[e] == 2, (e, sup[e])
+    assert sum(sup.values()) == 3 * 4
