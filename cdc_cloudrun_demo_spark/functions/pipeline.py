@@ -479,7 +479,98 @@ def pipeline_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_DRAWS = 1_000_000
+
+
+def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH SAMPLING PLAN — turn the domain-mixture weights into an
+    exact integer allocation of N=1M draws per source via LARGEST
+    REMAINDER apportionment: base_s = floor(N·w_s), and the leftover
+    draws go to the sources with the largest fractional remainders
+    (ties by source name — fully deterministic). Everything stays in
+    integer arithmetic on the micro-unit weights (N·sqrt_unats div
+    total, remainders are exact modular values), so the plan sums to
+    exactly N on any engine and any partitioning — the property the
+    training-job consumer depends on (a float-rounded plan drifts by
+    ±|sources| draws). The "who gets +1" rank avoids any global window:
+    it is a triangular broadcast self-join over the |sources|-row table
+    (the `cdc_keygen` offsets discipline), counting strictly-larger
+    remainders."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per_src = d.select("source", n_tokens.alias("t")).groupBy("source").agg(
+        F.sum("t").alias("n_tokens")
+    )
+    sqrt_unats = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = per_src.select("source", sqrt_unats.alias("s"))
+    total = scored.agg(F.sum("s").alias("tot"))
+    q = scored.crossJoin(F.broadcast(total)).select(
+        "source",
+        "s",
+        F.expr(f"({_EPOCH_DRAWS} * s) div tot").alias("base"),
+        F.expr(f"({_EPOCH_DRAWS} * s) % tot").alias("rem"),
+    )
+    leftovers = q.agg(
+        (F.lit(_EPOCH_DRAWS) - F.sum("base")).alias("l")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.rem") > F.col("a.rem"))
+            | ((F.col("b.rem") == F.col("a.rem")) & (F.col("b.source") < F.col("a.source"))),
+            "left",
+        )
+        .groupBy(F.col("a.source").alias("source"), F.col("a.base").alias("base"),
+                 F.col("a.rem").alias("rem"))
+        .agg(F.count(F.col("b.source")).alias("n_larger"))
+    )
+    return ranked.crossJoin(F.broadcast(leftovers)).select(
+        "source",
+        (F.col("base") + F.when(F.col("n_larger") < F.col("l"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_draws"),
+        F.col("base").cast("long").alias("base_draws"),
+        (F.col("n_larger") < F.col("l")).alias("got_leftover"),
+    )
+
+
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER-CLASS profile — the raw signal vector
+    under every quality/code/noise heuristic: exact counts of alpha,
+    digit, whitespace, punctuation and other characters (counted by
+    regex deletion, one JVM pass per class over the same scan) plus the
+    alpha ratio as one exact double division. The five counts sum to
+    n_chars by construction — an invariant the oracle certifies row by
+    row on both engines (a drifting char-class regex shows up as a
+    broken sum before it silently poisons a downstream filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+
+    def cnt(pat: str):
+        return F.length(F.regexp_replace(F.col("text"), pat, "")).cast("long")
+
+    alpha = cnt(r"[^A-Za-z]")
+    digit = cnt(r"[^0-9]")
+    space = cnt(r"[^ \t\n\r]")
+    punct = cnt(r"[^.,;:!?'\"]")
+    return d.select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        alpha.alias("n_alpha"),
+        digit.alias("n_digit"),
+        space.alias("n_space"),
+        punct.alias("n_punct"),
+        (n - alpha - digit - space - punct).alias("n_other"),
+        (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
+    )
+
+
 QUERIES = {
+    "pipeline_epoch_plan": pipeline_epoch_plan,
+    "text_charclass_profile": text_charclass_profile,
     "pipeline_quality_bins": pipeline_quality_bins,
     "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_perplexity_kept": pipeline_perplexity_kept,
@@ -651,6 +742,61 @@ def _quality_bins_oracle() -> str:
 
 
 ORACLES["pipeline_quality_bins"] = _quality_bins_oracle()
+
+ORACLES["pipeline_epoch_plan"] = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(SUM(LENGTH(regexp_split_to_array(TRIM(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), scored AS (
+        SELECT source,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS s
+        FROM per_src
+    ), total AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS tot FROM scored
+    ), q AS (
+        SELECT source, s,
+               ({_EPOCH_DRAWS} * s) // tot AS base,
+               ({_EPOCH_DRAWS} * s) % tot AS rem
+        FROM scored CROSS JOIN total
+    ), lo AS (
+        SELECT CAST({_EPOCH_DRAWS} - SUM(base) AS BIGINT) AS l FROM q
+    ), ranked AS (
+        SELECT a.source, a.base, a.rem, COUNT(b.source) AS n_larger
+        FROM q a
+        LEFT JOIN q b
+          ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+        GROUP BY a.source, a.base, a.rem
+    )
+    SELECT source,
+           CAST(base + CASE WHEN n_larger < l THEN 1 ELSE 0 END AS BIGINT)
+             AS n_draws,
+           CAST(base AS BIGINT) AS base_draws,
+           n_larger < l AS got_leftover
+    FROM ranked CROSS JOIN lo
+"""
+
+ORACLES["text_charclass_profile"] = """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_total,
+               CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_alpha,
+               CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS n_digit,
+               CAST(LENGTH(regexp_replace(text, '[^ \t\n\r]', '', 'g'))
+                    AS BIGINT) AS n_space,
+               CAST(LENGTH(regexp_replace(text, e'[^.,;:!?\\'"]', '', 'g'))
+                    AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, n_chars_total, n_alpha, n_digit, n_space, n_punct,
+           n_chars_total - n_alpha - n_digit - n_space - n_punct AS n_other,
+           CAST(n_alpha AS DOUBLE) / CAST(n_chars_total AS DOUBLE) AS alpha_ratio
+    FROM c
+"""
 
 ORACLES["pipeline_domain_mixture"] = """
     WITH per_src AS (

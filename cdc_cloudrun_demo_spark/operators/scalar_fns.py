@@ -232,7 +232,80 @@ def fn_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_generator_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (table-valued) functions — the row-EXPANDING operator
+    class: `sequence` materializes each region's integer range,
+    `posexplode_outer` expands it keeping position, and the outer
+    variant proves the empty-input row survives (the corner a plain
+    explode silently drops). Generators run inside the projection
+    (Spark's Generate node, still whole-stage-codegen adjacent) — the
+    expansion factor, not a shuffle, is their scale cost, which is why
+    the range here is bounded by construction (r_regionkey ≤ 4 → ≤ 5
+    rows per input). Oracle: DuckDB unnest(generate_series) with
+    ordinality."""
+    r = load_table(spark, sf_dir, "region")
+    seq = F.when(
+        F.col("r_regionkey") > 0,
+        F.sequence(F.lit(1), F.col("r_regionkey").cast("int")),
+    )  # regionkey 0 -> NULL array: the outer-explode survival case
+    return r.select(
+        "r_regionkey", F.posexplode_outer(seq).alias("pos", "step")
+    ).select(
+        "r_regionkey",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("step").cast("long").alias("step"),
+    )
+
+
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — lambda expressions executed
+    JVM-side inside the projection (never Python): `transform` (map),
+    `filter`, `aggregate` (fold), `exists`/`forall`, `zip_with`. The
+    embedding column is the input; every output is a scalar so the
+    oracle compares plain columns (DuckDB list_transform/list_filter/
+    list_reduce et al. compute the same values over the same arrays).
+    This is the family the PQ/ADC and cosine operators build on
+    (`similarity.py`) — here certified in isolation. The fold keeps the
+    exact-sum discipline: elements are scaled to integer micro-units
+    INSIDE the lambda before summing, so the fold is order-exact
+    cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    head8 = F.slice(emb, 1, 8)
+    scaled_sum = F.aggregate(
+        head8,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(head8, lambda x: x > 0)).cast("long").alias("n_pos_head8"),
+        scaled_sum.alias("sum_head8_unats"),
+        F.exists(head8, lambda x: x > 0.9).alias("any_gt_09"),
+        F.forall(head8, lambda x: x > -1.0).alias("all_gt_neg1"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(emb, 1, 4),
+                F.slice(emb, 5, 4),
+                lambda a, b: F.floor(
+                    a.cast("double") * b.cast("double") * 1000000.0 + 0.5
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot4_unats"),
+        F.element_at(
+            # ×2.0 is an exact IEEE op — no rounding tolerance needed
+            F.transform(F.slice(emb, 1, 2), lambda x: x.cast("double") * 2.0),
+            1,
+        ).alias("first_doubled"),
+    )
+
+
 QUERIES = {
+    "fn_generator_ops": fn_generator_ops,
+    "fn_higher_order": fn_higher_order,
     "fn_variant_ops": fn_variant_ops,
     "fn_try_arith": fn_try_arith,
     "fn_map_ops": fn_map_ops,
@@ -248,6 +321,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_generator_ops": """
+        SELECT r_regionkey,
+               CAST(step - 1 AS BIGINT) AS pos,
+               CAST(step AS BIGINT) AS step
+        FROM (
+            SELECT r_regionkey, unnest(generate_series(1, r_regionkey)) AS step
+            FROM region WHERE r_regionkey > 0
+        )
+        UNION ALL
+        SELECT r_regionkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM region WHERE NOT (r_regionkey > 0)
+    """,
+    "fn_higher_order": """
+        SELECT vec_id,
+               CAST(LENGTH(list_filter(embedding[1:8], x -> x > 0)) AS BIGINT)
+                 AS n_pos_head8,
+               CAST(list_sum(list_transform(embedding[1:8],
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                              AS BIGINT))) AS BIGINT) AS sum_head8_unats,
+               LENGTH(list_filter(embedding[1:8], x -> x > 0.9)) > 0
+                 AS any_gt_09,
+               LENGTH(list_filter(embedding[1:8], x -> NOT (x > -1.0))) = 0
+                 AS all_gt_neg1,
+               CAST(list_sum(list_transform([1, 2, 3, 4],
+                    i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                    * CAST(embedding[i + 4] AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS dot4_unats,
+               CAST(embedding[1] AS DOUBLE) * 2.0 AS first_doubled
+        FROM embeddings
+    """,
     # vschema: the fixture's props are uniformly {"k": <int>}; the oracle
     # states the resulting VARIANT schema as the literal Spark renders.
     # A corpus with heterogeneous props would assert per-row schemas via

