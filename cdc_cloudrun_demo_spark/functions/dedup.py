@@ -6,11 +6,13 @@ Scale design (the point of each variant):
 * n-gram Jaccard — exact pairwise similarity *within blocking keys*
   (lang, source): the cross-product is bounded per block, and the join is
   shingle-equality driven (posting-list join), not a cartesian;
-* MinHash-LSH — `pyspark.ml.feature.MinHashLSH` over HashingTF shingles:
-  banding makes candidate generation subquadratic at corpus scale;
-* SimHash — 64-bit sketch via per-token xxhash64 bit votes: one pass, one
-  groupBy; candidates = equal sketches (engine-specific hash → rows-only
-  check + property tests).
+* MinHash-LSH — `pyspark.ml.feature.MinHashLSH` over HashingTF shingles
+  (rows-only: engine-seeded hash family), plus a PORTABLE 16-permutation
+  md5 MinHash banding twin that DuckDB reproduces bit-for-bit → full
+  hash-match oracle; banding makes candidate generation subquadratic;
+* SimHash — 60-bit sketch via per-token portable md5 bit votes: one pass,
+  one groupBy; candidates = equal sketches / ≤3-hamming banded pairs,
+  both hash-match oracled (the oracle recomputes all 60 bit votes).
 """
 
 from __future__ import annotations
@@ -293,10 +295,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark, sf_dir, threshold=0.05, num_tables=8)
 
 
-def simhash_sketches(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, each bit votes
-    +1/-1 weighted by token frequency; sketch bit b = sign of vote sum.
-    Pure built-in expressions (explode → groupBy → bit ops) — no UDF."""
+def simhash_sketches(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document: per-token portable hash, each bit
+    votes +1/-1 weighted by token frequency; sketch bit b = sign of
+    vote sum. Pure built-in expressions (explode → groupBy → bit ops) —
+    no UDF. The token hash is the md5-derived 60-bit integer (the
+    KMV/CMS/Bloom discipline — `conv` of the first 15 md5 hex chars),
+    NOT xxhash64: DuckDB parses the identical substring to the
+    identical value, which upgrades the whole SimHash family from
+    rows-only to full hash-match oracles (round-6; 60 bits because 16
+    hex chars can overflow signed BIGINT in the oracle's cast). The
+    hash only needs uniformity, not speed — it runs once per token."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -304,7 +313,12 @@ def simhash_sketches(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFr
             "tok"
         ),
     )
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -321,9 +335,11 @@ def simhash_sketches(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFr
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: identical 64-bit sketches (rows-only;
-    `dedup_simhash_banded` is the hamming-tolerant extension, tests cover
-    sketch determinism and self-similarity)."""
+    """SimHash near-dup candidates: identical 60-bit sketches
+    (`dedup_simhash_banded` is the hamming-tolerant extension). Portable
+    md5-bit votes make the whole sketch hash-match oracleable — the
+    oracle recomputes all 60 bit votes in SQL and must agree on every
+    sketch (tests additionally cover determinism and self-similarity)."""
     sk = simhash_sketches(spark, sf_dir)
     return (
         sk.groupBy("simhash")
@@ -344,28 +360,32 @@ def dedup_simhash_banded(
 
     Scale shape: one explode to 4 rows/doc, one equality self-join on
     (band, key) — candidate generation is O(collisions), never all-pairs;
-    the 16-bit key space keeps bucket sizes small on random-ish corpora.
-    Rows-only check (engine-specific hash)."""
+    the 15-bit key space keeps bucket sizes small on random-ish corpora.
+    Full hash-match oracle (round-6): the portable sketch lets DuckDB
+    re-derive bands, candidates and exact hamming distances."""
     return hamming_banded_pairs(
-        simhash_sketches(spark, sf_dir), "simhash", max_hamming
+        simhash_sketches(spark, sf_dir), "simhash", max_hamming, band_bits=15
     )
 
 
 def hamming_banded_pairs(
-    sketches: DataFrame, sketch_col: str, max_hamming: int = 3
+    sketches: DataFrame, sketch_col: str, max_hamming: int = 3, band_bits: int = 16
 ) -> DataFrame:
-    """Generic 4×16-bit band-OR candidate generation + exact popcount
-    verify over a (doc_id, <sketch_col>: long) table — the shared engine
-    behind `dedup_simhash_banded` and the multimodal perceptual-hash
-    dedup. Lossless for hamming ≤ 3 by pigeonhole (3 flipped bits cannot
-    touch all 4 bands). One explode to 4 rows/doc, one equality
-    self-join on (band, key): O(collisions), never all-pairs."""
+    """Generic 4×`band_bits`-bit band-OR candidate generation + exact
+    popcount verify over a (doc_id, <sketch_col>: long) table — the
+    shared engine behind `dedup_simhash_banded` (60-bit sketch, 15-bit
+    bands) and the multimodal perceptual-hash dedup (64-bit, 16-bit
+    bands). Lossless for hamming ≤ 3 by pigeonhole (3 flipped bits
+    cannot touch all 4 bands — independent of band width). One explode
+    to 4 rows/doc, one equality self-join on (band, key):
+    O(collisions), never all-pairs."""
+    mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(sketch_col), b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col(sketch_col), b * band_bits)
+                .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
             for b in range(4)
@@ -632,6 +652,91 @@ def pipeline_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(canonical, "doc_id")
 
 
+
+_MH_PERMS = 16
+_MH_BANDS = 4  # 4 bands x 4 rows over the 16 permutations
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-permutation MinHash signature per document: perm p's
+    hash is the md5-60-bit integer of 'p:'||shingle (the same portable
+    discipline as the SimHash sketch), and the signature component is
+    the MIN over the doc's distinct 3-gram shingles. min() is
+    duplicate-insensitive, so no distinct pass is needed before the
+    aggregate; one tokenization pass, one groupBy(doc_id) shuffle
+    carrying 16 longs per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _token_trigrams(d).select("doc_id", "shingle")
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('{p}:', shingle)), 1, 15),"
+                    f" 16, 10) AS BIGINT)"
+                )
+            ).alias(f"m{p}")
+            for p in range(_MH_PERMS)
+        ]
+    )
+
+
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE MinHash banding — the hash-oracleable twin of
+    `dedup_minhash_lsh` (which demonstrates the MLlib MinHashLSH
+    integration and stays rows-only because its hash family is
+    engine-seeded): 16 md5-portable permutations, 4 bands x 4 rows;
+    candidates are pairs agreeing on a full band (P[collide] = 1-(1-j^4)^4,
+    the standard S-curve), and each candidate reports its signature
+    agreement fraction — the MinHash Jaccard estimate. Every step
+    (hashing, min, band signature, agreement count) is deterministic
+    SQL reproduced exactly by DuckDB → full hash-match oracle, closing
+    the round-5 gap where all banded-dedup entries were rows-only.
+    Scale shape identical to the SimHash banding: explode to 4
+    band-signature rows per doc, ONE equality self-join on (band, sig)
+    — O(collisions), never all-pairs — then two doc-keyed signature
+    joins for the agreement count."""
+    mins = minhash_signatures(spark, sf_dir)
+    r = _MH_PERMS // _MH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"m{b * r + i}").cast("string") for i in range(r)]
+                ).alias("sig"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    bands = mins.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    a = bands.select("band", "sig", F.col("doc_id").alias("id_a"))
+    b2 = bands.select("band", "sig", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = mins.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{p}").alias(f"xa{p}") for p in range(_MH_PERMS)])
+    y = mins.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{p}").alias(f"yb{p}") for p in range(_MH_PERMS)])
+    n_agree = None
+    for p in range(_MH_PERMS):
+        t = F.when(F.col(f"xa{p}") == F.col(f"yb{p}"), 1).otherwise(0)
+        n_agree = t if n_agree is None else n_agree + t
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.cast("long").alias("n_agree"),
+            (n_agree.cast("double") / F.lit(float(_MH_PERMS))).alias("est_jaccard"),
+        )
+    )
+
+
 QUERIES = {
     "pipeline_dedup_kept": pipeline_dedup_kept,
     "dedup_exact": dedup_exact,
@@ -639,6 +744,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_banded": dedup_minhash_banded,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_banded": dedup_simhash_banded,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -765,7 +871,368 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE 2 * n_common >= sa.set_size OR 2 * n_common >= sb.set_size
     """,
-    # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
+    # The portable-hash sketch family (round-6): DuckDB re-derives the
+    # 60-bit SimHash bit votes and the 16-permutation MinHash signatures
+    # from the identical md5 substrings, so these formerly rows-only
+    # entries are full hash-match checks. dedup_minhash_lsh stays
+    # rows-only by design (MLlib's engine-seeded hash family).
+    "dedup_simhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(LOWER(text), '[a-z]+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ), votes AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN ((h >> 0) & 1) = 1 THEN 1 ELSE -1 END) AS v0,
+                   SUM(CASE WHEN ((h >> 1) & 1) = 1 THEN 1 ELSE -1 END) AS v1,
+                   SUM(CASE WHEN ((h >> 2) & 1) = 1 THEN 1 ELSE -1 END) AS v2,
+                   SUM(CASE WHEN ((h >> 3) & 1) = 1 THEN 1 ELSE -1 END) AS v3,
+                   SUM(CASE WHEN ((h >> 4) & 1) = 1 THEN 1 ELSE -1 END) AS v4,
+                   SUM(CASE WHEN ((h >> 5) & 1) = 1 THEN 1 ELSE -1 END) AS v5,
+                   SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) AS v6,
+                   SUM(CASE WHEN ((h >> 7) & 1) = 1 THEN 1 ELSE -1 END) AS v7,
+                   SUM(CASE WHEN ((h >> 8) & 1) = 1 THEN 1 ELSE -1 END) AS v8,
+                   SUM(CASE WHEN ((h >> 9) & 1) = 1 THEN 1 ELSE -1 END) AS v9,
+                   SUM(CASE WHEN ((h >> 10) & 1) = 1 THEN 1 ELSE -1 END) AS v10,
+                   SUM(CASE WHEN ((h >> 11) & 1) = 1 THEN 1 ELSE -1 END) AS v11,
+                   SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS v12,
+                   SUM(CASE WHEN ((h >> 13) & 1) = 1 THEN 1 ELSE -1 END) AS v13,
+                   SUM(CASE WHEN ((h >> 14) & 1) = 1 THEN 1 ELSE -1 END) AS v14,
+                   SUM(CASE WHEN ((h >> 15) & 1) = 1 THEN 1 ELSE -1 END) AS v15,
+                   SUM(CASE WHEN ((h >> 16) & 1) = 1 THEN 1 ELSE -1 END) AS v16,
+                   SUM(CASE WHEN ((h >> 17) & 1) = 1 THEN 1 ELSE -1 END) AS v17,
+                   SUM(CASE WHEN ((h >> 18) & 1) = 1 THEN 1 ELSE -1 END) AS v18,
+                   SUM(CASE WHEN ((h >> 19) & 1) = 1 THEN 1 ELSE -1 END) AS v19,
+                   SUM(CASE WHEN ((h >> 20) & 1) = 1 THEN 1 ELSE -1 END) AS v20,
+                   SUM(CASE WHEN ((h >> 21) & 1) = 1 THEN 1 ELSE -1 END) AS v21,
+                   SUM(CASE WHEN ((h >> 22) & 1) = 1 THEN 1 ELSE -1 END) AS v22,
+                   SUM(CASE WHEN ((h >> 23) & 1) = 1 THEN 1 ELSE -1 END) AS v23,
+                   SUM(CASE WHEN ((h >> 24) & 1) = 1 THEN 1 ELSE -1 END) AS v24,
+                   SUM(CASE WHEN ((h >> 25) & 1) = 1 THEN 1 ELSE -1 END) AS v25,
+                   SUM(CASE WHEN ((h >> 26) & 1) = 1 THEN 1 ELSE -1 END) AS v26,
+                   SUM(CASE WHEN ((h >> 27) & 1) = 1 THEN 1 ELSE -1 END) AS v27,
+                   SUM(CASE WHEN ((h >> 28) & 1) = 1 THEN 1 ELSE -1 END) AS v28,
+                   SUM(CASE WHEN ((h >> 29) & 1) = 1 THEN 1 ELSE -1 END) AS v29,
+                   SUM(CASE WHEN ((h >> 30) & 1) = 1 THEN 1 ELSE -1 END) AS v30,
+                   SUM(CASE WHEN ((h >> 31) & 1) = 1 THEN 1 ELSE -1 END) AS v31,
+                   SUM(CASE WHEN ((h >> 32) & 1) = 1 THEN 1 ELSE -1 END) AS v32,
+                   SUM(CASE WHEN ((h >> 33) & 1) = 1 THEN 1 ELSE -1 END) AS v33,
+                   SUM(CASE WHEN ((h >> 34) & 1) = 1 THEN 1 ELSE -1 END) AS v34,
+                   SUM(CASE WHEN ((h >> 35) & 1) = 1 THEN 1 ELSE -1 END) AS v35,
+                   SUM(CASE WHEN ((h >> 36) & 1) = 1 THEN 1 ELSE -1 END) AS v36,
+                   SUM(CASE WHEN ((h >> 37) & 1) = 1 THEN 1 ELSE -1 END) AS v37,
+                   SUM(CASE WHEN ((h >> 38) & 1) = 1 THEN 1 ELSE -1 END) AS v38,
+                   SUM(CASE WHEN ((h >> 39) & 1) = 1 THEN 1 ELSE -1 END) AS v39,
+                   SUM(CASE WHEN ((h >> 40) & 1) = 1 THEN 1 ELSE -1 END) AS v40,
+                   SUM(CASE WHEN ((h >> 41) & 1) = 1 THEN 1 ELSE -1 END) AS v41,
+                   SUM(CASE WHEN ((h >> 42) & 1) = 1 THEN 1 ELSE -1 END) AS v42,
+                   SUM(CASE WHEN ((h >> 43) & 1) = 1 THEN 1 ELSE -1 END) AS v43,
+                   SUM(CASE WHEN ((h >> 44) & 1) = 1 THEN 1 ELSE -1 END) AS v44,
+                   SUM(CASE WHEN ((h >> 45) & 1) = 1 THEN 1 ELSE -1 END) AS v45,
+                   SUM(CASE WHEN ((h >> 46) & 1) = 1 THEN 1 ELSE -1 END) AS v46,
+                   SUM(CASE WHEN ((h >> 47) & 1) = 1 THEN 1 ELSE -1 END) AS v47,
+                   SUM(CASE WHEN ((h >> 48) & 1) = 1 THEN 1 ELSE -1 END) AS v48,
+                   SUM(CASE WHEN ((h >> 49) & 1) = 1 THEN 1 ELSE -1 END) AS v49,
+                   SUM(CASE WHEN ((h >> 50) & 1) = 1 THEN 1 ELSE -1 END) AS v50,
+                   SUM(CASE WHEN ((h >> 51) & 1) = 1 THEN 1 ELSE -1 END) AS v51,
+                   SUM(CASE WHEN ((h >> 52) & 1) = 1 THEN 1 ELSE -1 END) AS v52,
+                   SUM(CASE WHEN ((h >> 53) & 1) = 1 THEN 1 ELSE -1 END) AS v53,
+                   SUM(CASE WHEN ((h >> 54) & 1) = 1 THEN 1 ELSE -1 END) AS v54,
+                   SUM(CASE WHEN ((h >> 55) & 1) = 1 THEN 1 ELSE -1 END) AS v55,
+                   SUM(CASE WHEN ((h >> 56) & 1) = 1 THEN 1 ELSE -1 END) AS v56,
+                   SUM(CASE WHEN ((h >> 57) & 1) = 1 THEN 1 ELSE -1 END) AS v57,
+                   SUM(CASE WHEN ((h >> 58) & 1) = 1 THEN 1 ELSE -1 END) AS v58,
+                   SUM(CASE WHEN ((h >> 59) & 1) = 1 THEN 1 ELSE -1 END) AS v59
+            FROM hashed GROUP BY doc_id
+        ), sk AS (
+            SELECT doc_id,
+                   (CASE WHEN v0 > 0 THEN (1::BIGINT << 0) ELSE 0::BIGINT END)
+                 + (CASE WHEN v1 > 0 THEN (1::BIGINT << 1) ELSE 0::BIGINT END)
+                 + (CASE WHEN v2 > 0 THEN (1::BIGINT << 2) ELSE 0::BIGINT END)
+                 + (CASE WHEN v3 > 0 THEN (1::BIGINT << 3) ELSE 0::BIGINT END)
+                 + (CASE WHEN v4 > 0 THEN (1::BIGINT << 4) ELSE 0::BIGINT END)
+                 + (CASE WHEN v5 > 0 THEN (1::BIGINT << 5) ELSE 0::BIGINT END)
+                 + (CASE WHEN v6 > 0 THEN (1::BIGINT << 6) ELSE 0::BIGINT END)
+                 + (CASE WHEN v7 > 0 THEN (1::BIGINT << 7) ELSE 0::BIGINT END)
+                 + (CASE WHEN v8 > 0 THEN (1::BIGINT << 8) ELSE 0::BIGINT END)
+                 + (CASE WHEN v9 > 0 THEN (1::BIGINT << 9) ELSE 0::BIGINT END)
+                 + (CASE WHEN v10 > 0 THEN (1::BIGINT << 10) ELSE 0::BIGINT END)
+                 + (CASE WHEN v11 > 0 THEN (1::BIGINT << 11) ELSE 0::BIGINT END)
+                 + (CASE WHEN v12 > 0 THEN (1::BIGINT << 12) ELSE 0::BIGINT END)
+                 + (CASE WHEN v13 > 0 THEN (1::BIGINT << 13) ELSE 0::BIGINT END)
+                 + (CASE WHEN v14 > 0 THEN (1::BIGINT << 14) ELSE 0::BIGINT END)
+                 + (CASE WHEN v15 > 0 THEN (1::BIGINT << 15) ELSE 0::BIGINT END)
+                 + (CASE WHEN v16 > 0 THEN (1::BIGINT << 16) ELSE 0::BIGINT END)
+                 + (CASE WHEN v17 > 0 THEN (1::BIGINT << 17) ELSE 0::BIGINT END)
+                 + (CASE WHEN v18 > 0 THEN (1::BIGINT << 18) ELSE 0::BIGINT END)
+                 + (CASE WHEN v19 > 0 THEN (1::BIGINT << 19) ELSE 0::BIGINT END)
+                 + (CASE WHEN v20 > 0 THEN (1::BIGINT << 20) ELSE 0::BIGINT END)
+                 + (CASE WHEN v21 > 0 THEN (1::BIGINT << 21) ELSE 0::BIGINT END)
+                 + (CASE WHEN v22 > 0 THEN (1::BIGINT << 22) ELSE 0::BIGINT END)
+                 + (CASE WHEN v23 > 0 THEN (1::BIGINT << 23) ELSE 0::BIGINT END)
+                 + (CASE WHEN v24 > 0 THEN (1::BIGINT << 24) ELSE 0::BIGINT END)
+                 + (CASE WHEN v25 > 0 THEN (1::BIGINT << 25) ELSE 0::BIGINT END)
+                 + (CASE WHEN v26 > 0 THEN (1::BIGINT << 26) ELSE 0::BIGINT END)
+                 + (CASE WHEN v27 > 0 THEN (1::BIGINT << 27) ELSE 0::BIGINT END)
+                 + (CASE WHEN v28 > 0 THEN (1::BIGINT << 28) ELSE 0::BIGINT END)
+                 + (CASE WHEN v29 > 0 THEN (1::BIGINT << 29) ELSE 0::BIGINT END)
+                 + (CASE WHEN v30 > 0 THEN (1::BIGINT << 30) ELSE 0::BIGINT END)
+                 + (CASE WHEN v31 > 0 THEN (1::BIGINT << 31) ELSE 0::BIGINT END)
+                 + (CASE WHEN v32 > 0 THEN (1::BIGINT << 32) ELSE 0::BIGINT END)
+                 + (CASE WHEN v33 > 0 THEN (1::BIGINT << 33) ELSE 0::BIGINT END)
+                 + (CASE WHEN v34 > 0 THEN (1::BIGINT << 34) ELSE 0::BIGINT END)
+                 + (CASE WHEN v35 > 0 THEN (1::BIGINT << 35) ELSE 0::BIGINT END)
+                 + (CASE WHEN v36 > 0 THEN (1::BIGINT << 36) ELSE 0::BIGINT END)
+                 + (CASE WHEN v37 > 0 THEN (1::BIGINT << 37) ELSE 0::BIGINT END)
+                 + (CASE WHEN v38 > 0 THEN (1::BIGINT << 38) ELSE 0::BIGINT END)
+                 + (CASE WHEN v39 > 0 THEN (1::BIGINT << 39) ELSE 0::BIGINT END)
+                 + (CASE WHEN v40 > 0 THEN (1::BIGINT << 40) ELSE 0::BIGINT END)
+                 + (CASE WHEN v41 > 0 THEN (1::BIGINT << 41) ELSE 0::BIGINT END)
+                 + (CASE WHEN v42 > 0 THEN (1::BIGINT << 42) ELSE 0::BIGINT END)
+                 + (CASE WHEN v43 > 0 THEN (1::BIGINT << 43) ELSE 0::BIGINT END)
+                 + (CASE WHEN v44 > 0 THEN (1::BIGINT << 44) ELSE 0::BIGINT END)
+                 + (CASE WHEN v45 > 0 THEN (1::BIGINT << 45) ELSE 0::BIGINT END)
+                 + (CASE WHEN v46 > 0 THEN (1::BIGINT << 46) ELSE 0::BIGINT END)
+                 + (CASE WHEN v47 > 0 THEN (1::BIGINT << 47) ELSE 0::BIGINT END)
+                 + (CASE WHEN v48 > 0 THEN (1::BIGINT << 48) ELSE 0::BIGINT END)
+                 + (CASE WHEN v49 > 0 THEN (1::BIGINT << 49) ELSE 0::BIGINT END)
+                 + (CASE WHEN v50 > 0 THEN (1::BIGINT << 50) ELSE 0::BIGINT END)
+                 + (CASE WHEN v51 > 0 THEN (1::BIGINT << 51) ELSE 0::BIGINT END)
+                 + (CASE WHEN v52 > 0 THEN (1::BIGINT << 52) ELSE 0::BIGINT END)
+                 + (CASE WHEN v53 > 0 THEN (1::BIGINT << 53) ELSE 0::BIGINT END)
+                 + (CASE WHEN v54 > 0 THEN (1::BIGINT << 54) ELSE 0::BIGINT END)
+                 + (CASE WHEN v55 > 0 THEN (1::BIGINT << 55) ELSE 0::BIGINT END)
+                 + (CASE WHEN v56 > 0 THEN (1::BIGINT << 56) ELSE 0::BIGINT END)
+                 + (CASE WHEN v57 > 0 THEN (1::BIGINT << 57) ELSE 0::BIGINT END)
+                 + (CASE WHEN v58 > 0 THEN (1::BIGINT << 58) ELSE 0::BIGINT END)
+                 + (CASE WHEN v59 > 0 THEN (1::BIGINT << 59) ELSE 0::BIGINT END) AS simhash
+            FROM votes
+        )
+        SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        FROM sk GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+    "dedup_simhash_banded": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(LOWER(text), '[a-z]+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ), votes AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN ((h >> 0) & 1) = 1 THEN 1 ELSE -1 END) AS v0,
+                   SUM(CASE WHEN ((h >> 1) & 1) = 1 THEN 1 ELSE -1 END) AS v1,
+                   SUM(CASE WHEN ((h >> 2) & 1) = 1 THEN 1 ELSE -1 END) AS v2,
+                   SUM(CASE WHEN ((h >> 3) & 1) = 1 THEN 1 ELSE -1 END) AS v3,
+                   SUM(CASE WHEN ((h >> 4) & 1) = 1 THEN 1 ELSE -1 END) AS v4,
+                   SUM(CASE WHEN ((h >> 5) & 1) = 1 THEN 1 ELSE -1 END) AS v5,
+                   SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) AS v6,
+                   SUM(CASE WHEN ((h >> 7) & 1) = 1 THEN 1 ELSE -1 END) AS v7,
+                   SUM(CASE WHEN ((h >> 8) & 1) = 1 THEN 1 ELSE -1 END) AS v8,
+                   SUM(CASE WHEN ((h >> 9) & 1) = 1 THEN 1 ELSE -1 END) AS v9,
+                   SUM(CASE WHEN ((h >> 10) & 1) = 1 THEN 1 ELSE -1 END) AS v10,
+                   SUM(CASE WHEN ((h >> 11) & 1) = 1 THEN 1 ELSE -1 END) AS v11,
+                   SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS v12,
+                   SUM(CASE WHEN ((h >> 13) & 1) = 1 THEN 1 ELSE -1 END) AS v13,
+                   SUM(CASE WHEN ((h >> 14) & 1) = 1 THEN 1 ELSE -1 END) AS v14,
+                   SUM(CASE WHEN ((h >> 15) & 1) = 1 THEN 1 ELSE -1 END) AS v15,
+                   SUM(CASE WHEN ((h >> 16) & 1) = 1 THEN 1 ELSE -1 END) AS v16,
+                   SUM(CASE WHEN ((h >> 17) & 1) = 1 THEN 1 ELSE -1 END) AS v17,
+                   SUM(CASE WHEN ((h >> 18) & 1) = 1 THEN 1 ELSE -1 END) AS v18,
+                   SUM(CASE WHEN ((h >> 19) & 1) = 1 THEN 1 ELSE -1 END) AS v19,
+                   SUM(CASE WHEN ((h >> 20) & 1) = 1 THEN 1 ELSE -1 END) AS v20,
+                   SUM(CASE WHEN ((h >> 21) & 1) = 1 THEN 1 ELSE -1 END) AS v21,
+                   SUM(CASE WHEN ((h >> 22) & 1) = 1 THEN 1 ELSE -1 END) AS v22,
+                   SUM(CASE WHEN ((h >> 23) & 1) = 1 THEN 1 ELSE -1 END) AS v23,
+                   SUM(CASE WHEN ((h >> 24) & 1) = 1 THEN 1 ELSE -1 END) AS v24,
+                   SUM(CASE WHEN ((h >> 25) & 1) = 1 THEN 1 ELSE -1 END) AS v25,
+                   SUM(CASE WHEN ((h >> 26) & 1) = 1 THEN 1 ELSE -1 END) AS v26,
+                   SUM(CASE WHEN ((h >> 27) & 1) = 1 THEN 1 ELSE -1 END) AS v27,
+                   SUM(CASE WHEN ((h >> 28) & 1) = 1 THEN 1 ELSE -1 END) AS v28,
+                   SUM(CASE WHEN ((h >> 29) & 1) = 1 THEN 1 ELSE -1 END) AS v29,
+                   SUM(CASE WHEN ((h >> 30) & 1) = 1 THEN 1 ELSE -1 END) AS v30,
+                   SUM(CASE WHEN ((h >> 31) & 1) = 1 THEN 1 ELSE -1 END) AS v31,
+                   SUM(CASE WHEN ((h >> 32) & 1) = 1 THEN 1 ELSE -1 END) AS v32,
+                   SUM(CASE WHEN ((h >> 33) & 1) = 1 THEN 1 ELSE -1 END) AS v33,
+                   SUM(CASE WHEN ((h >> 34) & 1) = 1 THEN 1 ELSE -1 END) AS v34,
+                   SUM(CASE WHEN ((h >> 35) & 1) = 1 THEN 1 ELSE -1 END) AS v35,
+                   SUM(CASE WHEN ((h >> 36) & 1) = 1 THEN 1 ELSE -1 END) AS v36,
+                   SUM(CASE WHEN ((h >> 37) & 1) = 1 THEN 1 ELSE -1 END) AS v37,
+                   SUM(CASE WHEN ((h >> 38) & 1) = 1 THEN 1 ELSE -1 END) AS v38,
+                   SUM(CASE WHEN ((h >> 39) & 1) = 1 THEN 1 ELSE -1 END) AS v39,
+                   SUM(CASE WHEN ((h >> 40) & 1) = 1 THEN 1 ELSE -1 END) AS v40,
+                   SUM(CASE WHEN ((h >> 41) & 1) = 1 THEN 1 ELSE -1 END) AS v41,
+                   SUM(CASE WHEN ((h >> 42) & 1) = 1 THEN 1 ELSE -1 END) AS v42,
+                   SUM(CASE WHEN ((h >> 43) & 1) = 1 THEN 1 ELSE -1 END) AS v43,
+                   SUM(CASE WHEN ((h >> 44) & 1) = 1 THEN 1 ELSE -1 END) AS v44,
+                   SUM(CASE WHEN ((h >> 45) & 1) = 1 THEN 1 ELSE -1 END) AS v45,
+                   SUM(CASE WHEN ((h >> 46) & 1) = 1 THEN 1 ELSE -1 END) AS v46,
+                   SUM(CASE WHEN ((h >> 47) & 1) = 1 THEN 1 ELSE -1 END) AS v47,
+                   SUM(CASE WHEN ((h >> 48) & 1) = 1 THEN 1 ELSE -1 END) AS v48,
+                   SUM(CASE WHEN ((h >> 49) & 1) = 1 THEN 1 ELSE -1 END) AS v49,
+                   SUM(CASE WHEN ((h >> 50) & 1) = 1 THEN 1 ELSE -1 END) AS v50,
+                   SUM(CASE WHEN ((h >> 51) & 1) = 1 THEN 1 ELSE -1 END) AS v51,
+                   SUM(CASE WHEN ((h >> 52) & 1) = 1 THEN 1 ELSE -1 END) AS v52,
+                   SUM(CASE WHEN ((h >> 53) & 1) = 1 THEN 1 ELSE -1 END) AS v53,
+                   SUM(CASE WHEN ((h >> 54) & 1) = 1 THEN 1 ELSE -1 END) AS v54,
+                   SUM(CASE WHEN ((h >> 55) & 1) = 1 THEN 1 ELSE -1 END) AS v55,
+                   SUM(CASE WHEN ((h >> 56) & 1) = 1 THEN 1 ELSE -1 END) AS v56,
+                   SUM(CASE WHEN ((h >> 57) & 1) = 1 THEN 1 ELSE -1 END) AS v57,
+                   SUM(CASE WHEN ((h >> 58) & 1) = 1 THEN 1 ELSE -1 END) AS v58,
+                   SUM(CASE WHEN ((h >> 59) & 1) = 1 THEN 1 ELSE -1 END) AS v59
+            FROM hashed GROUP BY doc_id
+        ), sk AS (
+            SELECT doc_id,
+                   (CASE WHEN v0 > 0 THEN (1::BIGINT << 0) ELSE 0::BIGINT END)
+                 + (CASE WHEN v1 > 0 THEN (1::BIGINT << 1) ELSE 0::BIGINT END)
+                 + (CASE WHEN v2 > 0 THEN (1::BIGINT << 2) ELSE 0::BIGINT END)
+                 + (CASE WHEN v3 > 0 THEN (1::BIGINT << 3) ELSE 0::BIGINT END)
+                 + (CASE WHEN v4 > 0 THEN (1::BIGINT << 4) ELSE 0::BIGINT END)
+                 + (CASE WHEN v5 > 0 THEN (1::BIGINT << 5) ELSE 0::BIGINT END)
+                 + (CASE WHEN v6 > 0 THEN (1::BIGINT << 6) ELSE 0::BIGINT END)
+                 + (CASE WHEN v7 > 0 THEN (1::BIGINT << 7) ELSE 0::BIGINT END)
+                 + (CASE WHEN v8 > 0 THEN (1::BIGINT << 8) ELSE 0::BIGINT END)
+                 + (CASE WHEN v9 > 0 THEN (1::BIGINT << 9) ELSE 0::BIGINT END)
+                 + (CASE WHEN v10 > 0 THEN (1::BIGINT << 10) ELSE 0::BIGINT END)
+                 + (CASE WHEN v11 > 0 THEN (1::BIGINT << 11) ELSE 0::BIGINT END)
+                 + (CASE WHEN v12 > 0 THEN (1::BIGINT << 12) ELSE 0::BIGINT END)
+                 + (CASE WHEN v13 > 0 THEN (1::BIGINT << 13) ELSE 0::BIGINT END)
+                 + (CASE WHEN v14 > 0 THEN (1::BIGINT << 14) ELSE 0::BIGINT END)
+                 + (CASE WHEN v15 > 0 THEN (1::BIGINT << 15) ELSE 0::BIGINT END)
+                 + (CASE WHEN v16 > 0 THEN (1::BIGINT << 16) ELSE 0::BIGINT END)
+                 + (CASE WHEN v17 > 0 THEN (1::BIGINT << 17) ELSE 0::BIGINT END)
+                 + (CASE WHEN v18 > 0 THEN (1::BIGINT << 18) ELSE 0::BIGINT END)
+                 + (CASE WHEN v19 > 0 THEN (1::BIGINT << 19) ELSE 0::BIGINT END)
+                 + (CASE WHEN v20 > 0 THEN (1::BIGINT << 20) ELSE 0::BIGINT END)
+                 + (CASE WHEN v21 > 0 THEN (1::BIGINT << 21) ELSE 0::BIGINT END)
+                 + (CASE WHEN v22 > 0 THEN (1::BIGINT << 22) ELSE 0::BIGINT END)
+                 + (CASE WHEN v23 > 0 THEN (1::BIGINT << 23) ELSE 0::BIGINT END)
+                 + (CASE WHEN v24 > 0 THEN (1::BIGINT << 24) ELSE 0::BIGINT END)
+                 + (CASE WHEN v25 > 0 THEN (1::BIGINT << 25) ELSE 0::BIGINT END)
+                 + (CASE WHEN v26 > 0 THEN (1::BIGINT << 26) ELSE 0::BIGINT END)
+                 + (CASE WHEN v27 > 0 THEN (1::BIGINT << 27) ELSE 0::BIGINT END)
+                 + (CASE WHEN v28 > 0 THEN (1::BIGINT << 28) ELSE 0::BIGINT END)
+                 + (CASE WHEN v29 > 0 THEN (1::BIGINT << 29) ELSE 0::BIGINT END)
+                 + (CASE WHEN v30 > 0 THEN (1::BIGINT << 30) ELSE 0::BIGINT END)
+                 + (CASE WHEN v31 > 0 THEN (1::BIGINT << 31) ELSE 0::BIGINT END)
+                 + (CASE WHEN v32 > 0 THEN (1::BIGINT << 32) ELSE 0::BIGINT END)
+                 + (CASE WHEN v33 > 0 THEN (1::BIGINT << 33) ELSE 0::BIGINT END)
+                 + (CASE WHEN v34 > 0 THEN (1::BIGINT << 34) ELSE 0::BIGINT END)
+                 + (CASE WHEN v35 > 0 THEN (1::BIGINT << 35) ELSE 0::BIGINT END)
+                 + (CASE WHEN v36 > 0 THEN (1::BIGINT << 36) ELSE 0::BIGINT END)
+                 + (CASE WHEN v37 > 0 THEN (1::BIGINT << 37) ELSE 0::BIGINT END)
+                 + (CASE WHEN v38 > 0 THEN (1::BIGINT << 38) ELSE 0::BIGINT END)
+                 + (CASE WHEN v39 > 0 THEN (1::BIGINT << 39) ELSE 0::BIGINT END)
+                 + (CASE WHEN v40 > 0 THEN (1::BIGINT << 40) ELSE 0::BIGINT END)
+                 + (CASE WHEN v41 > 0 THEN (1::BIGINT << 41) ELSE 0::BIGINT END)
+                 + (CASE WHEN v42 > 0 THEN (1::BIGINT << 42) ELSE 0::BIGINT END)
+                 + (CASE WHEN v43 > 0 THEN (1::BIGINT << 43) ELSE 0::BIGINT END)
+                 + (CASE WHEN v44 > 0 THEN (1::BIGINT << 44) ELSE 0::BIGINT END)
+                 + (CASE WHEN v45 > 0 THEN (1::BIGINT << 45) ELSE 0::BIGINT END)
+                 + (CASE WHEN v46 > 0 THEN (1::BIGINT << 46) ELSE 0::BIGINT END)
+                 + (CASE WHEN v47 > 0 THEN (1::BIGINT << 47) ELSE 0::BIGINT END)
+                 + (CASE WHEN v48 > 0 THEN (1::BIGINT << 48) ELSE 0::BIGINT END)
+                 + (CASE WHEN v49 > 0 THEN (1::BIGINT << 49) ELSE 0::BIGINT END)
+                 + (CASE WHEN v50 > 0 THEN (1::BIGINT << 50) ELSE 0::BIGINT END)
+                 + (CASE WHEN v51 > 0 THEN (1::BIGINT << 51) ELSE 0::BIGINT END)
+                 + (CASE WHEN v52 > 0 THEN (1::BIGINT << 52) ELSE 0::BIGINT END)
+                 + (CASE WHEN v53 > 0 THEN (1::BIGINT << 53) ELSE 0::BIGINT END)
+                 + (CASE WHEN v54 > 0 THEN (1::BIGINT << 54) ELSE 0::BIGINT END)
+                 + (CASE WHEN v55 > 0 THEN (1::BIGINT << 55) ELSE 0::BIGINT END)
+                 + (CASE WHEN v56 > 0 THEN (1::BIGINT << 56) ELSE 0::BIGINT END)
+                 + (CASE WHEN v57 > 0 THEN (1::BIGINT << 57) ELSE 0::BIGINT END)
+                 + (CASE WHEN v58 > 0 THEN (1::BIGINT << 58) ELSE 0::BIGINT END)
+                 + (CASE WHEN v59 > 0 THEN (1::BIGINT << 59) ELSE 0::BIGINT END) AS simhash
+            FROM votes
+        ), bands AS (
+            SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 32767 AS key FROM sk
+            UNION ALL SELECT doc_id, simhash, 1 AS band, (simhash >> 15) & 32767 AS key FROM sk
+            UNION ALL SELECT doc_id, simhash, 2 AS band, (simhash >> 30) & 32767 AS key FROM sk
+            UNION ALL SELECT doc_id, simhash, 3 AS band, (simhash >> 45) & 32767 AS key FROM sk
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sk_a, b.simhash AS sk_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sk_a, sk_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sk_a, sk_b)) <= 3
+    """,
+    "dedup_minhash_banded": f"""
+        WITH shingles AS ({_SQL_TRIGRAMS}),
+        mins AS (
+            SELECT doc_id,
+                   MIN(('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT) AS m0,
+                   MIN(('0x' || substr(md5('1:' || shingle), 1, 15))::BIGINT) AS m1,
+                   MIN(('0x' || substr(md5('2:' || shingle), 1, 15))::BIGINT) AS m2,
+                   MIN(('0x' || substr(md5('3:' || shingle), 1, 15))::BIGINT) AS m3,
+                   MIN(('0x' || substr(md5('4:' || shingle), 1, 15))::BIGINT) AS m4,
+                   MIN(('0x' || substr(md5('5:' || shingle), 1, 15))::BIGINT) AS m5,
+                   MIN(('0x' || substr(md5('6:' || shingle), 1, 15))::BIGINT) AS m6,
+                   MIN(('0x' || substr(md5('7:' || shingle), 1, 15))::BIGINT) AS m7,
+                   MIN(('0x' || substr(md5('8:' || shingle), 1, 15))::BIGINT) AS m8,
+                   MIN(('0x' || substr(md5('9:' || shingle), 1, 15))::BIGINT) AS m9,
+                   MIN(('0x' || substr(md5('10:' || shingle), 1, 15))::BIGINT) AS m10,
+                   MIN(('0x' || substr(md5('11:' || shingle), 1, 15))::BIGINT) AS m11,
+                   MIN(('0x' || substr(md5('12:' || shingle), 1, 15))::BIGINT) AS m12,
+                   MIN(('0x' || substr(md5('13:' || shingle), 1, 15))::BIGINT) AS m13,
+                   MIN(('0x' || substr(md5('14:' || shingle), 1, 15))::BIGINT) AS m14,
+                   MIN(('0x' || substr(md5('15:' || shingle), 1, 15))::BIGINT) AS m15
+            FROM shingles GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '-' || CAST(m1 AS VARCHAR) || '-' || CAST(m2 AS VARCHAR) || '-' || CAST(m3 AS VARCHAR) AS sig FROM mins
+            UNION ALL SELECT doc_id, 1 AS band, CAST(m4 AS VARCHAR) || '-' || CAST(m5 AS VARCHAR) || '-' || CAST(m6 AS VARCHAR) || '-' || CAST(m7 AS VARCHAR) AS sig FROM mins
+            UNION ALL SELECT doc_id, 2 AS band, CAST(m8 AS VARCHAR) || '-' || CAST(m9 AS VARCHAR) || '-' || CAST(m10 AS VARCHAR) || '-' || CAST(m11 AS VARCHAR) AS sig FROM mins
+            UNION ALL SELECT doc_id, 3 AS band, CAST(m12 AS VARCHAR) || '-' || CAST(m13 AS VARCHAR) || '-' || CAST(m14 AS VARCHAR) || '-' || CAST(m15 AS VARCHAR) AS sig FROM mins
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m9 = y.m9 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m10 = y.m10 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m11 = y.m11 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m12 = y.m12 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m13 = y.m13 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m14 = y.m14 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m15 = y.m15 THEN 1 ELSE 0 END AS BIGINT) AS n_agree,
+               CAST(CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m9 = y.m9 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m10 = y.m10 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m11 = y.m11 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m12 = y.m12 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m13 = y.m13 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m14 = y.m14 THEN 1 ELSE 0 END
+                    + CASE WHEN x.m15 = y.m15 THEN 1 ELSE 0 END AS DOUBLE) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN mins x ON x.doc_id = c.id_a
+        JOIN mins y ON y.doc_id = c.id_b
+    """,
+    # dedup_minhash_lsh: rows-only (engine-seeded MLlib hash family)
     # Connected components as a recursive CTE: transitive closure over the
     # symmetrized pair graph, component label = min reachable doc_id.
     "dedup_ngram_clusters": f"""

@@ -32,8 +32,6 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "s9_metadata",
         "agg_approx_distinct",
         "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_simhash_banded",
         "dedup_embedding_lsh",  # approximate recall; recall/superset tests instead
         "dedup_embedding_ivf",  # approximate recall; recall/superset tests instead
         "sim_ann_lsh_topk",
