@@ -1272,3 +1272,34 @@ ORACLES = {
         WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
     """,
 }
+
+
+def _embedding_lsh_oracle() -> str:
+    """LSH-blocked embedding dedup, re-derived end-to-end in SQL: the
+    portable integer-sign postings (shared plane literals from
+    `similarity._lsh_planes`), the (tbl, bucket) candidate join, the
+    exact-cosine verify at the same rounded threshold, and the
+    survivor anti-join."""
+    from .similarity import _sql_cosine, _sql_lsh_postings
+
+    return f"""
+        WITH postings AS (
+            {_sql_lsh_postings()}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_keep, b.vec_id AS id_drop
+            FROM postings a
+            JOIN postings b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+        ), dropped AS (
+            SELECT DISTINCT c.id_drop AS vec_id
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.id_keep
+            JOIN embeddings b ON b.vec_id = c.id_drop
+            WHERE ROUND({_sql_cosine("a.embedding", "b.embedding")}, 6) >= 0.8
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()

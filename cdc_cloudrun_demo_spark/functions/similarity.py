@@ -103,16 +103,86 @@ def sim_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit pattern of seeded hyperplane dot products → long bucket id."""
+    """Sign-bit pattern of seeded hyperplane dot products → long bucket id.
+
+    The dot is an EXACT INTEGER fold: each term eᵢ·pᵢ is one double
+    multiply snapped to micro-units (floor(x·10⁶+0.5) — the engine-wide
+    scaled-long discipline), summed as BIGINTs. A raw double fold's sign
+    would hinge on last-ulp accumulation order exactly at bucket
+    boundaries — measured: Spark's strict left fold and DuckDB's
+    list_sum differ in ≤2.6e-13 relative terms — so the integer snap is
+    what makes the buckets, and therefore the whole LSH family,
+    hash-match oracleable across engines (round-6 upgrade). LSH only
+    needs the sign of an approximate projection; micro-unit quantization
+    changes nothing statistically."""
     bucket = None
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                p,
+                lambda x, y: F.floor(
+                    x.cast("double") * y * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         contrib = F.shiftleft(bit, i)
         bucket = contrib if bucket is None else bucket.bitwiseXOR(contrib)
     return bucket
+
+
+def _lsh_planes(n_planes: int, seed: int = 42) -> list[list[float]]:
+    """The seeded hyperplane set, shared by the Spark operators and the
+    SQL oracle generators so both engines inline IDENTICAL literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, 64)).tolist()
+
+
+def _sql_bucket_expr(planes: list[list[float]], col: str = "embedding") -> str:
+    """DuckDB expression reproducing `_sign_bucket` bit-for-bit: the
+    same per-term micro-unit floor, exact BIGINT sum, same bit packing."""
+    terms = []
+    for b, plane in enumerate(planes):
+        lst = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST(FLOOR(CAST({col}[i] AS DOUBLE) * ({lst}::DOUBLE[])[i]"
+            f" * 1000000.0 + 0.5) AS BIGINT)))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)")
+    return "(" + "\n               + ".join(terms) + ")"
+
+
+def _sql_lsh_postings(n_tables: int = 8, bits_per_table: int = 8) -> str:
+    """Postings CTE body: (vec_id, tbl, bucket) — one SELECT per table
+    over the shared plane set (planes t·bits…(t+1)·bits)."""
+    planes = _lsh_planes(n_tables * bits_per_table)
+    selects = []
+    for t in range(n_tables):
+        expr = _sql_bucket_expr(planes[t * bits_per_table : (t + 1) * bits_per_table])
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {expr} AS bucket FROM embeddings"
+        )
+    return "\n            UNION ALL ".join(selects)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """DuckDB cosine between two embedding columns — the identical
+    IEEE chain the oracled brute-force entries already hash-match."""
+
+    def dotp(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"({dotp(a, b)} / (SQRT({dotp(a, a)}) * SQRT({dotp(b, b)})))"
 
 
 def hyperplane_lsh_buckets(
@@ -123,10 +193,7 @@ def hyperplane_lsh_buckets(
     RandomState). Kept as the bucketing primitive; candidate generation
     for ANN uses the multi-table postings below (one table's buckets are
     singletons on isotropic data — useless recall)."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, 64)).tolist()
+    planes = _lsh_planes(n_planes, seed)
     emb = load_for_compute(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", "label", "embedding", _sign_bucket(F.col("embedding"), planes).alias("bucket")
@@ -151,10 +218,7 @@ def hyperplane_lsh_postings(
     posting-list discipline as dedup_simhash_banded (dedup.py); candidate
     pairing downstream is an equality join on (tbl, bucket), never
     all-pairs."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables * bits_per_table, 64)).tolist()
+    planes = _lsh_planes(n_tables * bits_per_table, seed)
     emb = load_for_compute(spark, sf_dir, "embeddings")
     tables = F.array(
         *[
@@ -900,6 +964,31 @@ _SQL_COS = """
 """
 
 ORACLES = {
+    "sim_ann_lsh_topk": f"""
+        WITH postings AS (
+            {_sql_lsh_postings()}
+        ), q AS (
+            SELECT vec_id AS query_id, tbl, bucket FROM postings
+            WHERE vec_id < 5
+        ), cand AS (
+            SELECT DISTINCT q.query_id, p.vec_id AS neighbor_id
+            FROM postings p
+            JOIN q ON p.tbl = q.tbl AND p.bucket = q.bucket
+                  AND p.vec_id <> q.query_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND({_sql_cosine("qe.embedding", "ne.embedding")}, 6)
+                     AS cos_sim
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 10
+    """,
     "sim_quantize_int8": """
         WITH m AS (
             SELECT vec_id, label, embedding,

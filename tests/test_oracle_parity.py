@@ -32,9 +32,7 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "s9_metadata",
         "agg_approx_distinct",
         "dedup_minhash_lsh",
-        "dedup_embedding_lsh",  # approximate recall; recall/superset tests instead
         "dedup_embedding_ivf",  # approximate recall; recall/superset tests instead
-        "sim_ann_lsh_topk",
         "sim_ann_ivf_topk",
         "agg_approx_percentiles",
         "agg_hll_merge",  # sketch binary/estimator are engine-specific; exact-merge property test instead
