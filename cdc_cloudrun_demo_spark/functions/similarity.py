@@ -71,6 +71,57 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def sim_mips_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Brute-force MAX-INNER-PRODUCT top-k — the retrieval metric
+    two-tower recommendation and unnormalized-embedding models use,
+    where magnitude carries signal and cosine's normalization is wrong
+    (a different top-k than cosine whenever norms vary). Same execution
+    shape as `sim_cosine_topk` (bounded broadcast query set, one corpus
+    pass, per-query window) but the score is the raw dot product,
+    snapped to exact micro-units BEFORE ranking: the per-term floor fold
+    (the LSH-bucket discipline) makes the score an exact BIGINT on both
+    engines, so rank boundaries cannot flip cross-engine — no rounding
+    tolerance anywhere. At corpus scale MIPS reduces to cosine-ANN via
+    the standard augmented-vector transform (append √(M²−‖x‖²)); the
+    exact pass here is the oracle-able baseline that transform is
+    verified against."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ip_unats = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("embedding"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ip_unats.alias("ip_unats"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip_unats"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "ip_unats",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def sim_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within a label block: cosine >= 0.35
     (blocked exact search — the embedding-cosine dedup operator).
@@ -935,6 +986,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_pairs_above": sim_pairs_above,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_mips_topk": sim_mips_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_embedding_stats": sim_embedding_stats,
 }
@@ -1004,6 +1056,25 @@ ORACLES = {
                         / GREATEST(absmax, 1e-30) + 0.5)
                         AS INT) AS VARCHAR)), 'string_agg', ',') AS q_csv
         FROM m
+    """,
+    "sim_mips_topk": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                       i -> CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
+                                       * CAST(e.embedding[i] AS DOUBLE)
+                                       * 1000000.0 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS ip_unats
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, ip_unats, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY ip_unats DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 10
     """,
     "sim_cosine_topk": f"""
         {_SQL_COS}

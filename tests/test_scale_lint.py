@@ -26,6 +26,7 @@ BNLJ_BOUNDED = {
     "sample_mixture": "n_sources-row quota aggregate",
     "cdc_keygen": "1-row bounds aggregate + P-row offset table",
     "sim_cosine_topk": "bounded query set (fixed id filter)",
+    "sim_mips_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",
     "text_bigram_logprob": "1-row token-total aggregate",
     "pipeline_perplexity_kept": "1-row token-total aggregate (inherited from the bigram LM)",
