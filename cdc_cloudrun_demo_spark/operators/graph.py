@@ -372,7 +372,76 @@ def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """Connected components of the REPEATED co-purchase graph (parts
+    bought together in ≥2 distinct orders — the support filter that
+    turns one dense hairball into meaningful product families, and the
+    same shape as a dedup pipeline's cluster step on any pair graph).
+    Pregel-style min-label propagation: each round every node takes
+    min(own, neighbors') labels; fixpoint in O(diameter) rounds. One
+    edge-keyed join + one aggregate per round, labels localCheckpoint'd
+    so lineage doesn't grow with iterations, and the driver reads ONE
+    scalar (the changed-count) per round — the idiomatic Spark iterative
+    shape shared with `dedup_ngram_clusters` and PageRank. Exact
+    fixpoint → full hash-match oracle: DuckDB reproduces it as a
+    recursive transitive-closure CTE (min reachable id per node) —
+    two entirely different algorithms, provably the same labeling."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("a", "b")
+    )
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias("part_id"), "component_id")
+
+
 QUERIES = {
+    "graph_components": graph_components,
     "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
     "graph_triangle_count": graph_triangle_count,
@@ -380,6 +449,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_components": """
+        WITH RECURSIVE pairs AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), sym AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION
+            SELECT b AS src, a AS dst FROM pairs
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ), minreach AS (
+            SELECT src, MIN(dst) AS m FROM reach GROUP BY src
+        )
+        SELECT n.node AS part_id,
+               LEAST(n.node, COALESCE(mr.m, n.node)) AS component_id
+        FROM (SELECT DISTINCT src AS node FROM sym) n
+        LEFT JOIN minreach mr ON mr.src = n.node
+    """,
     "graph_degree_stats": """
         WITH pairs AS (
             SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
