@@ -115,6 +115,63 @@ def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_gap_fill_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill over a STREAM-MAINTAINED rollup — the production shape
+    for the regularized time series: the per-(user, hour) rollup is
+    maintained incrementally by a real Structured Streaming aggregation
+    (4-file replay, complete-mode snapshot — arbitrary micro-batch
+    slicing must converge to the batch rollup exactly), and the
+    grid+forward-fill view runs over the CONVERGED snapshot. The split
+    is deliberate and honest: the rollup is incrementally maintainable
+    keyed state (what a stream should own); the dense-grid ffill is a
+    read-side view (re-derivable from the rollup at any time, never
+    stored as state — filling silent hours INSIDE the stream would mean
+    emitting rows for keys with no input, which no keyed-state operator
+    should do). Hash-matches the identical batch gap-fill oracle."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..sources import file_stream
+    from ..streaming.event_windows import run_to_parquet_snapshot
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    root = scratch_dir("evgap_")
+    log = os.path.join(root, "log")
+    ev.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    hourly = stream.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    out = os.path.join(root, "out")
+    q = run_to_parquet_snapshot(hourly, out, os.path.join(root, "ckpt"))
+    finished = q.awaitTermination(300)
+    assert finished, "streaming hourly-rollup query did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    snap = spark.read.parquet(os.path.join(out, "current"))
+    bounds = snap.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    j = grid.join(snap, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
 def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_tumbling_daily as a REAL Structured Streaming run,
     driver-checked against the same batch oracle: events replay as a
@@ -449,6 +506,7 @@ QUERIES = {
     "stream_session_windows_live": stream_session_windows_live,
     "stream_sliding_2d_1d_live": stream_sliding_2d_1d_live,
     "stream_gap_fill": stream_gap_fill,
+    "stream_gap_fill_live": stream_gap_fill_live,
     "stream_sliding_2d_1d": stream_sliding_2d_1d,
     "stream_session_windows": stream_session_windows,
     "stream_hourly_rate": stream_hourly_rate,
@@ -499,6 +557,30 @@ ORACLES = {
         GROUP BY v.user_id
     """,
     "stream_gap_fill": f"""
+        WITH hourly AS (
+            SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT g.user_id, g.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    "stream_gap_fill_live": f"""
         WITH hourly AS (
             SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
                    COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
