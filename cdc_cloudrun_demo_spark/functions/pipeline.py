@@ -568,7 +568,54 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the one-row datasheet a published training corpus
+    ships with, assembled from the pipeline's own stages so the card can
+    never disagree with the pipeline that produced it: corpus counts,
+    token totals (the card's headline number), source/language breadth,
+    the exact-dedup survivor rate, and PII incidence. Everything is a
+    count or an exact integer sum — no entropy/float folklore — so the
+    card is hash-matched cross-engine like any other entry. One scan of
+    documents feeds all document-level stats (conditional aggregates);
+    the dedup rate joins the exact-dedup survivor count (1 row) by
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    pii_hits = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(_IPV4_RE), 0))
+    ).cast("long")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(pii_hits > 0, 1).otherwise(0)).cast("long").alias("n_docs_with_pii"),
+    )
+    from .dedup import normalize_text
+
+    survivors = d.agg(
+        F.countDistinct(F.md5(normalize_text(F.col("text")))).alias("n_unique_docs")
+    )
+    return stats.crossJoin(F.broadcast(survivors)).select(
+        "n_docs",
+        "n_unique_docs",
+        (F.col("n_docs") - F.col("n_unique_docs")).alias("n_exact_dups"),
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        "n_docs_with_pii",
+        (
+            F.col("n_unique_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("unique_rate"),
+    )
+
+
 QUERIES = {
+    "pipeline_dataset_card": pipeline_dataset_card,
     "pipeline_epoch_plan": pipeline_epoch_plan,
     "text_charclass_profile": text_charclass_profile,
     "pipeline_quality_bins": pipeline_quality_bins,
@@ -742,6 +789,38 @@ def _quality_bins_oracle() -> str:
 
 
 ORACLES["pipeline_quality_bins"] = _quality_bins_oracle()
+
+def _dataset_card_oracle() -> str:
+    from .dedup import _SQL_NORM
+
+    return rf"""
+        WITH stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(regexp_split_to_array(TRIM(text), '\s+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+                   COUNT(DISTINCT source) AS n_sources,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   CAST(SUM(CASE WHEN
+                       len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                       + len(regexp_extract_all(text, '{_PHONE_RE}'))
+                       + len(regexp_extract_all(text, '{_IPV4_RE}')) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+            FROM documents
+        ), uniq AS (
+            SELECT COUNT(DISTINCT md5({_SQL_NORM})) AS n_unique_docs
+            FROM documents
+        )
+        SELECT n_docs, n_unique_docs,
+               n_docs - n_unique_docs AS n_exact_dups,
+               n_tokens, n_chars, n_sources, n_langs, n_docs_with_pii,
+               CAST(n_unique_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 AS unique_rate
+        FROM stats CROSS JOIN uniq
+    """
+
+
+ORACLES["pipeline_dataset_card"] = _dataset_card_oracle()
 
 ORACLES["pipeline_epoch_plan"] = f"""
     WITH per_src AS (

@@ -33,6 +33,7 @@ BNLJ_BOUNDED = {
     "pipeline_domain_mixture": "1-row sqrt-token normalizer over |sources| rows",
     "pipeline_quality_bins": "1-row quartile-threshold aggregate",
     "pipeline_epoch_plan": "|sources|-row quota table: 1-row normalizer/leftover + triangular self-join",
+    "pipeline_dataset_card": "two 1-row corpus aggregates composed at the end",
     "agg_kmv_setops": "k<=256-row sketches + 1-row exact-count aggregates",
     "graph_triangle_count": "three 1-row count aggregates composed at the end",
     "dq_constraints": "1-row per-constraint aggregates (FK check's scalar count side)",
