@@ -735,7 +735,208 @@ def text_tfidf_topterms(
     )
 
 
+_SPELL_DIST = 2
+
+
+def text_spell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-variant resolution over the corpus vocabulary: every pair
+    of distinct tokens within Levenshtein distance ≤ 2, with corpus
+    frequencies and the canonical pick (higher document frequency, ties
+    to the lexicographically smaller token) — the fuzzy-join step of an
+    entity-resolution / OCR-cleanup pipeline.
+
+    The blocking is LOSSLESS, not heuristic: |len(a)−len(b)| > d implies
+    levenshtein(a,b) > d, so one side explodes each token to its d+1=5
+    candidate partner lengths and the candidate join is a plain
+    EQUI-join on length — no CartesianProduct, no similarity predicate
+    in the join condition. The oracle deliberately uses the naive
+    quadratic formulation (join on the length band, filter by
+    levenshtein), so the hash match certifies the blocking loses
+    nothing. At 100 TB the vocabulary is the top-V-truncated table every
+    LM op here already bounds (|V| ≪ corpus), length blocks are further
+    splittable by first-character for skew, and the count-signature
+    filter (shared letters ≥ len−d) is the standard next prune — noted,
+    not needed at this V."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok")
+    )
+    vocab = words.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    left = vocab.select(
+        F.col("tok").alias("tok_a"),
+        F.col("freq").alias("freq_a"),
+        F.length("tok").alias("blk_len"),
+    )
+    right = vocab.select(
+        F.col("tok").alias("tok_b"),
+        F.col("freq").alias("freq_b"),
+        F.explode(
+            F.sequence(
+                F.length("tok") - _SPELL_DIST, F.length("tok") + _SPELL_DIST
+            )
+        ).alias("blk_len"),
+    )
+    return (
+        left.join(right, "blk_len")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= _SPELL_DIST)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("dist").cast("long").alias("dist"),
+            "freq_a",
+            "freq_b",
+            F.when(F.col("freq_a") > F.col("freq_b"), F.col("tok_a"))
+            .when(F.col("freq_b") > F.col("freq_a"), F.col("tok_b"))
+            .otherwise(F.least("tok_a", "tok_b"))
+            .alias("canonical"),
+        )
+    )
+
+
+SPELL_VARIANTS_ORACLE = f"""
+    WITH vocab AS (
+        SELECT tok, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    )
+    SELECT x.tok AS tok_a, y.tok AS tok_b,
+           CAST(levenshtein(x.tok, y.tok) AS BIGINT) AS dist,
+           x.freq AS freq_a, y.freq AS freq_b,
+           CASE WHEN x.freq > y.freq THEN x.tok
+                WHEN y.freq > x.freq THEN y.tok
+                ELSE least(x.tok, y.tok) END AS canonical
+    FROM vocab x JOIN vocab y
+      ON x.tok < y.tok
+     AND abs(length(x.tok) - length(y.tok)) <= {_SPELL_DIST}
+    WHERE levenshtein(x.tok, y.tok) <= {_SPELL_DIST}
+"""
+
+_BM25_TERMS = ("hash", "join", "spark")
+_BM25_K = 10
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: top-10 documents for a fixed query term
+    set, scored with the classic Okapi formula (k1=1.2, b=0.75) made
+    EXACT-INTEGER so the ranking is engine-independent:
+
+    - idf: the BM25+ form ln(1 + (N−df+0.5)/(df+0.5)) simplifies to
+      ln((2N+2)/(2df+1)) — one exact-rational→double division feeding
+      ln, scaled to micro-nats with the same round-at-3-then-floor
+      libm-ulp guard as TF-IDF (`text_tfidf_topterms`).
+    - tf normalization: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+      avgdl = L/N kept as the exact rational it is. Clearing
+      denominators (k1=6/5, b=3/4, avgdl=L/N) gives
+      score_micro = idf_unats · 22·tf·L div (10·tf·L + 3·L + 9·dl·N)
+      — INTEGER ÷ INTEGER, zero float accumulation anywhere.
+    - per-doc score: a SUM of integers — order-insensitive, so the
+      global top-k (score desc, doc_id asc) is a total order both
+      engines reproduce bit-for-bit.
+
+    Plan at 100 TB: tf for the 3 query terms only (filter BEFORE the
+    tf aggregate — the posting-list read, not a corpus-wide score), dl
+    from one per-doc count, the (N, L) scalars broadcast; top-k is
+    Spark's TakeOrderedAndProject, never a full sort. int64 headroom:
+    idf_unats·22·tf·L needs the decimal path past ~10¹¹ total tokens —
+    same documented envelope as the lift/pricing entries."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = words.filter(F.col("term").isin(*_BM25_TERMS))
+    tf = qterms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.floor(
+            F.round(
+                F.log(
+                    (F.lit(2.0) * F.col("n_docs") + F.lit(2.0))
+                    / (F.lit(2.0) * F.col("df") + F.lit(1.0))
+                )
+                * F.lit(1_000_000.0),
+                3,
+            )
+        )
+        .cast("long")
+        .alias("idf_unats"),
+    )
+    scored = (
+        tf.join(idf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "idf_unats * (22 * tf * total_len)"
+                " div (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min("dl").alias("dl"),
+        F.sum("score_micro").alias("score_micro"),
+    )
+    return (
+        per_doc.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_BM25_K)
+        .select("doc_id", "n_terms", "dl", "score_micro")
+    )
+
+
+BM25_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+    ), consts AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM words
+        WHERE term IN {_BM25_TERMS!r}
+        GROUP BY doc_id, term
+    ), df_t AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), idf AS (
+        SELECT term,
+               CAST(FLOOR(ROUND(LN((2.0 * n_docs + 2.0) / (2.0 * df + 1.0))
+                                * 1000000.0, 3)) AS BIGINT) AS idf_unats
+        FROM df_t CROSS JOIN consts
+    ), scored AS (
+        SELECT t.doc_id, d.dl,
+               (i.idf_unats * (22 * t.tf * c.total_len))
+                 // (10 * t.tf * c.total_len + 3 * c.total_len
+                     + 9 * d.dl * c.n_docs) AS score_micro
+        FROM tf t
+        JOIN idf i ON i.term = t.term
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN consts c
+    )
+    SELECT doc_id, COUNT(*) AS n_terms, MIN(dl) AS dl,
+           CAST(SUM(score_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
 QUERIES = {
+    "text_spell_variants": text_spell_variants,
+    "text_bm25_search": text_bm25_search,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_bigram_logprob": text_bigram_logprob,
     "text_contamination": text_contamination,
@@ -781,6 +982,8 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_spell_variants": SPELL_VARIANTS_ORACLE,
+    "text_bm25_search": BM25_ORACLE,
     "text_tfidf_topterms": """
         WITH toks AS (
             SELECT doc_id,

@@ -598,7 +598,138 @@ def qx_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_basket_lift(spark: SparkSession, sf_dir: str, min_cooc: int = 3) -> DataFrame:
+    """Market-basket association mining: for every pair of parts
+    co-ordered in ≥ ``min_cooc`` distinct orders, the support counts and
+    the LIFT — P(a,b)/(P(a)·P(b)) — as an exact parts-per-million
+    integer: lift_ppm = (cooc · n_orders · 10⁶) div (cnt_a · cnt_b).
+    All-integer arithmetic keeps the ranking key exact (same discipline
+    as TF-IDF's micro-nat scores), so the entry hash-matches its oracle.
+
+    Plan shape at 100 TB: pair generation is the co-purchase self-join
+    co-partitioned on l_orderkey (C(items,2) per order, bounded by the
+    ≤7-item basket; a mega-basket needs the per-order cap first — the
+    posting-list discipline), the per-part supports are ONE distinct
+    aggregate reused for both sides of the pair via two broadcast-or-
+    shuffle joins on the part key, and the min_cooc filter bounds the
+    output before the lift math runs. The global n_orders scalar rides a
+    broadcast crossJoin. int64 headroom: cooc·n_orders·10⁶ at 10¹⁰
+    orders needs the 128-bit or decimal path — the dec_sum fallback
+    class, documented not silently wrong."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    x, y = baskets.alias("x"), baskets.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    cnt = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(cnt.select(F.col("l_partkey").alias("a"), F.col("cnt").alias("cnt_a")), "a")
+        .join(cnt.select(F.col("l_partkey").alias("b"), F.col("cnt").alias("cnt_b")), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "cooc",
+            "cnt_a",
+            "cnt_b",
+            F.expr("cooc * n_orders * 1000000 div (cnt_a * cnt_b)").alias("lift_ppm"),
+        )
+    )
+
+
+BASKET_LIFT_ORACLE = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS cooc
+        FROM baskets x JOIN baskets y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), cnt AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM baskets GROUP BY 1
+    ), n AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets
+    )
+    SELECT p.a, p.b, p.cooc, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+           (p.cooc * n.n_orders * 1000000) // (ca.cnt * cb.cnt) AS lift_ppm
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.a
+    JOIN cnt cb ON cb.l_partkey = p.b
+    CROSS JOIN n
+"""
+
+
+def qx_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) over (retail price ↓ better,
+    size ↑ better): the parts no same-brand part dominates — the
+    multi-objective shortlist query optimizers and product-analytics
+    stacks both need. The naive skyline is an O(n²) dominance anti-join;
+    this uses the sort-based 2D identity instead: over DISTINCT
+    (price, size) points ordered (price asc, size desc), a point is
+    dominated iff the running max of size over STRICTLY PRECEDING rows
+    ≥ its size — every preceding row has no-worse price, so a preceding
+    ≥ size point dominates (ties collapse via the pre-distinct). One
+    window pass, no self-join.
+
+    Scale shape: the window partitions by brand (the realistic skyline
+    is always per-segment), so no global sort; a single giant partition
+    would use the same identity hierarchically — per-partition frontier,
+    then frontier-of-frontiers, exact because skylines are closed under
+    union+refilter. Price is cents-scaled exact integer; the oracle runs
+    the SAME window identity in DuckDB, and the property test certifies
+    it against the quadratic dominance definition on a sample."""
+    p = load_table(spark, sf_dir, "part")
+    pts = (
+        p.select(
+            "p_brand",
+            scaled_long("p_retailprice").alias("price_cents"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .groupBy("p_brand", "price_cents", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    prev_max = F.expr(
+        "max(p_size) over (partition by p_brand"
+        " order by price_cents asc, p_size desc"
+        " rows between unbounded preceding and 1 preceding)"
+    )
+    return (
+        pts.withColumn("prev_max_size", prev_max)
+        .filter(F.col("prev_max_size").isNull() | (F.col("prev_max_size") < F.col("p_size")))
+        .select("p_brand", "price_cents", "p_size", "n_parts")
+    )
+
+
+PARETO_ORACLE = """
+    WITH pts AS (
+        SELECT p_brand,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2, 3
+    ), flagged AS (
+        SELECT p_brand, price_cents, p_size, n_parts,
+               MAX(p_size) OVER (PARTITION BY p_brand
+                   ORDER BY price_cents ASC, p_size DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_size
+        FROM pts
+    )
+    SELECT p_brand, price_cents, p_size, n_parts
+    FROM flagged
+    WHERE prev_max_size IS NULL OR prev_max_size < p_size
+"""
+
+
 QUERIES = {
+    "qx_basket_lift": qx_basket_lift,
+    "qx_pareto_frontier": qx_pareto_frontier,
     "qx_retention_cohorts": qx_retention_cohorts,
     "qx_top_supplier": qx_top_supplier,
     "qx_funnel_conversion": qx_funnel_conversion,
@@ -624,6 +755,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "qx_basket_lift": BASKET_LIFT_ORACLE,
+    "qx_pareto_frontier": PARETO_ORACLE,
     "qx_retention_cohorts": """
         WITH s AS (
             SELECT user_id, MIN(ts) AS first_signup

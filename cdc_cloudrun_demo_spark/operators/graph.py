@@ -440,7 +440,101 @@ def graph_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Da
     return labels.select(F.col("node").alias("part_id"), "component_id")
 
 
+BFS_SEED_NATION = 1
+BFS_MAX_HOPS = 4
+
+
+def graph_bfs_hops(
+    spark: SparkSession, sf_dir: str, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance from a seed set (customers
+    of one nation) to every node of the trade graph reachable within
+    ``max_hops`` — the multi-source shortest-path primitive behind
+    "blast radius" / label-propagation-from-anchors queries (and, in a
+    data pipeline, "documents within k citation hops of a trusted set").
+    Hop counts are exact integers, so unlike float shortest paths the
+    whole computation hash-matches an oracle that unrolls the same
+    min-fold as chained CTEs.
+
+    Iteration shape: dist_{i+1} = min-fold of dist_i ∪ (dist_i ⋈ edges
+    + 1), i.e. one src-keyed broadcast-or-shuffle join plus one
+    node-keyed aggregate per hop — the Pregel relaxation step. The edge
+    list is annotated once and pinned (`localCheckpoint`, same
+    discipline as `graph_pagerank`) so the bounded loop's lineage stays
+    shallow. The full-distance-vector fold (not a frontier delta) keeps
+    every iteration a pure function of the previous one — exactly the
+    oracle's CTE — at the cost of re-touching settled nodes; a frontier
+    variant saves work once hop counts stabilize but needs a changed-set
+    diff per round (the `graph_components` shape). max_hops is a
+    CONSTANT (4), so the unrolled plan depth is bounded by design.
+
+    Reference anchor: the reference's recursive lookups are single-row
+    JPA fetches (MessageResource.java:19); this is the set-at-a-time
+    generalization a relational engine needs for graph reachability."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = (
+        cust.filter(F.col("c_nationkey") == BFS_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .withColumn("hops", F.lit(0).cast("long"))
+    )
+    dist = seeds
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
+def _bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
+    """Identical min-fold, unrolled: d_{i+1} = MIN over d_i ∪ (d_i⋈edges)."""
+    head = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs
+        ), d0 AS (
+            SELECT c_custkey * 2 AS node, 0 AS hops
+            FROM customer WHERE c_nationkey = {BFS_SEED_NATION}
+        )"""
+    steps = []
+    for i in range(max_hops):
+        steps.append(f"""
+        , d{i + 1} AS (
+            SELECT node, MIN(hops) AS hops FROM (
+                SELECT node, hops FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d.hops + 1 AS hops
+                FROM d{i} d JOIN edges e ON d.node = e.src
+            ) GROUP BY node
+        )""")
+    tail = f"""
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               CAST(hops AS BIGINT) AS hops
+        FROM d{max_hops}
+    """
+    return head + "".join(steps) + tail
+
+
 QUERIES = {
+    "graph_bfs_hops": graph_bfs_hops,
     "graph_components": graph_components,
     "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
@@ -449,6 +543,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_bfs_hops": _bfs_oracle(),
     "graph_components": """
         WITH RECURSIVE pairs AS (
             SELECT x.l_partkey AS a, y.l_partkey AS b

@@ -201,12 +201,71 @@ def _hilbert_oracle() -> str:
     """
 
 
+_COMPACT_TARGET = 100  # rows per compacted output file (≈ the 1 GB knob)
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-packing
+    maintenance pass every table format (Delta OPTIMIZE, Iceberg
+    rewrite_data_files) runs: group undersized files into target-sized
+    output files. Input "files" are the per-day write units of the
+    orders table (one file per ingest day — the natural output of the
+    streaming sink); the plan assigns each to a compacted output bin of
+    ~_COMPACT_TARGET rows via monotone-cursor packing: within a month
+    partition, files ordered (size desc, day) are packed by
+    bin = running_size_before div target — the deterministic,
+    one-window-pass equivalent of sorted first-fit that real OPTIMIZE
+    implementations use per partition.
+
+    Scale shape: this is METADATA-scale work — one row per file, not
+    per record — and the window is PARTITIONED BY MONTH because real
+    compaction never crosses table partitions (a cross-partition bin
+    would break partition pruning for every reader). So the sort is
+    per-month over file counts, never a global single-reducer pass, and
+    the plan for a 100 TB table is a few million rows total. Exact
+    integer sizes and `div` packing → full hash-match oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("part_month"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("file_day"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return files.select(
+        "part_month",
+        "file_day",
+        "n_rows",
+        F.expr(
+            f"coalesce(sum(n_rows) over (partition by part_month"
+            f" order by n_rows desc, file_day asc"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {_COMPACT_TARGET}"
+        ).cast("long").alias("target_file"),
+    )
+
+
+COMPACTION_ORACLE = f"""
+    WITH files AS (
+        SELECT date_trunc('month', o_orderdate) AS part_month,
+               date_trunc('day', o_orderdate) AS file_day,
+               COUNT(*) AS n_rows
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT part_month, file_day, n_rows,
+           CAST(COALESCE(SUM(n_rows) OVER (PARTITION BY part_month
+               ORDER BY n_rows DESC, file_day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {_COMPACT_TARGET} AS BIGINT) AS target_file
+    FROM files
+"""
+
+
 QUERIES = {
+    "layout_compaction_plan": layout_compaction_plan,
     "layout_hilbert_key": layout_hilbert_key,
     "layout_zorder_key": layout_zorder_key,
 }
 
 ORACLES = {
+    "layout_compaction_plan": COMPACTION_ORACLE,
     "layout_hilbert_key": _hilbert_oracle(),
     "layout_zorder_key": ZORDER_ORACLE,
 }

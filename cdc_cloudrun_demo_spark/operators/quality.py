@@ -119,13 +119,67 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOG2_MAX = 40
+
+
+def _floor_log2_sql(expr: str) -> str:
+    """floor(log2(x)) for x ≥ 1 as a pure-integer CASE sum — portable
+    across engines (no float log whose last ulp could flip a bucket at
+    an exact power of two) and constant-folded into one codegen stage."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {expr} >= {1 << i} THEN 1 ELSE 0 END)"
+        for i in range(1, _LOG2_MAX + 1)
+    ) + ")"
+
+
+def dq_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the log₂ histogram of per-key row counts
+    for lineitem.l_suppkey — the diagnostic that decides salting /
+    AQE-skew-join settings BEFORE a 100 TB shuffle, the distributed
+    analog of the reference's health probe (it guards `count == 0`;
+    a cluster engine must also guard `count(hottest key) ≫ median`).
+    One key-count aggregate (map-side combined), then a histogram over
+    the |keys|-row count table — output is ≤ 40 rows regardless of data
+    size. The bucket is an exact integer floor-log₂ (unrolled CASE sum,
+    no float log), so a key count sitting exactly on a power of two
+    cannot land in different buckets across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.groupBy(
+            F.expr(_floor_log2_sql("cnt")).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.min("cnt").alias("min_rows"),
+            F.max("cnt").alias("max_rows"),
+        )
+    )
+
+
+SKEW_ORACLE = f"""
+    WITH per_key AS (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST({_floor_log2_sql('cnt')} AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           MIN(cnt) AS min_rows,
+           MAX(cnt) AS max_rows
+    FROM per_key GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_constraints": dq_constraints,
+    "dq_skew_histogram": dq_skew_histogram,
 }
 
 _LANG_LIST = ", ".join(f"'{x}'" for x in _ALLOWED_LANGS)
 
 ORACLES = {
+    "dq_skew_histogram": SKEW_ORACLE,
     "dq_constraints": f"""
         SELECT 'range_totalprice_positive' AS constraint, 'orders' AS tbl,
                COUNT(*) AS n_checked,

@@ -307,7 +307,83 @@ def win_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_THRESH = 2  # |z| > 2 flags an outlier
+_Z_MIN_N = 3
+
+
+def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend-anomaly detection: orders whose total price
+    sits more than _Z_THRESH sample standard deviations from that
+    customer's mean — the windowed z-score gate every monitoring /
+    fraud / data-quality pipeline runs. Float z-scores are the classic
+    cross-engine trap (sqrt + order-dependent float sums); here the
+    predicate |z| > t is cleared of ALL floats by cross-multiplication:
+
+        z² > t²  ⟺  (n·x − S)² · (n−1)  >  t² · n · (n·SS − S²)
+
+    with S = Σx, SS = Σx² over the customer's orders in exact
+    whole-dollar integers — both sides are order-insensitive integer
+    sums, so the flag is bit-identical in any engine at any
+    parallelism. int64 headroom: dollars ≤ 10⁶ and per-key n ≤ ~10³
+    keep (n·x−S)²·(n−1) under ~10¹⁸; past that the decimal path
+    documented in _util applies.
+
+    Plan: window aggregates (count/sum/sum-of-squares) over the
+    customer partition — ONE shuffle on o_custkey, no join back; the
+    filter then keeps only flagged rows, so the output is anomaly-sized
+    not data-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    amt = scaled_long("o_totalprice", 0)
+    enriched = o.select(
+        "o_custkey",
+        "o_orderkey",
+        amt.alias("amt_usd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(amt).over(w).alias("s"),
+        F.sum(amt * amt).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("amt_usd") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        enriched.filter(F.col("n") >= _Z_MIN_N)
+        .filter(
+            dev * dev * (F.col("n") - 1)
+            > F.lit(_Z_THRESH * _Z_THRESH) * F.col("n") * var_num
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "amt_usd",
+            F.col("n").alias("n_orders"),
+            dev.alias("dev_n_scaled"),
+        )
+    )
+
+
+ZSCORE_ORACLE = f"""
+    WITH enriched AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS amt_usd,
+               COUNT(*) OVER w AS n,
+               SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) OVER w AS s,
+               SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                   * CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) OVER w AS ss
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_custkey, o_orderkey, amt_usd,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n * amt_usd - s AS BIGINT) AS dev_n_scaled
+    FROM enriched
+    WHERE n >= {_Z_MIN_N}
+      AND (n * amt_usd - s) * (n * amt_usd - s) * (n - 1)
+          > {_Z_THRESH * _Z_THRESH} * n * (n * ss - s * s)
+"""
+
+
 QUERIES = {
+    "win_zscore_outliers": win_zscore_outliers,
     "win_ewma_dyadic": win_ewma_dyadic,
     "win_streaks": win_streaks,
     "win_sessionize": win_sessionize,
@@ -342,6 +418,7 @@ _EWMA_TERMS_SQL = " + ".join(
 )
 
 ORACLES = {
+    "win_zscore_outliers": ZSCORE_ORACLE,
     "win_ewma_dyadic": f"""
         WITH base AS (
             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,

@@ -304,6 +304,106 @@ def test_pagerank_mass_conservation_and_structure(spark, sf_oracle):
     assert kinds == {"customer", "supplier"}
 
 
+def test_bfs_hops_bipartite_parity_and_triangle_inequality(spark, sf_oracle):
+    """Bounded BFS invariants: (a) every seed is at hop 0 and every
+    reported hop ≤ the bound; (b) the trade graph is bipartite
+    (customer↔supplier edges only), so customer nodes sit at EVEN hops
+    and supplier nodes at ODD hops — any parity violation means a
+    relaxation crossed a non-existent same-side edge; (c) one extra
+    relaxation round never increases any node's distance (monotone
+    min-fold)."""
+    from cdc_cloudrun_demo_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        BFS_SEED_NATION,
+        graph_bfs_hops,
+    )
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    rows = {r["node"]: r for r in graph_bfs_hops(spark, sf_oracle).collect()}
+    seeds = {
+        r["c_custkey"] * 2
+        for r in load_table(spark, sf_oracle, "customer")
+        .filter(F.col("c_nationkey") == BFS_SEED_NATION)
+        .collect()
+    }
+    assert seeds <= set(rows)
+    for s in seeds:
+        assert rows[s]["hops"] == 0
+    for r in rows.values():
+        assert 0 <= r["hops"] <= BFS_MAX_HOPS
+        parity = 0 if r["kind"] == "customer" else 1
+        assert r["hops"] % 2 == parity, r
+    more = {
+        r["node"]: r["hops"]
+        for r in graph_bfs_hops(spark, sf_oracle, max_hops=BFS_MAX_HOPS + 1).collect()
+    }
+    assert set(rows) <= set(more)
+    for node, row in rows.items():
+        assert more[node] <= row["hops"]
+
+
+def test_pareto_frontier_matches_quadratic_dominance(spark, sf_oracle):
+    """The windowed running-max skyline must equal the O(n²) dominance
+    definition computed directly: a (price, size) point is on the
+    frontier iff no same-brand point has (price ≤, size ≥) with one
+    strict. Certifies the sort-based identity the operator (and its
+    oracle) both use, against arithmetic neither uses."""
+    from collections import defaultdict
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.analytics import qx_pareto_frontier
+
+    got = {
+        (r["p_brand"], r["price_cents"], r["p_size"])
+        for r in qx_pareto_frontier(spark, sf_oracle).collect()
+    }
+    pts = defaultdict(set)
+    for r in load_table(spark, sf_oracle, "part").collect():
+        pts[r["p_brand"]].add(
+            (int(r["p_retailprice"] * 100 + 0.5), int(r["p_size"]))
+        )
+    want = set()
+    for brand, ps in pts.items():
+        for p, s in ps:
+            dominated = any(
+                (p2 <= p and s2 >= s) and (p2 < p or s2 > s) for p2, s2 in ps
+            )
+            if not dominated:
+                want.add((brand, p, s))
+    assert got == want
+
+
+def test_compaction_plan_matches_sequential_packing(spark, sf_oracle):
+    """The one-window-pass plan must equal the sequential cursor packing
+    computed imperatively: per month, walk files in (size desc, day)
+    order, assign bin = floor(rows_packed_so_far / target). Also checks
+    the plan is non-trivial at test scale (some month uses > 1 bin) so
+    the packing arithmetic is actually exercised."""
+    from collections import defaultdict
+
+    from cdc_cloudrun_demo_spark.operators.layout import (
+        _COMPACT_TARGET,
+        layout_compaction_plan,
+    )
+
+    rows = layout_compaction_plan(spark, sf_oracle).collect()
+    by_month = defaultdict(list)
+    for r in rows:
+        by_month[r["part_month"]].append(r)
+    assert by_month
+    saw_multi_bin = False
+    for month, files in by_month.items():
+        files.sort(key=lambda r: (-r["n_rows"], r["file_day"]))
+        packed = 0
+        for r in files:
+            assert r["target_file"] == packed // _COMPACT_TARGET, (month, r)
+            packed += r["n_rows"]
+        saw_multi_bin = saw_multi_bin or packed > _COMPACT_TARGET
+    assert saw_multi_bin
+
+
 def test_cms_overestimates_every_key_and_merges_exactly(spark, sf_oracle):
     """CMS contracts: (a) for EVERY key in the corpus (not just the
     probes) the sketch estimate is >= the exact count — collisions only

@@ -40,6 +40,8 @@ BNLJ_BOUNDED = {
     "text_tfidf_topterms": "1-row document-count aggregate",
     "qx_nested_agg": "1-row scalar aggregate subquery",
     "sample_weighted": "1-row total-weight aggregate (step size)",
+    "qx_basket_lift": "1-row distinct-order-count aggregate (lift normalizer)",
+    "text_bm25_search": "1-row (n_docs, total_len) corpus aggregate",
 }
 
 
