@@ -382,7 +382,95 @@ ZSCORE_ORACLE = f"""
 """
 
 
+_RISE_MIN_RUN = 3
+
+
+def win_match_rising(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching (MATCH_RECOGNIZE / CEP-lite): per
+    customer, the maximal runs of ≥ 3 consecutive orders with strictly
+    increasing total price — the "A B+ C" row-pattern class SQL:2016
+    added and Flink CEP executes, expressed with the two-window
+    identity: (1) lag() marks each row as continuing or breaking the
+    rise, (2) a running sum of breaks is the run id (gaps-and-islands),
+    (3) per-run aggregates filter to runs ≥ the minimum length.
+    Ordering ties are broken by o_orderkey so the sequence — and hence
+    every run — is a total order both engines reproduce; prices compare
+    as exact cents.
+
+    Plan: both windows partition by o_custkey — ONE shuffle total
+    (Catalyst folds same-partitioning windows into one exchange), and
+    the per-run aggregate reuses the same key. Nothing global, nothing
+    data-sized in the output."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    amt = scaled_long("o_totalprice", 2)
+    marked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        amt.alias("amt_cents"),
+        F.when(F.lag(amt).over(w).isNull(), 1)
+        .when(F.lag(amt).over(w) >= amt, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("brk").over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy("o_custkey", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("o_orderdate").alias("start_date"),
+            F.max("o_orderdate").alias("end_date"),
+            F.min("amt_cents").alias("first_cents"),
+            F.max("amt_cents").alias("last_cents"),
+        )
+        .filter(F.col("run_len") >= _RISE_MIN_RUN)
+        .select(
+            "o_custkey",
+            "run_len",
+            "start_date",
+            "end_date",
+            "first_cents",
+            "last_cents",
+        )
+    )
+
+
+MATCH_RISING_ORACLE = f"""
+    WITH marked AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS amt_cents,
+               CASE WHEN LAG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                         OVER w IS NULL THEN 1
+                    WHEN LAG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                         OVER w >= CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                         THEN 1
+                    ELSE 0 END AS brk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    )
+    SELECT o_custkey, COUNT(*) AS run_len,
+           MIN(o_orderdate) AS start_date, MAX(o_orderdate) AS end_date,
+           MIN(amt_cents) AS first_cents, MAX(amt_cents) AS last_cents
+    FROM runs GROUP BY o_custkey, run_id
+    HAVING COUNT(*) >= {_RISE_MIN_RUN}
+"""
+
+
 QUERIES = {
+    "win_match_rising": win_match_rising,
     "win_zscore_outliers": win_zscore_outliers,
     "win_ewma_dyadic": win_ewma_dyadic,
     "win_streaks": win_streaks,
@@ -418,6 +506,7 @@ _EWMA_TERMS_SQL = " + ".join(
 )
 
 ORACLES = {
+    "win_match_rising": MATCH_RISING_ORACLE,
     "win_zscore_outliers": ZSCORE_ORACLE,
     "win_ewma_dyadic": f"""
         WITH base AS (

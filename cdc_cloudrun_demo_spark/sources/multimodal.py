@@ -199,16 +199,17 @@ _AUDIO_SCHEMA = (
 )
 
 
-def _audio_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _audio_energy_batch(
+    batches: Iterator[pd.DataFrame], win: int = 256
+) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in audio feature extractor: treat the payload
-    as unsigned-8-bit PCM (center 128), window into 256-sample frames and
-    emit per-window energy (Σ(s−128)², exact int64) and peak |s−128| —
+    as unsigned-8-bit PCM (center 128), window into ``win``-sample frames
+    and emit per-window energy (Σ(s−128)², exact int64) and peak |s−128| —
     the bytes→samples→windowed-DSP shape a real audio stage has, with
     numpy vectorized over the whole Arrow batch (no per-sample Python).
     A real codec replaces only np.frombuffer (STUB per module docstring)."""
     import numpy as np
 
-    win = 256
     for pdf in batches:
         out: dict[str, list] = {
             "doc_id": [], "win_idx": [], "n_samples": [], "sum_sq": [], "peak": []
@@ -238,6 +239,86 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_for_compute(spark, sf_dir, "documents")
     payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
     return payloads.mapInPandas(_audio_energy_batch, schema=_AUDIO_SCHEMA)
+
+
+_VAD_WIN = 64  # samples per VAD frame (finer than the energy report)
+_VAD_MEAN_ENERGY = 2000  # active ⟺ sum_sq ≥ threshold · n_samples
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation: maximal runs of consecutive
+    active frames (mean energy ≥ threshold) per audio blob — the
+    silence-trimming / utterance-splitting stage of a speech corpus
+    pipeline. The frame energies come from the same Arrow batch
+    extractor as `multimodal_audio_energy` at a finer 64-sample frame;
+    activity is the exact-integer predicate sum_sq ≥ T·n (no float
+    mean), and run detection is the gaps-and-islands identity
+    (win_idx − row_number() is constant within a run), so segments are
+    a pure function of the bytes and the whole output hash-matches the
+    DuckDB oracle recomputing frames from the characters.
+
+    Plan at 100 TB: bytes stream through one mapInPandas pass (never
+    shuffled); only the frame FEATURE rows (blob_bytes/64 per blob)
+    shuffle once on doc_id for the per-blob run window, and the output
+    is segment-sized. A real decoder swaps np.frombuffer only."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    payloads = _decodable(with_binary_payload(d).select("doc_id", "payload"))
+    frames = payloads.mapInPandas(
+        lambda it: _audio_energy_batch(it, win=_VAD_WIN), schema=_AUDIO_SCHEMA
+    )
+    active = frames.filter(
+        F.col("sum_sq") >= F.lit(_VAD_MEAN_ENERGY) * F.col("n_samples")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    return (
+        active.withColumn(
+            "island", F.col("win_idx") - F.row_number().over(w)
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("win_idx").alias("start_win"),
+            F.max("win_idx").alias("end_win"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("sum_sq").alias("energy"),
+        )
+        .select("doc_id", "start_win", "end_win", "n_windows", "energy")
+    )
+
+
+AUDIO_VAD_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, LENGTH(text) AS n FROM documents
+    ), w AS (
+        SELECT doc_id, text,
+               UNNEST(generate_series(0, (n - 1) // {_VAD_WIN})) AS win_idx
+        FROM d WHERE n > 0
+    ), c AS (
+        SELECT doc_id, win_idx,
+               list_transform(
+                   regexp_extract_all(
+                       substring(text, win_idx * {_VAD_WIN} + 1, {_VAD_WIN}),
+                       '(?s).'),
+                   ch -> unicode(ch) - 128) AS codes
+        FROM w
+    ), e AS (
+        SELECT doc_id, win_idx, len(codes) AS n_samples,
+               list_sum(list_transform(codes, x -> x * x)) AS sum_sq
+        FROM c
+    ), active AS (
+        SELECT doc_id, win_idx, sum_sq,
+               win_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY win_idx) AS island
+        FROM e WHERE sum_sq >= {_VAD_MEAN_ENERGY} * n_samples
+    )
+    SELECT doc_id,
+           CAST(MIN(win_idx) AS BIGINT) AS start_win,
+           CAST(MAX(win_idx) AS BIGINT) AS end_win,
+           COUNT(*) AS n_windows,
+           CAST(SUM(sum_sq) AS BIGINT) AS energy
+    FROM active GROUP BY doc_id, island
+"""
 
 
 _IMG_W, _IMG_H = 8, 8
@@ -453,9 +534,11 @@ QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_resize": multimodal_resize,
     "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_audio_vad": multimodal_audio_vad,
 }
 
 ORACLES = {
+    "multimodal_audio_vad": AUDIO_VAD_ORACLE,
     # pixel byte i of doc d is (d*31 + i) mod 256 (see _encode_ppm_batch);
     # channel c's samples sit at i = 3p + c for p in [0, 64)
     "multimodal_image_decode": """
