@@ -473,3 +473,41 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_smoke):
     assert n_pass <= n_true + max(10, int(0.05 * (n_all - n_true))), (
         n_pass, n_true, n_all,
     )
+
+
+def test_match_rising_shares_one_exchange(spark, sf_smoke):
+    """The CEP run detector's two windows (lag mark, running-sum island)
+    and the per-run aggregate all partition on o_custkey — Catalyst must
+    fold them onto ONE exchange, or every pattern query pays 3 shuffles
+    of the fact table at scale."""
+    from cdc_cloudrun_demo_spark.operators.windows import win_match_rising
+
+    df = win_match_rising(spark, sf_smoke)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark, sf_smoke):
+    """BM25's top-k must plan as TakeOrderedAndProject (per-partition
+    heap + bounded merge), never a full global sort of the scored docs."""
+    from cdc_cloudrun_demo_spark.functions.text import text_bm25_search
+
+    df = text_bm25_search(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_spell_variants_blocking_is_equi_join(spark, sf_smoke):
+    """The fuzzy join's lossless length-band blocking must plan as a
+    hash equi-join on the exploded length key — the levenshtein
+    predicate is a post-join filter, never part of a nested-loop join
+    condition."""
+    from cdc_cloudrun_demo_spark.functions.text import text_spell_variants
+
+    df = text_spell_variants(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the join itself must be hash-based on the length key
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
