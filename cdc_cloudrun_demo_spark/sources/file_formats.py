@@ -166,7 +166,151 @@ def source_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_sqldump_source():
+    """Custom Python DataSource (Spark 4 DataSource API) that reads
+    pg_dump-style ``INSERT INTO ... VALUES (...);`` statement files —
+    the format the reference actually seeds its database with
+    (quarkus_cloud_run/src/main/resources/import.sql:6). Defined inside
+    a factory so the module imports even if the API is absent.
+
+    Planning: `partitions()` returns ONE InputPartition PER FILE, so a
+    directory of N dump files scans with N-way parallelism and each
+    task streams its file line-by-line — never loads the dump whole.
+    Parsing handles the SQL quoting rules the formats family exists to
+    prove lossless: single-quoted strings with '' escapes, NULL
+    literals, and timestamp literals."""
+    import re
+    from datetime import datetime
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _VALS = re.compile(r"VALUES\s*\((.*)\);\s*$", re.IGNORECASE)
+
+    def _split_tuple(s: str) -> list[str]:
+        """Split a VALUES tuple on commas not inside single quotes
+        ('' is the in-string escape, so quote state just toggles)."""
+        out, cur, in_q = [], [], False
+        for ch in s:
+            if ch == "'":
+                in_q = not in_q
+                cur.append(ch)
+            elif ch == "," and not in_q:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur).strip())
+        return out
+
+    def _lit(tok: str):
+        if tok.upper() == "NULL":
+            return None
+        if tok.startswith("'") and tok.endswith("'"):
+            return tok[1:-1].replace("''", "'")
+        return tok
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class SqlDumpReader(DataSourceReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def partitions(self):
+            import glob as _glob
+
+            return [
+                _FilePartition(p)
+                for p in sorted(_glob.glob(os.path.join(self.dir, "*.sql")))
+            ]
+
+        def read(self, partition):
+            with open(partition.path, encoding="utf-8") as fh:
+                for line in fh:
+                    m = _VALS.search(line)
+                    if not m:
+                        continue
+                    k, st, tp, dt, note = (_lit(t) for t in _split_tuple(m.group(1)))
+                    yield (
+                        int(k),
+                        st,
+                        float(tp),
+                        datetime.strptime(dt, "%Y-%m-%d %H:%M:%S"),
+                        note,
+                    )
+
+    class SqlDumpDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sqldump"
+
+        def schema(self):
+            return (
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+                " o_orderdate timestamp, note string"
+            )
+
+        def reader(self, schema):
+            return SqlDumpReader(self.options)
+
+    return SqlDumpDataSource
+
+
+def source_sqldump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → pg_dump-style INSERT statements → back through a CUSTOM
+    Python DataSource — the engine-extension path for a format Spark has
+    no built-in reader for, planned with one partition per dump file.
+    The synthesized ``note`` column embeds a single quote per row
+    (written as the SQL '' escape), so the hash-match against the
+    pristine-parquet oracle proves the dump writer and the custom
+    parser agree on the quoting rules — the exact seed-file semantics
+    of the reference's import.sql. Scale: the dump is written from the
+    distributed rows (one statement per row, text sink) and read back
+    file-parallel; nothing passes through the driver."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    note = F.concat(
+        F.lit("it's #"), F.col("o_orderkey"), F.lit(" "), F.col("o_orderstatus")
+    )
+    stmt = F.concat(
+        F.lit("INSERT INTO orders (o_orderkey, o_orderstatus, o_totalprice,"
+              " o_orderdate, note) VALUES ("),
+        F.col("o_orderkey"),
+        F.lit(", '"),
+        F.col("o_orderstatus"),
+        F.lit("', "),
+        # double → string via Spark's shortest-round-trip repr, so the
+        # Python float() in the reader reconstructs the EXACT bits (a
+        # fixed-decimals format would quietly round the value instead)
+        F.col("o_totalprice").cast("string"),
+        F.lit(", '"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("', '"),
+        F.regexp_replace(note, "'", "''"),
+        F.lit("');"),
+    )
+    path = os.path.join(scratch_dir("sqldump_"), "dump")
+    o.select(stmt.alias("value")).repartition(4).write.mode("overwrite").text(path)
+    for f in os.listdir(path):
+        if f.startswith("part-") and not f.endswith(".sql"):
+            os.rename(os.path.join(path, f), os.path.join(path, f + ".sql"))
+    spark.dataSource.register(_make_sqldump_source())
+    back = spark.read.format("sqldump").option("path", path).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.sum(F.length("note")).alias("note_len_sum"),
+        F.sum(F.when(F.col("note").contains("'"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quoted"),
+    )
+
+
 QUERIES = {
+    "source_sqldump_roundtrip": source_sqldump_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
@@ -176,6 +320,18 @@ QUERIES = {
 ORACLES = {
     # The oracles read the PRISTINE parquet: equality proves the text
     # hop (quote/escape/precision) is identity on every row.
+    "source_sqldump_roundtrip": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS sum_total,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order,
+               CAST(SUM(LENGTH('it''s #' || o_orderkey || ' ' || o_orderstatus))
+                    AS BIGINT) AS note_len_sum,
+               COUNT(*) AS n_quoted
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "source_csv_roundtrip": f"""
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,

@@ -186,3 +186,22 @@ def test_merge_schema_refuses_type_widening(spark, sf_smoke):
             .collect()
         )
     assert "merge" in str(exc.value).lower() or "incompatible" in str(exc.value).lower(), str(exc.value)[:300]
+
+
+def test_sqldump_source_roundtrips_every_row_and_quote(spark, sf_smoke):
+    """The custom Python DataSource's parse must be lossless: the
+    read-back row count equals the source table's, and every synthesized
+    note carries a real (un-escaped) quote — the '' escape rule worked
+    in both directions. (File-parallel planning is visible in the scan:
+    partitions() returns one InputPartition per dump file.)"""
+    from cdc_cloudrun_demo_spark.sources.file_formats import (
+        source_sqldump_roundtrip,
+    )
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    out = source_sqldump_roundtrip(spark, sf_smoke)
+    rows = {r["o_orderstatus"]: r for r in out.collect()}
+    n_orders = load_table(spark, sf_smoke, "orders").count()
+    assert sum(r["n_orders"] for r in rows.values()) == n_orders
+    for r in rows.values():
+        assert r["n_quoted"] == r["n_orders"]  # every note has a real quote
