@@ -172,6 +172,68 @@ def stream_gap_fill_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_zscore_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`win_zscore_outliers` with its statistics STREAM-MAINTAINED: the
+    per-customer (n, Σx, Σx²) moment vector is the textbook
+    incrementally-maintainable aggregate (associative integer sums — a
+    micro-batch only ADDS to it, the exactly-once foreachBatch snapshot
+    holds it), so the anomaly gate's reference model updates live as
+    orders stream in. The read-side view then flags each order against
+    the CONVERGED moments with the same float-free cross-multiplied
+    predicate as the batch twin — the honest split stream_gap_fill_live
+    established: keyed moments are stream state; the per-row flag is a
+    re-derivable view, never stored. Orders replay as a 4-file parquet
+    stream in arbitrary slicing; convergence to the batch moments is
+    exact because integer sums are order-insensitive, and the output
+    hash-matches the identical oracle as the batch operator."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..sources import file_stream
+    from ..streaming.event_windows import run_to_parquet_snapshot
+    from ._util import scaled_long
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = scratch_dir("zscore_")
+    log = os.path.join(root, "log")
+    o.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in o.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    amt = scaled_long("o_totalprice", 0)
+    moments = stream.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(amt).alias("s"),
+        F.sum(amt * amt).alias("ss"),
+    )
+    out = os.path.join(root, "out")
+    q = run_to_parquet_snapshot(moments, out, os.path.join(root, "ckpt"))
+    finished = q.awaitTermination(300)
+    assert finished, "streaming moments query did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    snap = spark.read.parquet(os.path.join(out, "current"))
+    enriched = (
+        spark.read.parquet(log)
+        .select("o_custkey", "o_orderkey", amt.alias("amt_usd"))
+        .join(snap, "o_custkey")
+    )
+    dev = F.col("n") * F.col("amt_usd") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        enriched.filter(F.col("n") >= 3)
+        .filter(dev * dev * (F.col("n") - 1) > F.lit(4) * F.col("n") * var_num)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "amt_usd",
+            F.col("n").alias("n_orders"),
+            dev.alias("dev_n_scaled"),
+        )
+    )
+
+
 def stream_tumbling_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_tumbling_daily as a REAL Structured Streaming run,
     driver-checked against the same batch oracle: events replay as a
@@ -507,12 +569,35 @@ QUERIES = {
     "stream_sliding_2d_1d_live": stream_sliding_2d_1d_live,
     "stream_gap_fill": stream_gap_fill,
     "stream_gap_fill_live": stream_gap_fill_live,
+    "stream_zscore_gate_live": stream_zscore_gate_live,
     "stream_sliding_2d_1d": stream_sliding_2d_1d,
     "stream_session_windows": stream_session_windows,
     "stream_hourly_rate": stream_hourly_rate,
 }
 
 ORACLES = {
+    # the stream-maintained moments must converge to the batch moments
+    # exactly (order-insensitive integer sums), so the live gate equals
+    # the batch z-score oracle verbatim
+    "stream_zscore_gate_live": """
+        WITH enriched AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS amt_usd,
+                   COUNT(*) OVER w AS n,
+                   SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) OVER w AS s,
+                   SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                       * CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) OVER w AS ss
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey)
+        )
+        SELECT o_custkey, o_orderkey, amt_usd,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(n * amt_usd - s AS BIGINT) AS dev_n_scaled
+        FROM enriched
+        WHERE n >= 3
+          AND (n * amt_usd - s) * (n * amt_usd - s) * (n - 1)
+              > 4 * n * (n * ss - s * s)
+    """,
     # The streaming dedup must converge to the plain batch aggregate over
     # the ORIGINAL events — the re-delivered file contributes nothing.
     "stream_dedup_live": f"""
