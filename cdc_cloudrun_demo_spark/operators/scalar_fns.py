@@ -303,7 +303,137 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (the Spark 4 UDTF API) applied
+    laterally per row: each document explodes into (term, position,
+    char_offset) rows computed by the UDTF's Python `eval`. The UDTF is
+    Arrow-optimized (`useArrow=True` — plans as ArrowEvalPythonUDTF,
+    batch transfer, never the row-pickling BatchEvalPython path the
+    scale lint forbids). The logic is deliberately SQL-reproducible
+    (split on single spaces, cumulative offsets), so the whole lateral
+    expansion hash-matches a DuckDB oracle built from unnest WITH
+    ORDINALITY + a window — proving the Python extension point computes
+    exactly what the declarative twin does. At 100 TB this is the
+    mapInPandas cost model: one Arrow pass, expansion inside the batch,
+    output shuffles only if the consumer asks."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, pos bigint, char_off bigint", useArrow=True)
+    class SplitTerms:
+        def eval(self, doc_id, text: str):
+            off = 0
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i, off)
+                off += len(w) + 1
+
+    spark.udtf.register("split_terms", SplitTerms)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, t.term, t.pos, t.char_off
+        FROM udtf_docs d, LATERAL split_terms(d.doc_id, d.text) t
+        WHERE t.pos < 8
+        """
+    )
+    return out
+
+
+FN_UDTF_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, w.term, CAST(w.pos - 1 AS BIGINT) AS pos
+        FROM documents,
+             LATERAL (SELECT UNNEST(string_split(text, ' ')) AS term,
+                             generate_subscripts(string_split(text, ' '), 1) AS pos) w
+    ), offs AS (
+        SELECT doc_id, term, pos,
+               CAST(COALESCE(SUM(LENGTH(term) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS char_off
+        FROM words
+    )
+    SELECT doc_id, term, pos, char_off FROM offs WHERE pos < 8
+"""
+
+
+def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, SQL:2023-era pipeline composition, new in
+    Spark 4): the pricing-summary shape written as a linear FROM |>
+    WHERE |> AGGREGATE chain. Catalyst compiles the pipe form to the
+    IDENTICAL logical plan as the nested SELECT, so this entry proves
+    the surface parses AND optimizes the same — the oracle is the
+    classic formulation. Same scaled-long sum discipline; same one
+    partial-agg exchange at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_quantity <= 45
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS price_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, price_cents
+        """
+    )
+
+
+FN_PIPE_ORACLE = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_quantity <= 45
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def fn_collation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): grouping and equality under
+    UTF8_LCASE — the engine-native path for case-insensitive semantics
+    that otherwise force a lower() rewrite on every predicate (and
+    break index/stats reuse in systems that have them). The corpus is
+    made case-diverse deterministically (odd part keys upper-case their
+    type), then grouped BOTH ways: binary collation sees 2x the groups,
+    UTF8_LCASE folds them back — the oracle reproduces the fold with
+    explicit lower(). Counts are exact integers."""
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 1, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("t")
+    )
+    mixed.createOrReplaceTempView("coll_parts")
+    return spark.sql(
+        """
+        SELECT COUNT(DISTINCT t) AS n_binary,
+               COUNT(DISTINCT t COLLATE UTF8_LCASE) AS n_lcase,
+               CAST(SUM(CASE WHEN t COLLATE UTF8_LCASE = 'economy'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_economy_ci
+        FROM coll_parts
+        """
+    )
+
+
+FN_COLLATION_ORACLE = """
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 1 THEN UPPER(p_type)
+                    ELSE LOWER(p_type) END AS t
+        FROM part
+    )
+    SELECT COUNT(DISTINCT t) AS n_binary,
+           COUNT(DISTINCT LOWER(t)) AS n_lcase,
+           CAST(SUM(CASE WHEN LOWER(t) = 'economy' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_economy_ci
+    FROM mixed
+"""
+
+
 QUERIES = {
+    "fn_python_udtf": fn_python_udtf,
+    "fn_pipe_syntax": fn_pipe_syntax,
+    "fn_collation_ops": fn_collation_ops,
     "fn_generator_ops": fn_generator_ops,
     "fn_higher_order": fn_higher_order,
     "fn_variant_ops": fn_variant_ops,
@@ -321,6 +451,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_python_udtf": FN_UDTF_ORACLE,
+    "fn_pipe_syntax": FN_PIPE_ORACLE,
+    "fn_collation_ops": FN_COLLATION_ORACLE,
     "fn_generator_ops": """
         SELECT r_regionkey,
                CAST(step - 1 AS BIGINT) AS pos,
