@@ -27,15 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def driver_verified_rounds() -> dict[str, int]:
-    """name → last round whose driver correctness row is green, for
-    names whose LATEST row is green.
+def driver_green_detail() -> dict[str, tuple[int, bool]]:
+    """name → (last green round, was it a HASH match) for names whose
+    LATEST driver row is green.
 
     Green = hash-match pass, or the documented rows-only check
     (``err == 'no_oracle'`` with a row count). Red / errored rows make a
-    name unverified again so the next sweep re-proves it.
+    name unverified again so the next sweep re-proves it. The hash flag
+    lets ``registry()`` prioritize names whose last green row was the
+    weaker rows-only check but which have SINCE gained a DuckDB oracle —
+    the stronger check has never faced the driver, so they sort ahead of
+    long-hash-green names in the spare window (round-6 verdict item 3).
     """
-    status: dict[str, tuple[int, bool]] = {}
+    status: dict[str, tuple[int, bool, bool]] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         try:
             rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
@@ -47,13 +51,19 @@ def driver_verified_rounds() -> dict[str, int]:
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue
-            green = bool(r.get("hash_match")) or (
+            hash_green = bool(r.get("hash_match"))
+            green = hash_green or (
                 r.get("err") == "no_oracle" and r.get("spark_rows") is not None
             )
             prev = status.get(name)
             if prev is None or rnd >= prev[0]:
-                status[name] = (rnd, green)
-    return {n: rnd for n, (rnd, g) in status.items() if g}
+                status[name] = (rnd, green, hash_green)
+    return {n: (rnd, h) for n, (rnd, g, h) in status.items() if g}
+
+
+def driver_verified_rounds() -> dict[str, int]:
+    """name → last green round (see ``driver_green_detail``)."""
+    return {n: rnd for n, (rnd, _h) in driver_green_detail().items()}
 
 
 def driver_verified_names() -> frozenset[str]:
@@ -141,7 +151,18 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     # in a long-proven entry surfaces within a few rounds instead of
     # never (round-3 advice). Derived from CORRECTNESS_r*.json so red
     # rows rotate back in automatically.
-    verified = driver_verified_rounds()
-    ordered = sorted(queries, key=lambda n: verified.get(n, -1))
+    detail = driver_green_detail()
+
+    def sort_key(n: str) -> tuple[int, int]:
+        if n not in detail:
+            return (0, -1)  # never driver-green: head of the window
+        rnd, hash_green = detail[n]
+        if not hash_green and n in oracles:
+            # Last green row was rows-only but an oracle now exists —
+            # the stronger hash check has never run; sweep these next.
+            return (1, rnd)
+        return (2, rnd)
+
+    ordered = sorted(queries, key=sort_key)
     queries = {n: queries[n] for n in ordered}
     return queries, oracles

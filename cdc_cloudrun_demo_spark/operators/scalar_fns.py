@@ -321,6 +321,10 @@ def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="term string, pos bigint, char_off bigint", useArrow=True)
     class SplitTerms:
         def eval(self, doc_id, text: str):
+            if text is None:
+                # NULL text explodes to zero rows — matches the DuckDB
+                # oracle (string_split(NULL) unnests to nothing).
+                return
             off = 0
             for i, w in enumerate(text.split(" ")):
                 yield (w, i, off)
