@@ -82,6 +82,13 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     first_query_s = round(time.perf_counter() - t0, 4)
 
+    # For FULL_TIMED queries the per-run construction/action split is kept
+    # (round-6 verdict item 6) so round-over-round drift decomposes into
+    # "state build got slower" vs "the action got slower" without reading
+    # docs/PLANS.md. The reported split belongs to the best (min-total)
+    # run, so construction_s + action_s == the query's reported total.
+    splits: dict[str, dict[str, float]] = {}
+
     def run(name: str) -> float:
         full = name in FULL_TIMED
         if full:
@@ -94,11 +101,21 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         if not full:
             t0 = time.perf_counter()
+        t_act = time.perf_counter()
         df.collect() if HEADLINE[name] == "collect" else df.count()
-        return round(time.perf_counter() - t0, 4)
+        t1 = time.perf_counter()
+        total = round(t1 - t0, 4)
+        if full and total < splits.get(name, {}).get("total", float("inf")):
+            splits[name] = {
+                "total": total,
+                "construction_s": round(t_act - t0, 4),
+                "action_s": round(t1 - t_act, 4),
+            }
+        return total
 
     for name in HEADLINE:  # cold pass, untimed (warm protocol, see docstring)
         run(name)
+    splits.clear()  # drop cold-pass splits; keep best-of-timed only
     # best-of-3 timed passes: single-pass numbers swing ±30% with JVM/GC,
     # page-cache state and host noise; the min is the reproducible
     # engine cost (the whole suite is seconds, so extra passes are cheap)
@@ -142,6 +159,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "startup": {"session_s": session_s, "first_query_s": first_query_s},
+                "full_timed_split": {
+                    n: {k: v for k, v in s.items() if k != "total"}
+                    for n, s in splits.items()
+                },
                 "concurrency": {
                     "mix_serial_s": serial_s,
                     "mix_concurrent_s": concurrent_s,
