@@ -22,6 +22,8 @@ conservation is property-tested.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,34 @@ from ..catalog import load_table
 TOTAL_MASS = 1_000_000_000_000  # 10^12 fixed-point rank units
 N_ITER = 10
 DAMP_NUM, DAMP_DEN = 85, 100
+
+# Gate for the per-iteration rank-vector join strategy. Below this node
+# count the rank/contribution vector is broadcast (zero shuffles of the
+# pinned edge list, one dst-keyed agg per iteration); above it the rank
+# vector would blow the broadcast budget (~24 bytes/node ⇒ ~1.2 GB at
+# 50M nodes), so edges are pinned HASH-PARTITIONED ON src and the rank
+# vector — already hash-partitioned on node by the previous iteration's
+# aggregate — joins with NO new exchange at all (shuffle-hash join over
+# two co-partitioned children). The arithmetic is identical either way,
+# so both paths hash-match the same unrolled-CTE oracle. The gate reads
+# the candidate node-id tables' parquet COUNTs (metadata-only scans),
+# not the edge join. Env override SPARK_GRAFT_RANK_BROADCAST_MAX for the
+# plan test to force the co-partitioned path on small data.
+RANK_BROADCAST_MAX_NODES = 50_000_000
+
+
+def _rank_join_mode(spark: SparkSession, sf_dir: str, mode: str) -> str:
+    """Resolve 'auto' to 'broadcast' or 'copartition' by node count."""
+    if mode != "auto":
+        return mode
+    gate = int(
+        os.environ.get("SPARK_GRAFT_RANK_BROADCAST_MAX", RANK_BROADCAST_MAX_NODES)
+    )
+    n_nodes = (
+        load_table(spark, sf_dir, "customer").count()
+        + load_table(spark, sf_dir, "supplier").count()
+    )
+    return "broadcast" if n_nodes <= gate else "copartition"
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +91,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.src", "e.dst")
 
 
-def graph_pagerank(spark: SparkSession, sf_dir: str, n_iter: int = N_ITER) -> DataFrame:
+def graph_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = N_ITER,
+    rank_join: str = "auto",
+) -> DataFrame:
     """Fixed-point PageRank (damping 0.85, ``n_iter`` iterations) over
     the trade graph; returns every node's rank in integer units plus its
     kind. See module docstring for why this is hash-match oracleable.
@@ -85,10 +120,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, n_iter: int = N_ITER) -> Da
     this query from construction start (FULL_TIMED) so that cost cannot
     escape the measurement. The
     contribution-vector broadcast is bounded: the node set is customer ∪
-    supplier — DIMENSION cardinality, not fact cardinality (at a scale
-    where it outgrows the broadcast threshold, swap the broadcast for
-    co-hash-partitioning ranks and edges on src; the arithmetic is
-    unchanged)."""
+    supplier — DIMENSION cardinality, not fact cardinality. Above
+    ``RANK_BROADCAST_MAX_NODES`` (``rank_join='auto'`` gate, or force
+    with ``'copartition'``) the broadcast is swapped for co-hash
+    partitioning: edges are pinned partitioned on src, the rank vector
+    exits each iteration's aggregate already partitioned on node, and a
+    shuffle-hash join joins the two with ZERO additional exchanges —
+    one dst-keyed shuffle per iteration total, nothing broadcast, which
+    is the shape that survives a billion-node graph. Identical integer
+    arithmetic on both paths ⇒ one oracle."""
+    mode = _rank_join_mode(spark, sf_dir, rank_join)
     raw = _trade_edges(spark, sf_dir)
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     consts = deg.agg(
@@ -99,12 +140,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, n_iter: int = N_ITER) -> Da
         ).alias("base"),
     )
     dst_deg = deg.select(F.col("src").alias("dst"), F.col("outdeg").alias("dst_outdeg"))
-    edges = (
-        raw.join(dst_deg, "dst")
-        .crossJoin(F.broadcast(consts))
-        .select("src", "dst", "dst_outdeg", "init", "base")
-        .localCheckpoint(eager=False)
+    edges = raw.join(dst_deg, "dst").crossJoin(F.broadcast(consts)).select(
+        "src", "dst", "dst_outdeg", "init", "base"
     )
+    if mode == "copartition":
+        # Pin the edge list hash-partitioned on the per-iteration join
+        # key; localCheckpoint preserves the partitioning, so every
+        # iteration's rank join reuses it exchange-free.
+        edges = edges.repartition(F.col("src"))
+    edges = edges.localCheckpoint(eager=False)
     # rank vector: (node, outdeg, base, rank); seeded from the annotated
     # edges so an empty corpus yields an empty, correctly-typed result
     ranks = edges.groupBy(F.col("dst").alias("node")).agg(
@@ -114,8 +158,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, n_iter: int = N_ITER) -> Da
     )
     for i in range(n_iter):
         contribs = ranks.select("node", F.expr("rank div outdeg").alias("c"))
+        if mode == "copartition":
+            # contribs exits the previous groupBy hash-partitioned on
+            # node; the shuffle_hash hint keeps AQE from demoting the
+            # join to broadcast (defeating the gate) or sort-merge
+            # (adding per-iteration sorts).
+            contribs = contribs.hint("shuffle_hash")
+        else:
+            contribs = F.broadcast(contribs)
         ranks = (
-            edges.join(F.broadcast(contribs), edges.src == contribs.node)
+            edges.join(contribs, edges.src == contribs.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.min("dst_outdeg").alias("outdeg"),
@@ -445,7 +497,10 @@ BFS_MAX_HOPS = 4
 
 
 def graph_bfs_hops(
-    spark: SparkSession, sf_dir: str, max_hops: int = BFS_MAX_HOPS
+    spark: SparkSession,
+    sf_dir: str,
+    max_hops: int = BFS_MAX_HOPS,
+    rank_join: str = "auto",
 ) -> DataFrame:
     """Bounded-hop BFS: minimum hop distance from a seed set (customers
     of one nation) to every node of the trade graph reachable within
@@ -470,26 +525,45 @@ def graph_bfs_hops(
 
     Reference anchor: the reference's recursive lookups are single-row
     JPA fetches (MessageResource.java:19); this is the set-at-a-time
-    generalization a relational engine needs for graph reachability."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    generalization a relational engine needs for graph reachability.
+
+    ``rank_join``: same gate as ``graph_pagerank`` — above
+    ``RANK_BROADCAST_MAX_NODES`` the edge list is pinned partitioned on
+    src and the distance vector (already partitioned on node by the
+    min-fold aggregate) relaxes via an exchange-free shuffle-hash join
+    instead of letting AQE broadcast the growing distance vector."""
+    mode = _rank_join_mode(spark, sf_dir, rank_join)
+    edges = _trade_edges(spark, sf_dir)
+    if mode == "copartition":
+        edges = edges.repartition(F.col("src"))
+    edges = edges.localCheckpoint(eager=False)
     cust = load_table(spark, sf_dir, "customer")
     seeds = (
         cust.filter(F.col("c_nationkey") == BFS_SEED_NATION)
         .select((F.col("c_custkey") * 2).alias("node"))
         .withColumn("hops", F.lit(0).cast("long"))
     )
+    if mode == "copartition":
+        # Seed the fold already partitioned on node so iteration 1's
+        # relaxation join is exchange-free like the rest.
+        seeds = seeds.repartition(F.col("node"))
     dist = seeds
-    for _ in range(max_hops):
+    for i in range(max_hops):
+        probe = dist.hint("shuffle_hash") if mode == "copartition" else dist
         relaxed = (
-            dist.join(edges, dist.node == edges.src)
+            probe.join(edges, probe.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
         )
         dist = (
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=False)
         )
+        # no checkpoint after the final hop: the consumer's plan keeps
+        # the last relaxation join visible (plan tests pin its shape)
+        # and skips one needless materialization
+        if i + 1 < max_hops:
+            dist = dist.localCheckpoint(eager=False)
     return dist.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -533,8 +607,25 @@ def _bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
     return head + "".join(steps) + tail
 
 
+def graph_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale rank-join path (see ``graph_pagerank``): edges
+    pinned hash-partitioned on src, rank vector joined shuffle-hash with
+    zero extra exchanges, nothing broadcast. Registered separately so
+    the driver hash-proves the co-partitioned plan computes the exact
+    same fixed-point as the broadcast plan (same oracle)."""
+    return graph_pagerank(spark, sf_dir, rank_join="copartition")
+
+
+def graph_bfs_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-scale BFS relaxation (see ``graph_bfs_hops``): co-partitioned
+    distance-vector join, no broadcast; same oracle as the gated entry."""
+    return graph_bfs_hops(spark, sf_dir, rank_join="copartition")
+
+
 QUERIES = {
     "graph_bfs_hops": graph_bfs_hops,
+    "graph_bfs_copart": graph_bfs_copart,
+    "graph_pagerank_copart": graph_pagerank_copart,
     "graph_components": graph_components,
     "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
@@ -544,6 +635,8 @@ QUERIES = {
 
 ORACLES = {
     "graph_bfs_hops": _bfs_oracle(),
+    "graph_bfs_copart": _bfs_oracle(),
+    "graph_pagerank_copart": _pagerank_oracle(),
     "graph_components": """
         WITH RECURSIVE pairs AS (
             SELECT x.l_partkey AS a, y.l_partkey AS b

@@ -511,3 +511,46 @@ def test_spell_variants_blocking_is_equi_join(spark, sf_smoke):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_pagerank_copart_never_broadcasts_rank_vector(spark, sf_smoke):
+    """Above the node-count gate the per-iteration rank join must be a
+    shuffle-hash join over co-partitioned children — NO BroadcastHashJoin
+    anywhere in the iterative plan (the broadcast of a billion-node rank
+    vector is exactly what the gate exists to prevent), and no
+    per-iteration sorts (SortMergeJoin) either. The one allowed
+    broadcast-shaped node is the single-row consts crossJoin."""
+    from cdc_cloudrun_demo_spark.operators.graph import graph_pagerank
+
+    df = graph_pagerank(spark, sf_smoke, n_iter=3, rank_join="copartition")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_pagerank_auto_gate_picks_copartition_above_threshold(
+    spark, sf_smoke, monkeypatch
+):
+    """rank_join='auto' must flip to the co-partitioned plan when the
+    node count exceeds the (env-overridable) broadcast gate."""
+    from cdc_cloudrun_demo_spark.operators.graph import graph_pagerank
+
+    monkeypatch.setenv("SPARK_GRAFT_RANK_BROADCAST_MAX", "1")
+    df = graph_pagerank(spark, sf_smoke, n_iter=2, rank_join="auto")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    monkeypatch.setenv("SPARK_GRAFT_RANK_BROADCAST_MAX", "999999999")
+    df = graph_pagerank(spark, sf_smoke, n_iter=2, rank_join="auto")
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_bfs_copart_never_broadcasts_distance_vector(spark, sf_smoke):
+    """Same gate for BFS: the relaxation join over the pinned edge list
+    must stay shuffle-hash, nothing broadcast."""
+    from cdc_cloudrun_demo_spark.operators.graph import graph_bfs_hops
+
+    df = graph_bfs_hops(spark, sf_smoke, max_hops=2, rank_join="copartition")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
