@@ -209,7 +209,9 @@ def cdc_materialize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_materialize_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_materialize_tx(
+    spark: SparkSession, sf_dir: str, backend: str = "manifest"
+) -> DataFrame:
     """The streaming materializer through the ATOMIC sink
     (`streaming/tx_snapshot.py`): same change-log replay and
     applyInPandasWithState LWW fold as `cdc_materialize_streaming`, but
@@ -240,6 +242,7 @@ def cdc_materialize_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_with_state(stream),
         state_dir=os.path.join(tmp, "state"),
         checkpoint_dir=os.path.join(tmp, "ckpt"),
+        backend=backend,
     )
     finished = q.awaitTermination(300)
     if not finished:
@@ -250,6 +253,15 @@ def cdc_materialize_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_tx_snapshot(spark, os.path.join(tmp, "state")).select(
         "id", "content", "last_seq", "updated_at"
     )
+
+
+def cdc_materialize_tx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cdc_materialize_tx` with the Delta Lake transaction-log backend
+    (`streaming/delta_log.py` — the public delta-io PROTOCOL.md format:
+    _delta_log JSON commits, put-if-absent versions, txn replay-skip).
+    Hash-matching the same batch-fold oracle proves the engine's
+    streaming CDC path lands correctly in a real public table format."""
+    return cdc_materialize_tx(spark, sf_dir, backend="delta")
 
 
 def cdc_log_compact(
@@ -447,6 +459,7 @@ QUERIES = {
     "cdc_log_compact": cdc_log_compact,
     "cdc_materialize_streaming": cdc_materialize_streaming,
     "cdc_materialize_tx": cdc_materialize_tx,
+    "cdc_materialize_tx_delta": cdc_materialize_tx_delta,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_snapshot_asof": cdc_snapshot_asof,
     "cdc_tombstone_keys": cdc_tombstone_keys,
@@ -532,6 +545,7 @@ ORACLES = {
     # the streaming fold must converge to the identical batch state
     "cdc_materialize_streaming": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_materialize_tx": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_materialize_tx_delta": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""
         {_CTE},
         v AS (

@@ -309,7 +309,74 @@ def source_sqldump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two commits through the Delta-protocol table store
+    (streaming/delta_log.py — public delta-io PROTOCOL.md log format),
+    then BOTH snapshots read back via log replay and summarized: commit
+    1 seeds every order as (id, status); commit 2 LWW-overwrites the
+    o_orderkey % 7 == 0 keys to content 'X' and tombstones the
+    % 11 == 0 keys, touching only their hash buckets (the untouched
+    buckets' files are carried by add/remove bookkeeping, not
+    rewritten). Hash-matching the closed-form oracle proves the whole
+    add/remove/txn replay chain — v1 must NOT see the updates, v2 must
+    see exactly them. Scale: commits are O(touched buckets); the log
+    fold the driver performs is metadata-only."""
+    from ..streaming.delta_log import DeltaLogStore
+
+    state_dir = os.path.join(scratch_dir("delta_rt_"), "table")
+    store = DeltaLogStore(state_dir)
+    bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(store.n_buckets)).cast("int")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("content"),
+            F.lit(1).cast("long").alias("last_seq"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.lit(False).alias("is_deleted"),
+        )
+        .withColumn("bucket", bucket_of)
+    )
+    store.commit(base, list(range(store.n_buckets)), batch_id=0)
+    upd = base.filter((F.col("id") % 7 == 0) | (F.col("id") % 11 == 0)).select(
+        "id",
+        F.when(F.col("id") % 11 == 0, F.col("content"))
+        .otherwise(F.lit("X"))
+        .alias("content"),
+        F.lit(2).cast("long").alias("last_seq"),
+        F.col("updated_at"),
+        (F.col("id") % 11 == 0).alias("is_deleted"),
+        "bucket",
+    )
+    touched = sorted(
+        r["bucket"] for r in upd.select("bucket").distinct().collect()
+    )  # ≤ n_buckets ints — bounded metadata
+    cur = store.read(spark, 1).filter(F.col("bucket").isin(touched))
+    merged = (
+        cur.unionByName(upd)
+        .groupBy("bucket", "id")
+        .agg(
+            F.max_by("content", "last_seq").alias("content"),
+            F.max("last_seq").alias("last_seq"),
+            F.max_by("updated_at", "last_seq").alias("updated_at"),
+            F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+        )
+    )
+    store.commit(merged, touched, batch_id=1)
+    out = None
+    for v in (1, 2):
+        snap = (
+            store.read(spark, v)
+            .filter(~F.col("is_deleted"))
+            .groupBy(F.lit(v).alias("version"), "content")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
 QUERIES = {
+    "source_delta_roundtrip": source_delta_roundtrip,
     "source_sqldump_roundtrip": source_sqldump_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
@@ -320,6 +387,18 @@ QUERIES = {
 ORACLES = {
     # The oracles read the PRISTINE parquet: equality proves the text
     # hop (quote/escape/precision) is identity on every row.
+    "source_delta_roundtrip": """
+        SELECT 1 AS version, o_orderstatus AS content,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 2 AS version,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS content,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id
+        FROM orders WHERE o_orderkey % 11 <> 0
+        GROUP BY 2
+    """,
     "source_sqldump_roundtrip": f"""
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,

@@ -1,0 +1,442 @@
+"""Delta Lake transaction-log backend for the tx snapshot sink.
+
+``TxSnapshotStore`` (tx_snapshot.py) proves the atomic-commit contract
+with a bespoke manifest pointer. This module proves the SAME contract —
+same interface, same tests — against the public Delta Lake table
+protocol (delta-io/delta PROTOCOL.md), implemented from the spec:
+
+* **Log.** ``_delta_log/<v0-padded-20>.json`` holds one JSON action per
+  line. Version 0 carries ``protocol`` + ``metaData`` (schema string,
+  ``partitionColumns=["bucket"]``, parquet format). Every commit carries
+  a ``txn`` action (``appId``/``version``) — Delta's idempotent-writer
+  primitive, which maps 1:1 onto the sink's batch_id replay-skip — plus
+  ``remove`` actions for the files a touched bucket replaces and ``add``
+  actions (path, partitionValues, size, modificationTime) for the new
+  files, then ``commitInfo``.
+* **Atomic publish = put-if-absent of the version file.** The spec
+  requires the log store to fail if the version exists; on POSIX that is
+  ``os.link`` (CAS, loser gets EEXIST), the same primitive the manifest
+  backend uses — on S3 a conditional PUT.
+* **Snapshot = replay.** A reader folds the actions up to version V:
+  adds minus removes is the exact file set, latest metaData/protocol
+  win, the txn map carries each appId's high-water batch. Never a torn
+  mix — a version file either lists completely or does not exist.
+* **Checkpoints.** ``gc``/maintenance writes
+  ``<v>.checkpoint.parquet`` (one row per live action, the spec's
+  checkpoint schema) plus ``_last_checkpoint``, so replay cost is
+  O(commits since checkpoint), not O(table age); expired log JSONs are
+  then deletable (Delta's log-retention) and unreferenced data files are
+  vacuumed.
+
+Data files live under ``bucket=<b>/`` Hive-style partition dirs with
+per-version deterministic names, so a crashed commit's retry (same
+version — the CAS guarantees at most one winner per version) overwrites
+its own orphans instead of leaking them.
+
+The reference anchor is the same as tx_snapshot.py: the ``@Transactional``
+boundary of MessageResource.java:19,33,45 — a reader never observes a
+half-applied request. Scale: commits are O(touched buckets), reads plan
+from an explicit file list (no directory listing on the data path), and
+the log replay the driver performs is metadata-only (KBs per commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .cdc_stream import UPDATES_SCHEMA
+
+N_STATE_BUCKETS = 16
+APP_ID = "cdc-tx-snapshot-sink"  # the txn action's appId (single stream)
+
+_LOG_FMT = "{:020d}.json"
+_CKPT_FMT = "{:020d}.checkpoint.parquet"
+
+
+def _state_schema_json(n_cols_schema: str = UPDATES_SCHEMA) -> str:
+    """The table schema (updates schema + bucket partition column) as the
+    Spark JSON schema string Delta's metaData requires."""
+    schema = T._parse_datatype_string(n_cols_schema + ", bucket int")
+    return schema.json()
+
+
+class DeltaLogStore:
+    """Delta-protocol implementation of the tx snapshot store interface
+    (``versions`` / ``latest_manifest`` / ``manifest`` / ``read`` /
+    ``commit`` / ``gc``) — see module docstring.
+
+    Interface note: ``manifest()`` returns the same dict shape the
+    manifest backend produces (``version``, ``batch_id``, ``buckets``),
+    reconstructed from a log replay, so the sink and the tests are
+    backend-agnostic. Versions are the manifest backend's 1-based counts;
+    Delta log versions are 0-based (manifest v = delta v + 1).
+    """
+
+    def __init__(self, state_dir: str, n_buckets: int = N_STATE_BUCKETS):
+        self.state_dir = state_dir
+        self.n_buckets = n_buckets
+        self.log_dir = os.path.join(state_dir, "_delta_log")
+
+    # -- log resolution -----------------------------------------------------
+    def _log_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f.split(".", 1)[0].isdigit()
+        )
+
+    def _checkpoint_version(self) -> int | None:
+        lc = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(lc):
+            return None
+        with open(lc) as fh:
+            return int(json.load(fh)["version"])
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions readable right now (1-based)."""
+        ckpt = self._checkpoint_version()
+        log = self._log_versions()
+        readable = [v for v in log if ckpt is None or v >= ckpt]
+        if ckpt is not None and ckpt not in readable:
+            readable.append(ckpt)
+        return sorted(v + 1 for v in readable)
+
+    def _replay(self, upto_delta_version: int) -> dict[str, Any]:
+        """Fold the log (checkpoint + JSON commits) up to and including
+        ``upto_delta_version`` into a snapshot state."""
+        ckpt = self._checkpoint_version()
+        files: dict[str, dict] = {}
+        txns: dict[str, int] = {}
+        meta: dict | None = None
+        start = 0
+        if ckpt is not None and ckpt <= upto_delta_version:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(self.log_dir, _CKPT_FMT.format(ckpt))
+            ).to_pylist()
+            def _demap(v):  # Arrow map<str,str> round-trips as [(k, v)]
+                if isinstance(v, list) and all(
+                    isinstance(x, tuple) and len(x) == 2 for x in v
+                ):
+                    return dict(v)
+                if isinstance(v, dict):
+                    return {k: _demap(x) for k, x in v.items()}
+                return v
+
+            for row in tbl:
+                if row.get("add") is not None:
+                    add = _demap(row["add"])
+                    files[add["path"]] = add
+                if row.get("txn") is not None:
+                    txns[row["txn"]["appId"]] = row["txn"]["version"]
+                if row.get("metaData") is not None:
+                    meta = _demap(row["metaData"])
+            start = ckpt + 1
+        for v in range(start, upto_delta_version + 1):
+            path = os.path.join(self.log_dir, _LOG_FMT.format(v))
+            if not os.path.exists(path):
+                raise ValueError(
+                    f"no committed snapshot v{v + 1}; log file missing "
+                    "(expired by retention or never committed)"
+                )
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        files[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        files.pop(action["remove"]["path"], None)
+                    elif "txn" in action:
+                        txns[action["txn"]["appId"]] = action["txn"]["version"]
+                    elif "metaData" in action:
+                        meta = action["metaData"]
+        return {"files": files, "txns": txns, "metaData": meta}
+
+    # -- manifest-compatible interface --------------------------------------
+    def latest_manifest(self) -> dict | None:
+        return self.manifest(None)
+
+    def manifest(self, version: int | None) -> dict | None:
+        versions = self.versions()
+        if not versions:
+            return None
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise ValueError(f"no committed snapshot v{version}; have {versions}")
+        state = self._replay(version - 1)
+        buckets: dict[str, list[str]] = {}
+        for path, add in sorted(state["files"].items()):
+            b = add["partitionValues"]["bucket"]
+            buckets.setdefault(b, []).append(path)
+        return {
+            "version": version,
+            "batch_id": state["txns"].get(APP_ID, -1),
+            "buckets": buckets,
+        }
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """A committed snapshot as a DataFrame — exactly the replayed
+        file set, bucket recomputed from the key (pure function of id;
+        leaf-file reads skip partition discovery)."""
+        m = self.manifest(version)
+        files = [f for fl in (m or {"buckets": {}})["buckets"].values() for f in fl]
+        if not files:
+            return spark.createDataFrame([], UPDATES_SCHEMA + ", bucket int")
+        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
+        return spark.read.parquet(
+            *[os.path.join(self.state_dir, f) for f in files]
+        ).withColumn("bucket", bucket_of)
+
+    # -- commit -------------------------------------------------------------
+    def _initial_actions(self) -> list[dict]:
+        """protocol + metaData for delta version 0 (spec: both required
+        in the first commit)."""
+        return [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _state_schema_json(),
+                    "partitionColumns": ["bucket"],
+                    "configuration": {},
+                }
+            },
+        ]
+
+    def commit(
+        self, merged_touched: DataFrame, touched: list[int], batch_id: int
+    ) -> None:
+        """Stage new data files for the touched buckets, then publish the
+        next log version via put-if-absent. Crash before the publish ⇒
+        staged/moved files no version references — invisible; the retry
+        commits the SAME version (CAS: one winner per version) with the
+        same deterministic file names, reusing the orphans."""
+        prev = self.latest_manifest()
+        delta_v = 0 if prev is None else prev["version"]
+        # clear orphans a crashed attempt at THIS version left behind
+        # (the CAS guarantees delta_v was never committed, so any file
+        # named for it is referenced by no snapshot — the retry reuses
+        # the names instead of leaking them)
+        orphan_prefix = f"part-{delta_v:020d}-"
+        if os.path.isdir(self.state_dir):
+            for entry in os.listdir(self.state_dir):
+                if entry.startswith("bucket="):
+                    pdir = os.path.join(self.state_dir, entry)
+                    for f in os.listdir(pdir):
+                        if f.startswith(orphan_prefix):
+                            os.remove(os.path.join(pdir, f))
+        # stage via Spark's parquet writer, then move into the table's
+        # partition dirs under per-version deterministic names
+        staging = os.path.join(self.state_dir, f"_staging-{delta_v}")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged_touched.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        adds: list[dict] = []
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            part_dir = os.path.join(self.state_dir, entry)
+            os.makedirs(part_dir, exist_ok=True)
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(staging, entry))
+                if f.endswith(".parquet")
+            )
+            for i, f in enumerate(parts):
+                name = f"part-{delta_v:020d}-{i:05d}.snappy.parquet"
+                dst = os.path.join(part_dir, name)
+                os.replace(os.path.join(staging, entry, f), dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": f"{entry}/{name}",
+                            "partitionValues": {"bucket": b},
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        staged_buckets = {a["add"]["partitionValues"]["bucket"] for a in adds}
+        removes: list[dict] = []
+        if prev is not None:
+            for b in touched:
+                # a touched bucket replaced only if the batch produced a
+                # file for it (an empty batch partition keeps the old set)
+                if str(b) in staged_buckets:
+                    for old in prev["buckets"].get(str(b), []):
+                        removes.append(
+                            {
+                                "remove": {
+                                    "path": old,
+                                    "deletionTimestamp": now_ms,
+                                    "dataChange": True,
+                                }
+                            }
+                        )
+        actions: list[dict] = []
+        if delta_v == 0:
+            actions.extend(self._initial_actions())
+        actions.append({"txn": {"appId": APP_ID, "version": batch_id}})
+        actions.extend(removes)
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "STREAMING UPDATE"
+                    if delta_v
+                    else "CREATE TABLE AS SELECT",
+                    "operationParameters": {"touchedBuckets": len(touched)},
+                    "timestamp": now_ms,
+                }
+            }
+        )
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".{delta_v:020d}.json.tmp")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self.log_dir, _LOG_FMT.format(delta_v))
+        try:
+            os.link(tmp, final)  # put-if-absent: the spec's commit CAS
+        except FileExistsError as e:
+            raise RuntimeError(
+                f"concurrent commit detected: delta log version {delta_v} "
+                "already published by another writer; this store is "
+                "single-writer"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # -- maintenance --------------------------------------------------------
+    def _write_checkpoint(self, delta_v: int) -> None:
+        """The spec's checkpoint: one parquet row per live action at
+        ``delta_v`` (add/txn/metaData/protocol columns), then
+        ``_last_checkpoint`` points readers at it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        state = self._replay(delta_v)
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": state["metaData"]},
+        ]
+        for app, v in sorted(state["txns"].items()):
+            rows.append({"txn": {"appId": app, "version": v}})
+        for _, add in sorted(state["files"].items()):
+            rows.append({"add": add})
+        # explicit Arrow schema: the spec types partitionValues /
+        # configuration / format.options as map<string,string> (pylist
+        # inference would see untyped empty structs and fail)
+        str_map = pa.map_(pa.string(), pa.string())
+        schema = pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [("provider", pa.string()),
+                                     ("options", str_map)]
+                                ),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", str_map),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "txn",
+                    pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", str_map),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        cols = ["protocol", "metaData", "txn", "add"]
+        tbl = pa.Table.from_pylist(
+            [{c: r.get(c) for c in cols} for r in rows], schema=schema
+        )
+        tmp = os.path.join(self.log_dir, f".ckpt-{delta_v}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.log_dir, _CKPT_FMT.format(delta_v)))
+        lc_tmp = os.path.join(self.log_dir, "._last_checkpoint.tmp")
+        with open(lc_tmp, "w") as fh:
+            json.dump({"version": delta_v, "size": len(rows)}, fh)
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def gc(self, retain_versions: int = 1) -> int:
+        """Vacuum + log retention: checkpoint the newest version, delete
+        data files referenced by NONE of the newest ``retain_versions``
+        snapshots, and expire the log JSONs (and stale checkpoints)
+        before the retention window. Returns data files removed."""
+        versions = self.versions()
+        if not versions:
+            return 0
+        retain_versions = max(1, retain_versions)
+        keep = versions[-retain_versions:]
+        live: set[str] = set()
+        for v in keep:
+            for fl in self.manifest(v)["buckets"].values():
+                live.update(fl)
+        self._write_checkpoint(keep[0] - 1)  # oldest retained snapshot
+        removed = 0
+        for entry in os.listdir(self.state_dir):
+            if not entry.startswith("bucket="):
+                continue
+            part_dir = os.path.join(self.state_dir, entry)
+            for f in os.listdir(part_dir):
+                rel = f"{entry}/{f}"
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(part_dir, f))
+                    removed += 1
+        for v in self._log_versions():
+            if v < keep[0] - 1:
+                os.remove(os.path.join(self.log_dir, _LOG_FMT.format(v)))
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".checkpoint.parquet"):
+                if int(f.split(".", 1)[0]) < keep[0] - 1:
+                    os.remove(os.path.join(self.log_dir, f))
+        return removed

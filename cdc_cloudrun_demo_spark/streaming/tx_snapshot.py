@@ -198,12 +198,26 @@ class TxSnapshotStore:
         return removed
 
 
+def open_store(state_dir: str, n_buckets: int = N_STATE_BUCKETS):
+    """Store for an existing (or new) state dir, backend auto-detected:
+    a ``_delta_log`` directory marks a Delta-protocol table
+    (streaming/delta_log.py), anything else the manifest-pointer store.
+    Both satisfy the same interface, so readers and the sink are
+    backend-agnostic."""
+    if os.path.isdir(os.path.join(state_dir, "_delta_log")):
+        from .delta_log import DeltaLogStore
+
+        return DeltaLogStore(state_dir, n_buckets)
+    return TxSnapshotStore(state_dir, n_buckets)
+
+
 def tx_snapshot_sink(
     updates_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     n_buckets: int = N_STATE_BUCKETS,
     on_before_commit: Callable[[int], None] | None = None,
+    backend: str = "manifest",
 ):
     """foreachBatch sink with ATOMIC snapshot commits (module docstring).
     Same fold as `state_snapshot_sink` (keyed LWW by last_seq, tombstones
@@ -214,9 +228,21 @@ def tx_snapshot_sink(
     crash tests — it runs after the data files are written and before
     the manifest publish, exactly where a process death would tear a
     non-transactional sink. Production passes None.
+
+    ``backend``: ``'manifest'`` (this module's pointer store) or
+    ``'delta'`` (the public Delta Lake log protocol,
+    streaming/delta_log.py). Identical commit contract — the tx test
+    suite runs unchanged against both.
     """
     spark = updates_stream.sparkSession
-    store = TxSnapshotStore(state_dir, n_buckets)
+    if backend == "delta":
+        from .delta_log import DeltaLogStore
+
+        store = DeltaLogStore(state_dir, n_buckets)
+    elif backend == "manifest":
+        store = TxSnapshotStore(state_dir, n_buckets)
+    else:
+        raise ValueError(f"unknown tx snapshot backend: {backend!r}")
     bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -266,9 +292,11 @@ def read_tx_snapshot(
     spark: SparkSession, state_dir: str, version: int | None = None
 ) -> DataFrame:
     """Live view of a tx snapshot (tombstones filtered): the newest
-    commit, or a retained historical ``version`` (time travel)."""
+    commit, or a retained historical ``version`` (time travel). The
+    backend is auto-detected (``open_store``), so the same reader serves
+    manifest-pointer and Delta-protocol state dirs."""
     return (
-        TxSnapshotStore(state_dir)
+        open_store(state_dir)
         .read(spark, version)
         .filter(~F.col("is_deleted"))
         .drop("bucket")

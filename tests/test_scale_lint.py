@@ -86,6 +86,10 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "plans/__init__.py": (1, "plan-audit tooling, not an operator path"),
         "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "streaming/tx_snapshot.py": (1, "<= n_buckets ints of touched-bucket ids"),
+        "sources/file_formats.py": (
+            1,
+            "<= n_buckets ints of touched-bucket ids (delta roundtrip)",
+        ),
         "session.py": (2, "64-row session warmup, corpus-independent"),
         "functions/similarity.py": (
             4,

@@ -512,16 +512,22 @@ def _tx_want_final():
     }
 
 
-def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["manifest", "delta"])
+def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path, backend):
     """The transactional sink's core guarantee: a crash BETWEEN writing
     the new data files and publishing the manifest leaves the reader on
     the previous snapshot IN FULL — not the torn old/new bucket mix the
     overwrite sink exhibits (see test_snapshot_sink_crash_mid_commit_
     converges, where the torn state is observable by design). Restarting
     replays the batch and commits; gc() then sweeps the orphan
-    generation the crashed attempt left behind."""
+    generation the crashed attempt left behind.
+
+    Parametrized over BOTH commit-protocol backends — the bespoke
+    manifest pointer and the public Delta Lake transaction log
+    (streaming/delta_log.py) — same assertions verbatim, proving the
+    contract is the protocol's, not one implementation's."""
     from cdc_cloudrun_demo_spark.streaming.tx_snapshot import (
-        TxSnapshotStore,
+        open_store,
         read_tx_snapshot,
         tx_snapshot_sink,
     )
@@ -538,7 +544,7 @@ def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
         )
         return tx_snapshot_sink(
             materialize_with_state(stream), state_dir, ckpt,
-            on_before_commit=on_before_commit,
+            on_before_commit=on_before_commit, backend=backend,
         )
 
     spark.createDataFrame(_tx_rows_phase1(), CHANGE_SCHEMA).coalesce(1).write.mode(
@@ -570,7 +576,7 @@ def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
         r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
     }
     assert after_crash == phase1
-    store = TxSnapshotStore(state_dir)
+    store = open_store(state_dir)
     v_before = store.latest_manifest()["version"]
 
     # restart: checkpoint replays the batch, the commit publishes atomically
@@ -623,15 +629,17 @@ def test_tx_sink_atomic_visibility_under_crash(spark, tmp_path):
         read_tx_snapshot(spark, state_dir, version=v_before)
 
 
-def test_tx_sink_replay_skips_committed_batch(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["manifest", "delta"])
+def test_tx_sink_replay_skips_committed_batch(spark, tmp_path, backend):
     """foreachBatch's double-fire case: the batch COMMITTED to the
     manifest but the checkpoint lost the commit marker (crash between
     sink commit and checkpoint commit). On restart the sink must SKIP
     the replayed batch — exactly-once enforced at the commit via the
-    manifest's batch_id, not argued from merge algebra — leaving the
-    manifest version unchanged."""
+    manifest's batch_id (the Delta backend's ``txn`` appId/version — the
+    protocol's idempotent-writer action), not argued from merge algebra
+    — leaving the manifest version unchanged."""
     from cdc_cloudrun_demo_spark.streaming.tx_snapshot import (
-        TxSnapshotStore,
+        open_store,
         read_tx_snapshot,
         tx_snapshot_sink,
     )
@@ -646,7 +654,9 @@ def test_tx_sink_replay_skips_committed_batch(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(str(log_dir / "slice_*"))
         )
-        q = tx_snapshot_sink(materialize_with_state(stream), state_dir, ckpt)
+        q = tx_snapshot_sink(
+            materialize_with_state(stream), state_dir, ckpt, backend=backend
+        )
         assert q.awaitTermination(120)
 
     spark.createDataFrame(_tx_rows_phase1(), CHANGE_SCHEMA).coalesce(1).write.mode(
@@ -658,7 +668,7 @@ def test_tx_sink_replay_skips_committed_batch(spark, tmp_path):
     ).parquet(str(log_dir / "slice_001"))
     run_stream()
 
-    store = TxSnapshotStore(state_dir)
+    store = open_store(state_dir)
     m = store.latest_manifest()
 
     # erase the checkpoint's commit marker: Spark now believes the last
@@ -923,38 +933,49 @@ def test_stream_stream_left_outer_join_watermark_semantics(spark, sf_smoke, tmp_
     assert must_emit <= got_null, f"missing {len(must_emit - got_null)} closed-window nulls"
 
 
-def test_tx_sink_rejects_concurrent_commit(spark, tmp_path):
-    """The manifest publish is a compare-and-swap: if another writer
+@pytest.mark.parametrize("backend", ["manifest", "delta"])
+def test_tx_sink_rejects_concurrent_commit(spark, tmp_path, backend):
+    """The commit publish is a compare-and-swap: if another writer
     already published the version this commit computed, the commit must
     fail LOUDLY (single-writer contract), never silently overwrite the
-    winner's manifest — the lost-update failure rename-based publishing
-    would allow."""
+    winner's commit — the lost-update failure rename-based publishing
+    would allow. Delta backend: the rogue owns log version 1
+    (= snapshot v2); the spec's put-if-absent of the version file is the
+    same CAS."""
     import json as _json
 
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
     from cdc_cloudrun_demo_spark.streaming.tx_snapshot import TxSnapshotStore
 
-    store = TxSnapshotStore(str(tmp_path / "state"))
+    cls = TxSnapshotStore if backend == "manifest" else DeltaLogStore
+    store = cls(str(tmp_path / "state"))
     df = spark.createDataFrame(
         [(0, 1, "a", 1, None, False)],
         "bucket int, id long, content string, last_seq long, "
         "updated_at timestamp, is_deleted boolean",
     ).select("bucket", "id", "content", "last_seq", "updated_at", "is_deleted")
     store.commit(df, [0], batch_id=0)
-    # a rogue second writer publishes v2 behind our back
-    os.makedirs(store.manifest_dir, exist_ok=True)
-    rogue = {"version": 2, "batch_id": 99, "buckets": {}}
-    with open(os.path.join(store.manifest_dir, "v2.json"), "w") as fh:
-        _json.dump(rogue, fh)
+    # a rogue second writer publishes snapshot v2 behind our back
+    if backend == "manifest":
+        os.makedirs(store.manifest_dir, exist_ok=True)
+        rogue = {"version": 2, "batch_id": 99, "buckets": {}}
+        rogue_path = os.path.join(store.manifest_dir, "v2.json")
+        with open(rogue_path, "w") as fh:
+            _json.dump(rogue, fh)
+    else:
+        rogue_path = os.path.join(store.log_dir, f"{1:020d}.json")
+        with open(rogue_path, "w") as fh:
+            fh.write(_json.dumps({"txn": {"appId": "rogue", "version": 99}}) + "\n")
+    rogue_bytes = open(rogue_path, "rb").read()
     with pytest.raises(RuntimeError, match="concurrent commit"):
-        # our writer believes latest is v2 (the rogue one)... no — it
-        # would build v3. Simulate the true race: we compute v2 ourselves
-        # from the v1 snapshot while the rogue already owns v2.
+        # Simulate the true race: we compute v2 ourselves from the v1
+        # snapshot while the rogue already owns v2.
         prev = store.manifest(1)
-        store_race = TxSnapshotStore(str(tmp_path / "state"))
+        store_race = cls(str(tmp_path / "state"))
         # force the racing writer's view of "latest" to v1
         import unittest.mock as mock
 
         with mock.patch.object(store_race, "latest_manifest", return_value=prev):
             store_race.commit(df, [0], batch_id=1)
-    # the rogue's manifest survived untouched (no silent overwrite)
-    assert store.manifest(2) == rogue
+    # the rogue's commit survived untouched (no silent overwrite)
+    assert open(rogue_path, "rb").read() == rogue_bytes
