@@ -614,7 +614,36 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_global_shuffle(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8, seed: int = 42
+) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    pseudo-random sort key md5(doc_id ':' seed), a shard (first key
+    byte mod ``n_shards``), and its exact position within the shard
+    (rank by key). This is how a 100 TB corpus is shuffled for
+    pre-training without a global sort: the permutation is a PURE
+    FUNCTION of (doc_id, seed) — reproducible across runs, engines and
+    partitionings (a new seed is a new epoch's permutation), every
+    shard ranks in PARALLEL (the window partitions on shard — no
+    single-reducer global ordering anywhere), and what shuffles is the
+    16-byte key, never the document. The hash oracle proves the full
+    assignment — shard AND position — byte-identical in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    shard = (F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_shards).alias(
+        "shard"
+    )
+    base = d.select("doc_id", key.alias("sort_key"), shard)
+    w = Window.partitionBy("shard").orderBy("sort_key")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 QUERIES = {
+    "pipeline_global_shuffle": pipeline_global_shuffle,
     "pipeline_dataset_card": pipeline_dataset_card,
     "pipeline_epoch_plan": pipeline_epoch_plan,
     "text_charclass_profile": text_charclass_profile,
@@ -631,6 +660,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_global_shuffle": """
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':42') AS sort_key,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                        1, 2)) AS INTEGER) % 8 AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key)
+                    AS BIGINT) AS pos
+        FROM keyed
+    """,
     "text_pii_cards": rf"""
         WITH cands AS (
             SELECT doc_id,

@@ -934,7 +934,80 @@ BM25_ORACLE = f"""
 """
 
 
+def text_boilerplate_strip(
+    spark: SparkSession, sf_dir: str, chunk_words: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document boilerplate removal: the
+    corpus is cut into non-overlapping ``chunk_words``-word chunks (the
+    stand-in for lines/paragraphs — this corpus has no newlines), a
+    chunk whose md5 appears in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, license footers, scraped templates), and
+    every document is reassembled from its surviving chunks in order.
+    Output per doc: chunk counts, dropped count, kept token count, and
+    the md5 of the reassembled text — so the hash oracle proves the
+    exact reassembly, not just the counts.
+
+    Scale shape: posexplode is narrow; chunk assembly is one shuffle on
+    (doc_id, chunk_id) with the in-chunk order restored by sort_array
+    (not collect_list order, which is nondeterministic post-shuffle);
+    the boilerplate filter is a frequency aggregate on the chunk hash
+    followed by an ANTI join — both keyed shuffles, no broadcast of
+    anything corpus-scaled, and the chunk hash (16 bytes) is what
+    shuffles, never the chunk text twice. The md5 chunk identity makes
+    the whole pipeline portable to the DuckDB oracle bit for bit."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+    )
+    chunks = (
+        words.groupBy("doc_id", F.expr(f"pos div {chunk_words}").alias("chunk_id"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("chunk_text")
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+    boiler = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_hash")
+    )
+    kept = chunks.join(boiler, "chunk_hash", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+            )
+        ).alias("kept_md5"),
+        F.sum(F.size(F.split("chunk_text", " "))).alias("kept_words"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(kept_agg, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("kept_words", F.lit(0)).alias("kept_words"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
 QUERIES = {
+    "text_boilerplate_strip": text_boilerplate_strip,
     "text_spell_variants": text_spell_variants,
     "text_bm25_search": text_bm25_search,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -982,6 +1055,40 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_boilerplate_strip": """
+        WITH words AS (
+            SELECT doc_id, w.word, CAST(w.ord - 1 AS BIGINT) AS pos
+            FROM documents,
+                 LATERAL (SELECT UNNEST(string_split_regex(TRIM(text), '\\s+'))
+                              AS word,
+                          generate_subscripts(
+                              string_split_regex(TRIM(text), '\\s+'), 1) AS ord) w
+        ), chunks AS (
+            SELECT doc_id, pos // 8 AS chunk_id,
+                   string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+                   md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+            FROM words GROUP BY doc_id, pos // 8
+        ), boiler AS (
+            SELECT chunk_hash FROM chunks
+            GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+        ), kept AS (
+            SELECT * FROM chunks
+            WHERE chunk_hash NOT IN (SELECT chunk_hash FROM boiler)
+        ), kept_agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS kept_md5,
+                   CAST(SUM(LENGTH(chunk_text)
+                            - LENGTH(REPLACE(chunk_text, ' ', '')) + 1)
+                        AS BIGINT) AS kept_words
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_chunks,
+               t.n_chunks - COALESCE(k.n_kept, 0) AS n_dropped,
+               COALESCE(k.kept_words, 0) AS kept_words,
+               COALESCE(k.kept_md5, md5('')) AS kept_md5
+        FROM (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id) t
+        LEFT JOIN kept_agg k ON t.doc_id = k.doc_id
+    """,
     "text_spell_variants": SPELL_VARIANTS_ORACLE,
     "text_bm25_search": BM25_ORACLE,
     "text_tfidf_topterms": """

@@ -41,6 +41,50 @@ def qx_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders served by MULTIPLE suppliers, find the one whose delivery was
+    late (ship lag over 90 days past the order date — this schema has no
+    receipt/commit dates) while every OTHER supplier shipped on time,
+    and count such orders per supplier. The textbook formulation is one
+    EXISTS plus one NOT EXISTS, each a correlated self-join of the fact
+    table — three lineitem passes. Spark-first it collapses to ONE
+    per-order aggregate: n_suppliers, n_late_suppliers, and (via max on
+    a conditional) the identity of the single late supplier; an order
+    qualifies iff n_suppliers > 1 and n_late_suppliers = 1. One shuffle
+    on l_orderkey, one on the winning suppkey — the oracle keeps the
+    EXISTS/NOT-EXISTS SQL, so two different algorithms must agree row
+    for row. At 100 TB the fact table is scanned once instead of three
+    times, and no self-join of lineitem ever materializes."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    per_order = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            # Q21 counts qualifying LINEITEM rows, not orders: a supplier
+            # with two late lines in one order waits twice
+            F.count(F.when(late, F.lit(1))).alias("n_late_items"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.sum("n_late_items").alias("numwait"))
+        .join(s, per_order.late_supp == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"), "numwait")
+    )
+
+
 def qx_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by order count, zeros
     included — left outer join, then two stacked aggregations."""
@@ -738,6 +782,7 @@ QUERIES = {
     "qx_large_orders": qx_large_orders,
     "qx_local_supplier_volume": qx_local_supplier_volume,
     "qx_custdist": qx_custdist,
+    "qx_waiting_suppliers": qx_waiting_suppliers,
     "qx_having": qx_having,
     "qx_nested_agg": qx_nested_agg,
     "qx_shipping_priority": qx_shipping_priority,
@@ -1006,6 +1051,28 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         GROUP BY o_orderpriority
+    """,
+    "qx_waiting_suppliers": """
+        WITH fo AS (
+            SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT s.s_name, n.n_name AS nation, COUNT(*) AS numwait
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey,
+             lineitem l1 JOIN fo o ON l1.l_orderkey = o.o_orderkey
+        WHERE l1.l_suppkey = s.s_suppkey
+          AND date_diff('day', o.o_orderdate, l1.l_shipdate) > 90
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3 JOIN fo o3 ON l3.l_orderkey = o3.o_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND date_diff('day', o3.o_orderdate, l3.l_shipdate) > 90
+          )
+        GROUP BY s.s_name, n.n_name
     """,
     "qx_custdist": """
         SELECT c_count, COUNT(*) AS custdist

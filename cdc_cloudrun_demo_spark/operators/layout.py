@@ -258,13 +258,100 @@ COMPACTION_ORACLE = f"""
 """
 
 
+_NFILES = 64  # simulated files per layout
+_PK_LO, _PK_HI = 200, 400  # the probe predicate: l_partkey BETWEEN lo AND hi
+
+
+def layout_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified file-skipping: how many of 64 simulated data files a
+    ``l_partkey BETWEEN 200 AND 400`` scan can prune under (a) the
+    natural l_orderkey layout vs (b) the Z-order layout — the number
+    that justifies a clustering rewrite BEFORE paying for it (Delta's
+    OPTIMIZE ZORDER dry-run question). Files are value-range buckets of
+    the layout key — a pure function of the key via the broadcast
+    min/max (same two-phase shape as cdc_keygen: no global sort, no
+    single-reducer exchange, deterministic across engines, unlike a
+    range-sampled repartition). Zone maps are one (layout, file)
+    aggregate over the keyed rows — min/max/count of the probe column,
+    exactly what parquet footers store; a file is pruned when its
+    [min,max] misses the predicate. Output: 2 rows (layout, n_files,
+    n_pruned, rows_total, rows_scanned), all exact integers, fully
+    hash-oracled. The real-footer twin of this simulation is proven in
+    tests/test_pipeline_ops.py against actual parquet statistics."""
+    zdf = layout_zorder_key(spark, sf_dir)  # (l_orderkey, l_partkey, zkey)
+    out = None
+    for layout, key in (("natural", "l_orderkey"), ("zorder", "zkey")):
+        bounds = zdf.agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
+        file_id = F.expr(
+            f"least({_NFILES - 1}, CAST(({key} - mn) * {_NFILES} AS BIGINT)"
+            f" div greatest(CAST(mx - mn AS BIGINT), 1))"
+        )
+        zones = (
+            zdf.crossJoin(F.broadcast(bounds))
+            .select(file_id.alias("file_id"), "l_partkey")
+            .groupBy("file_id")
+            .agg(
+                F.min("l_partkey").alias("pk_min"),
+                F.max("l_partkey").alias("pk_max"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        pruned = (F.col("pk_max") < _PK_LO) | (F.col("pk_min") > _PK_HI)
+        summary = zones.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("long").alias("n_pruned"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.when(~pruned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+def _zone_map_oracle() -> str:
+    per_layout = []
+    for layout, key in (("natural", "l_orderkey"), ("zorder", "zkey")):
+        per_layout.append(f"""
+        SELECT '{layout}' AS layout, COUNT(*) AS n_files,
+               CAST(SUM(CASE WHEN pk_max < {_PK_LO} OR pk_min > {_PK_HI}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN pk_max < {_PK_LO} OR pk_min > {_PK_HI}
+                        THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+        FROM (
+            SELECT file_id, MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+                   COUNT(*) AS n_rows
+            FROM (
+                SELECT LEAST({_NFILES - 1},
+                             (({key} - mn_{layout}) * {_NFILES})
+                             // GREATEST(mx_{layout} - mn_{layout}, 1))
+                         AS file_id,
+                       l_partkey
+                FROM zkeys CROSS JOIN bounds_{layout}
+            ) GROUP BY file_id
+        )""")
+    bounds = ", ".join(
+        f"bounds_{layout} AS (SELECT MIN({key}) AS mn_{layout},"
+        f" MAX({key}) AS mx_{layout} FROM zkeys)"
+        for layout, key in (("natural", "l_orderkey"), ("zorder", "zkey"))
+    )
+    return (
+        f"WITH zkeys AS ({ZORDER_ORACLE}), {bounds} "
+        + " UNION ALL ".join(per_layout)
+    )
+
+
 QUERIES = {
+    "layout_zone_map_prune": layout_zone_map_prune,
     "layout_compaction_plan": layout_compaction_plan,
     "layout_hilbert_key": layout_hilbert_key,
     "layout_zorder_key": layout_zorder_key,
 }
 
 ORACLES = {
+    "layout_zone_map_prune": _zone_map_oracle(),
     "layout_compaction_plan": COMPACTION_ORACLE,
     "layout_hilbert_key": _hilbert_oracle(),
     "layout_zorder_key": ZORDER_ORACLE,
