@@ -54,6 +54,10 @@ HEADLINE: dict[str, str] = {
     "graph_pagerank": "collect",          # iterative fixed-point joins
     "sim_ann_pq_topk": "collect",         # PQ codes + ADC + exact re-rank
     "agg_quantile_sketch_merge": "collect",  # KMV segment-then-merge
+    # round-7: the at-scale rank-join path (co-partitioned shuffle-hash,
+    # nothing broadcast) timed against the broadcast path above so the
+    # strategy gate's cost at dimension scale is a measured number
+    "graph_pagerank_copart": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -65,7 +69,7 @@ HEADLINE: dict[str, str] = {
 # lookup tables and collects its bounded query set. Plan-only queries
 # keep the r1–r5 action-only protocol so the series stays comparable
 # (their construction is milliseconds of analysis, not engine work).
-FULL_TIMED = {"graph_pagerank", "sim_ann_pq_topk"}
+FULL_TIMED = {"graph_pagerank", "graph_pagerank_copart", "sim_ann_pq_topk"}
 
 
 def main() -> None:

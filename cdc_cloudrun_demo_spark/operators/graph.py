@@ -607,6 +607,61 @@ def _bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
     return head + "".join(steps) + tail
 
 
+def graph_bfs_frontier(
+    spark: SparkSession, sf_dir: str, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """Frontier-delta BFS — the at-scale alternative to
+    ``graph_bfs_hops``' full-vector min-fold, which re-aggregates EVERY
+    settled node each hop. Here each hop expands only the nodes
+    discovered in the previous hop: relax the frontier across the
+    pinned edge list, dedup, anti-join the already-visited set, tag the
+    survivors with the hop number. On a wide graph the frontier
+    typically peaks early and collapses (hop 4 of this trade graph
+    touches a fraction of what hop 2 did), so per-iteration work tracks
+    |frontier ⋈ edges| instead of |all reached nodes| — the difference
+    between O(edges · diameter) and O(edges reached once) total work.
+    BFS layering makes the first discovery of a node its minimum hop
+    distance, so the result is EXACTLY the min-fold's — one oracle
+    proves both algorithms. Edges are pinned hash-partitioned on src;
+    the frontier exits its dedup partitioned on node; each discovered
+    layer is checkpointed so the accumulated distance table is a
+    shallow union of materialized layers, not an iteration-deep plan."""
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = (
+        cust.filter(F.col("c_nationkey") == BFS_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .withColumn("hops", F.lit(0).cast("long"))
+        .repartition(F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds
+    frontier = seeds
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(nxt)
+        frontier = nxt
+    return dist.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
 def graph_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale rank-join path (see ``graph_pagerank``): edges
     pinned hash-partitioned on src, rank vector joined shuffle-hash with
@@ -625,6 +680,7 @@ def graph_bfs_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "graph_bfs_hops": graph_bfs_hops,
     "graph_bfs_copart": graph_bfs_copart,
+    "graph_bfs_frontier": graph_bfs_frontier,
     "graph_pagerank_copart": graph_pagerank_copart,
     "graph_components": graph_components,
     "graph_degree_stats": graph_degree_stats,
@@ -636,6 +692,7 @@ QUERIES = {
 ORACLES = {
     "graph_bfs_hops": _bfs_oracle(),
     "graph_bfs_copart": _bfs_oracle(),
+    "graph_bfs_frontier": _bfs_oracle(),
     "graph_pagerank_copart": _pagerank_oracle(),
     "graph_components": """
         WITH RECURSIVE pairs AS (
