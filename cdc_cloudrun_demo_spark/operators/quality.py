@@ -171,15 +171,121 @@ SKEW_ORACLE = f"""
 """
 
 
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: for every event_type, its row count, newest
+    event time, staleness (µs behind the newest event anywhere — exact
+    integer epoch arithmetic, no float time), and how much of its volume
+    arrived in the global trailing day — the ingest-monitoring gate that
+    pages before a silent upstream stall poisons a snapshot (the
+    time-dimension sibling of the reference's `count == 0` health probe).
+    One map-side-combined aggregate per type plus a 1-row broadcast of
+    the global max; output is |event types| rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("max_ts"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    )
+    glob = per_type.agg(F.max("max_us").alias("global_max_us"))
+    recent = ev.crossJoin(F.broadcast(glob.select(F.col("global_max_us").alias("g")))).filter(
+        F.unix_micros("ts") > F.col("g") - F.lit(86_400_000_000)
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_last_day"))
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .join(recent, "event_type", "left_outer")
+        .select(
+            "event_type",
+            "n_events",
+            "max_ts",
+            (F.col("global_max_us") - F.col("max_us")).alias("staleness_us"),
+            F.coalesce("n_last_day", F.lit(0)).alias("n_last_day"),
+        )
+    )
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the documents table — (column, n_rows,
+    n_null, n_distinct) per column, the Deequ/Glue-crawler completeness
+    + cardinality profile a curation job publishes with every snapshot.
+    ONE scan computes every column's counters as conditional aggregates;
+    the per-column rows come from unpivoting the 1-row aggregate with
+    ``stack`` (a 5-row expansion of one row — no second scan, no
+    per-column job). exact distincts, not approximations, so the oracle
+    matches bit for bit."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = d.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
 QUERIES = {
     "dq_constraints": dq_constraints,
     "dq_skew_histogram": dq_skew_histogram,
+    "dq_freshness_lag": dq_freshness_lag,
+    "dq_null_profile": dq_null_profile,
 }
 
 _LANG_LIST = ", ".join(f"'{x}'" for x in _ALLOWED_LANGS)
 
 ORACLES = {
     "dq_skew_histogram": SKEW_ORACLE,
+    "dq_freshness_lag": """
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ), per_type AS (
+            SELECT event_type, COUNT(*) AS n_events,
+                   MAX(ts) AS max_ts, MAX(us) AS max_us
+            FROM ev GROUP BY event_type
+        ), gmax AS (SELECT MAX(max_us) AS global_max_us FROM per_type),
+        recent AS (
+            SELECT event_type, COUNT(*) AS n_last_day
+            FROM ev, gmax WHERE us > global_max_us - 86400000000
+            GROUP BY event_type
+        )
+        SELECT p.event_type, p.n_events, p.max_ts,
+               CAST(g.global_max_us - p.max_us AS BIGINT) AS staleness_us,
+               COALESCE(r.n_last_day, 0) AS n_last_day
+        FROM per_type p CROSS JOIN gmax g
+        LEFT JOIN recent r ON p.event_type = r.event_type
+    """,
+    "dq_null_profile": """
+        WITH cols(column_name) AS (
+            VALUES ('doc_id'), ('text'), ('lang'), ('source'), ('n_chars')
+        )
+        SELECT c.column_name,
+               (SELECT COUNT(*) FROM documents) AS n_rows,
+               CASE c.column_name
+                   WHEN 'doc_id' THEN (SELECT CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+                   WHEN 'text' THEN (SELECT CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+                   WHEN 'lang' THEN (SELECT CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+                   WHEN 'source' THEN (SELECT CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+                   ELSE (SELECT CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+               END AS n_null,
+               CASE c.column_name
+                   WHEN 'doc_id' THEN (SELECT COUNT(DISTINCT doc_id) FROM documents)
+                   WHEN 'text' THEN (SELECT COUNT(DISTINCT text) FROM documents)
+                   WHEN 'lang' THEN (SELECT COUNT(DISTINCT lang) FROM documents)
+                   WHEN 'source' THEN (SELECT COUNT(DISTINCT source) FROM documents)
+                   ELSE (SELECT COUNT(DISTINCT n_chars) FROM documents)
+               END AS n_distinct
+        FROM cols c
+    """,
     "dq_constraints": f"""
         SELECT 'range_totalprice_positive' AS constraint, 'orders' AS tbl,
                COUNT(*) AS n_checked,
