@@ -42,6 +42,8 @@ BNLJ_BOUNDED = {
     "sample_weighted": "1-row total-weight aggregate (step size)",
     "qx_basket_lift": "1-row distinct-order-count aggregate (lift normalizer)",
     "text_bm25_search": "1-row (n_docs, total_len) corpus aggregate",
+    "layout_zone_map_prune": "1-row min/max bounds aggregate per layout",
+    "dq_freshness_lag": "1-row global-max-timestamp aggregate",
 }
 
 

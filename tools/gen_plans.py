@@ -50,7 +50,8 @@ COMMENTARY = {
  "text_novelty": "Novelty scoring: distinct-gram explode -> ONE exchange keyed on the gram for the min-doc window -> one groupBy(doc_id) fold. The gram-keyed shuffle carries strings here because the oracle must see identical group identities; production swaps the key for xxhash64(gram) (the 8-byte posting discipline of dedup.py) and the plan shape is unchanged.",
  "pipeline_shard_manifest": "Deterministic shard layout: narrow arithmetic-hash projection, one groupBy(shard) with 16 groups. Per-group state is five scalars - the membership digest is an order-independent modular SUM, never a collect_list - so the aggregate survives a trillion-doc shard with constant memory (guarded by test_shard_manifest_state_is_bounded).",
  "pipeline_split_assign": "Train/val/test assignment is a pure function of doc_id (engine-portable multiplicative hash): narrow projection + one small groupBy((split, lang)). Stability across runs/partitionings/engines is the property that keeps eval sets eval sets; asserted by test_split_assign_fractions_and_stability.",
- "graph_pagerank": "Iterative fixed-point PageRank: the annotated edge list (dst-outdeg + damping constants attached) is derived once and pinned via lazy localCheckpoint - the Pregel/GraphX edge-partition discipline - then every iteration is ONE broadcast join (the slim per-source contribution vector onto the pinned edges) and ONE aggregation keyed on dst, which IS the next rank vector (symmetric graph => indegree >= 1, no node-table left join). Exact integer arithmetic end to end, so 10 iterations hash-match the unrolled-CTE oracle. Beats single-node DuckDB on the identical computation at sf0.1 (4.2 s vs 5.5 s).",
+ "graph_pagerank": "Iterative fixed-point PageRank: the annotated edge list (dst-outdeg + damping constants attached) is derived once and pinned via lazy localCheckpoint - the Pregel/GraphX edge-partition discipline - then every iteration is ONE broadcast join (the slim per-source contribution vector onto the pinned edges) and ONE aggregation keyed on dst, which IS the next rank vector (symmetric graph => indegree >= 1, no node-table left join). Exact integer arithmetic end to end, so 10 iterations hash-match the unrolled-CTE oracle. Beats single-node DuckDB on the identical computation at sf0.1 (4.2 s vs 5.5 s). The rank-join strategy is GATED (round-7): above RANK_BROADCAST_MAX_NODES the auto mode switches to the co-partitioned plan below.",
+ "graph_pagerank_copart": "The at-scale rank join (rank_join='copartition', what 'auto' picks above 50M nodes): edges pinned hash-partitioned on src, the rank vector exits each iteration's dst-keyed aggregate already partitioned on node, and a shuffle-hash join marries the two with ZERO additional exchanges - nothing broadcast anywhere in the loop (asserted in tests/test_plans.py::test_pagerank_copart_never_broadcasts_rank_vector), one slim shuffle per iteration, identical integer arithmetic and oracle. Benches within noise of the broadcast path at local scale, so the gate costs nothing where it isn't needed.",
  "graph_degree_stats": "Degree distribution: two hash aggregations (per-node degree, then the (kind, degree) histogram); the histogram output is |distinct degrees| rows regardless of graph size - the skew diagnostic that sizes the salting/broadcast decisions of the iterative ops.",
  "agg_quantile_sketch_merge": "Mergeable KMV quantile sketch: per-month bottom-k by md5 rank (windowed, reducers bounded at k rows kept each), global bottom-k merge over |segments|*k rows, quantile read-off at ranks derived from the OBSERVED sample count. Segment-then-merge equals whole-pass bit-for-bit (membership is a pure function of the hash order), which is why this sketch hash-matches where HLL is rows-only.",
  "agg_cms_merge": "Mergeable count-min sketch: the d*w counter grid is built per month-segment with map-side partial aggregation (shuffle carries <= segments*d*w counter rows), merged by cell-wise SUM - associative, order-independent. Bucket hashes are md5-derived and reproduced exactly by the DuckDB oracle, so the whole frequency-sketch path is hash-checked; estimate >= exact for every key is property-tested.",
