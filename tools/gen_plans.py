@@ -78,7 +78,23 @@ print("Generated with `df.explain(\"formatted\")` at sf0.01 (plans are scale-ind
 print("AQE may re-plan exchanges at runtime). What each plan must show — and why it")
 print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
-print("""## Bench-drift accounting (round 6)
+print("""## Bench-drift accounting (round 7)
+
+Suite wall ~15.2 s (r6, 23 queries) -> **~21.8 s (r7, 24 queries)**. The
+carried-over 23 queries sum to **15.42 s vs 15.22 s (+1.3%)** — zero
+regressions (largest absolute delta +80 ms on join_star_revenue, inside the
+run-to-run spread). The +6.4 s is ONE new entry, `graph_pagerank_copart`: the
+same 10-iteration fixed point through the AT-SCALE rank join (co-partitioned
+shuffle-hash, nothing broadcast — what the `rank_join='auto'` gate switches to
+above 50M nodes). It costs ~20% more than the broadcast path in local mode
+(the pin pays one extra edge-list shuffle and each iteration trades a
+broadcast for a slim exchange) — that premium is the measured price of the
+plan that still works when the rank vector no longer fits a broadcast, and
+the gate means nobody pays it below the threshold. BENCH json now carries
+`full_timed_split` (construction_s/action_s per FULL_TIMED query, round-6
+verdict item 6), so this decomposition is machine-readable per round.
+
+## Bench-drift accounting (round 6)
 
 Suite wall 7.32 s (r5, 20 queries) -> **~15 s (r6, 23 queries; 15.28 / 14.95 /
 14.91 / 15.68 across four runs)**. The delta is
