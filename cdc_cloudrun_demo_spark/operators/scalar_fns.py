@@ -343,6 +343,66 @@ def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def fn_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4's static ``analyze`` hook): the
+    output schema is not declared — it is COMPUTED per call site from
+    the literal argument (`tail_words(text, 3)` ⇒ columns w0,w1,w2;
+    a different call site with n=5 would get five columns), which is the
+    UDTF API surface `fn_python_udtf`'s fixed returnType doesn't cover.
+    Arrow-optimized like its sibling (never the row-pickling path the
+    scale lint forbids). Logic (last-n words, NULL-padded) is
+    SQL-reproducible, so the dynamic schema AND the values hash-match
+    the DuckDB oracle (out-of-range list_extract → NULL on both)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    N = 3
+
+    @udtf(useArrow=True)
+    class TailWords:
+        @staticmethod
+        def analyze(text, n):
+            return __import__(
+                "pyspark.sql.udtf", fromlist=["AnalyzeResult"]
+            ).AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"w{i}", StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, text, n):
+            if text is None:
+                return
+            ws = text.split(" ")
+            tail = ws[-n:] if len(ws) >= n else [None] * (n - len(ws)) + ws
+            yield tuple(tail)
+
+    spark.udtf.register("tail_words", TailWords)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtfa_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.w0, t.w1, t.w2
+        FROM udtfa_docs d, LATERAL tail_words(d.text, {N}) t
+        WHERE d.doc_id % 5 = 0
+        """
+    )
+
+
+FN_UDTF_ANALYZE_ORACLE = """
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS L
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           ws[L - 2] AS w0,
+           ws[L - 1] AS w1,
+           ws[L] AS w2
+    FROM s
+"""
+
+
 FN_UDTF_ORACLE = """
     WITH words AS (
         SELECT doc_id, w.term, CAST(w.pos - 1 AS BIGINT) AS pos
@@ -436,6 +496,7 @@ FN_COLLATION_ORACLE = """
 
 QUERIES = {
     "fn_python_udtf": fn_python_udtf,
+    "fn_udtf_analyze": fn_udtf_analyze,
     "fn_pipe_syntax": fn_pipe_syntax,
     "fn_collation_ops": fn_collation_ops,
     "fn_generator_ops": fn_generator_ops,
@@ -456,6 +517,7 @@ QUERIES = {
 
 ORACLES = {
     "fn_python_udtf": FN_UDTF_ORACLE,
+    "fn_udtf_analyze": FN_UDTF_ANALYZE_ORACLE,
     "fn_pipe_syntax": FN_PIPE_ORACLE,
     "fn_collation_ops": FN_COLLATION_ORACLE,
     "fn_generator_ops": """

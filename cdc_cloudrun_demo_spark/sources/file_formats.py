@@ -233,12 +233,76 @@ def _make_sqldump_source():
                         continue
                     k, st, tp, dt, note = (_lit(t) for t in _split_tuple(m.group(1)))
                     yield (
-                        int(k),
+                        int(k) if k is not None else None,
                         st,
-                        float(tp),
-                        datetime.strptime(dt, "%Y-%m-%d %H:%M:%S"),
+                        float(tp) if tp is not None else None,
+                        datetime.strptime(dt, "%Y-%m-%d %H:%M:%S")
+                        if dt is not None
+                        else None,
                         note,
                     )
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _WroteFile(WriterCommitMessage):
+        def __init__(self, path: str):
+            self.path = path
+
+    class SqlDumpWriter(DataSourceWriter):
+        """The WRITE half of the custom DataSource API (Spark 4
+        ``DataSource.writer``): each task serializes its partition as
+        INSERT statements into a task-private temp file and returns the
+        path as its commit message; ``commit`` (driver-side, after every
+        task succeeded) renames them into place — the standard
+        task-attempt → job-commit protocol, so a failed/speculated task
+        leaves no partial file behind ``abort``'s cleanup."""
+
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def write(self, it):
+            from pyspark import TaskContext
+
+            os.makedirs(self.dir, exist_ok=True)
+            pid = TaskContext.get().partitionId()
+            tmp = os.path.join(self.dir, f".part-{pid:05d}.sql.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                def lit(v):
+                    if v is None:
+                        return "NULL"
+                    if hasattr(v, "strftime"):
+                        return f"'{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+                    if isinstance(v, str):
+                        return "'" + v.replace("'", "''") + "'"
+                    # repr = shortest float round-trip; the reader's
+                    # float() reconstructs the exact bits
+                    return repr(v)
+
+                for row in it:
+                    vals = ", ".join(
+                        lit(v)
+                        for v in (
+                            row.o_orderkey,
+                            row.o_orderstatus,
+                            row.o_totalprice,
+                            row.o_orderdate,
+                            row.note,
+                        )
+                    )
+                    fh.write(
+                        "INSERT INTO orders (o_orderkey, o_orderstatus,"
+                        f" o_totalprice, o_orderdate, note) VALUES ({vals});\n"
+                    )
+            return _WroteFile(tmp)
+
+        def commit(self, messages):
+            for m in messages:
+                os.replace(m.path, m.path[: -len(".tmp")].replace("/.", "/"))
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
 
     class SqlDumpDataSource(DataSource):
         @classmethod
@@ -253,6 +317,9 @@ def _make_sqldump_source():
 
         def reader(self, schema):
             return SqlDumpReader(self.options)
+
+        def writer(self, schema, overwrite):
+            return SqlDumpWriter(self.options)
 
     return SqlDumpDataSource
 
@@ -375,7 +442,43 @@ def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def source_sqldump_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → the custom DataSource's WRITE path
+    (``df.write.format("sqldump")``, Spark 4 ``DataSourceWriter`` with
+    the task-temp-file → driver-commit protocol) → back through its
+    reader. Complements ``source_sqldump_roundtrip``, which writes via
+    the built-in text sink: here the engine-extension API covers BOTH
+    directions, and the hash-match against pristine parquet proves the
+    writer's quoting/escaping/float-repr agrees with the reader's
+    parser on every row. Scale: each task streams its partition to its
+    own file (nothing through the driver but ≤ |tasks| commit
+    messages); rename-on-commit gives failed tasks zero partial
+    output."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    note = F.concat(
+        F.lit("w/ 'quote' #"), F.col("o_orderkey"), F.lit(" "), F.col("o_orderstatus")
+    )
+    path = os.path.join(scratch_dir("sqldump_w_"), "dump")
+    spark.dataSource.register(_make_sqldump_source())
+    o.withColumn("note", note).repartition(4).write.format("sqldump").option(
+        "path", path
+    ).mode("append").save()
+    back = spark.read.format("sqldump").option("path", path).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.sum(F.length("note")).alias("note_len_sum"),
+        F.sum(F.when(F.col("note").contains("'"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quoted"),
+    )
+
+
 QUERIES = {
+    "source_sqldump_writer_roundtrip": source_sqldump_writer_roundtrip,
     "source_delta_roundtrip": source_delta_roundtrip,
     "source_sqldump_roundtrip": source_sqldump_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -387,6 +490,18 @@ QUERIES = {
 ORACLES = {
     # The oracles read the PRISTINE parquet: equality proves the text
     # hop (quote/escape/precision) is identity on every row.
+    "source_sqldump_writer_roundtrip": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS sum_total,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order,
+               CAST(SUM(LENGTH('w/ ''quote'' #' || o_orderkey || ' '
+                               || o_orderstatus)) AS BIGINT) AS note_len_sum,
+               COUNT(*) AS n_quoted
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "source_delta_roundtrip": """
         SELECT 1 AS version, o_orderstatus AS content,
                COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id
