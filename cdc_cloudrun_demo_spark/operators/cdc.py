@@ -255,6 +255,59 @@ def cdc_materialize_tx(
     )
 
 
+def cdc_scd2_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cdc_scd2_history` maintained by a REAL Structured Streaming run:
+    the change log replays as a sliced file stream, a stateful
+    applyInPandasWithState operator keeps each key's change list and
+    re-emits its recomputed validity intervals every batch the key
+    appears in (arrival-order-insensitive — see
+    streaming/cdc_stream.py::_scd2_state_fn), emissions append to a
+    parquet sink, and the reader keeps each key's latest interval set.
+    Hash-matching the SAME oracle as the batch window-pass proves a live
+    warehouse-history table converges to the batch-derived truth."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..streaming.cdc_stream import CHANGE_SCHEMA, scd2_with_state
+
+    tmp = scratch_dir("cdc_scd2_live_")
+    log_dir = os.path.join(tmp, "log")
+    message_changes_df(spark, sf_dir).orderBy("seq").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    out = os.path.join(tmp, "out")
+    q = (
+        scd2_with_state(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("SCD2 streaming run did not finish within 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    raw = spark.read.schema(
+        "id long, content string, valid_from_seq long, valid_to_seq long,"
+        " is_current boolean, n_changes long"
+    ).parquet(out)
+    w = Window.partitionBy("id")
+    return (
+        raw.withColumn("mx", F.max("n_changes").over(w))
+        .filter(F.col("n_changes") == F.col("mx"))
+        .select("id", "content", "valid_from_seq", "valid_to_seq", "is_current")
+    )
+
+
 def cdc_materialize_tx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`cdc_materialize_tx` with the Delta Lake transaction-log backend
     (`streaming/delta_log.py` — the public delta-io PROTOCOL.md format:
@@ -461,6 +514,7 @@ QUERIES = {
     "cdc_materialize_tx": cdc_materialize_tx,
     "cdc_materialize_tx_delta": cdc_materialize_tx_delta,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_scd2_live": cdc_scd2_live,
     "cdc_snapshot_asof": cdc_snapshot_asof,
     "cdc_tombstone_keys": cdc_tombstone_keys,
     "cdc_op_stats": cdc_op_stats,
@@ -547,6 +601,19 @@ ORACLES = {
     "cdc_materialize_tx": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_materialize_tx_delta": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""
+        {_CTE},
+        v AS (
+            SELECT id, content, op, seq,
+                   LEAD(seq) OVER (PARTITION BY id ORDER BY seq) AS next_seq
+            FROM message_changes
+        )
+        SELECT id, content,
+               seq AS valid_from_seq,
+               next_seq AS valid_to_seq,
+               next_seq IS NULL AS is_current
+        FROM v WHERE op <> 'DELETE'
+    """,
+    "cdc_scd2_live": f"""
         {_CTE},
         v AS (
             SELECT id, content, op, seq,

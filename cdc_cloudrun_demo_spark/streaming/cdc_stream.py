@@ -250,6 +250,73 @@ def _lww_state_fn(
     )
 
 
+def _scd2_state_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key SCD2 (type-2 history) maintenance. The state is the key's
+    full change list (seq/op/content arrays — at production scale a key's
+    history is bounded by upstream log compaction, `cdc_log_compact`);
+    every batch the key appears in, the WHOLE interval set is recomputed
+    from the sorted list and re-emitted, tagged with the monotone change
+    count. Recompute-from-state makes the operator insensitive to
+    arrival order ACROSS micro-batches (a late low-seq change simply
+    re-derives the corrected intervals — the interval-closing logic
+    never trusts arrival order), and the reader keeps each key's
+    highest-tag emission. DELETE closes the open interval and
+    contributes no version row — the exact `cdc_scd2_history` batch
+    semantics, hash-matched against the same oracle."""
+    if state.exists:
+        seqs, ops, contents = (list(x) for x in state.get)
+    else:
+        seqs, ops, contents = [], [], []
+    for pdf in pdf_iter:
+        seqs.extend(int(s) for s in pdf["seq"])
+        ops.extend(pdf["op"])
+        contents.extend(pdf["content"])
+    state.update((seqs, ops, contents))
+    order = sorted(range(len(seqs)), key=lambda i: seqs[i])
+    out = {
+        "id": [],
+        "content": [],
+        "valid_from_seq": [],
+        "valid_to_seq": [],
+        "is_current": [],
+        "n_changes": [],
+    }
+    n = len(order)
+    for pos, i in enumerate(order):
+        if ops[i] == "DELETE":
+            continue
+        nxt = seqs[order[pos + 1]] if pos + 1 < n else None
+        out["id"].append(key[0])
+        out["content"].append(contents[i])
+        out["valid_from_seq"].append(seqs[i])
+        out["valid_to_seq"].append(nxt)
+        out["is_current"].append(nxt is None)
+        out["n_changes"].append(n)
+    pdf = pd.DataFrame(out)
+    pdf["valid_to_seq"] = pd.array(out["valid_to_seq"], dtype="Int64")
+    yield pdf
+
+
+def scd2_with_state(changes_stream: DataFrame):
+    """SCD2 history maintained by a live stream (see ``_scd2_state_fn``).
+    Emissions are append-mode interval sets; the reader keeps each key's
+    latest (highest ``n_changes``) emission."""
+    out_schema = (
+        "id long, content string, valid_from_seq long, valid_to_seq long,"
+        " is_current boolean, n_changes long"
+    )
+    state_schema = "seqs array<long>, ops array<string>, contents array<string>"
+    return changes_stream.groupBy("id").applyInPandasWithState(
+        _scd2_state_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def materialize_transform_with_state(changes_stream: DataFrame):
     """Same LWW fold on Spark 4's `transformWithStateInPandas` — the
     successor API to applyInPandasWithState: explicit typed state handles,
