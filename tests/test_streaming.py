@@ -979,3 +979,70 @@ def test_tx_sink_rejects_concurrent_commit(spark, tmp_path, backend):
             store_race.commit(df, [0], batch_id=1)
     # the rogue's commit survived untouched (no silent overwrite)
     assert open(rogue_path, "rb").read() == rogue_bytes
+
+
+def test_scd2_live_converges_under_reversed_slice_order(spark, sf_smoke, tmp_path):
+    """The SCD2 stream's core claim (cdc_stream.py::_scd2_state_fn):
+    interval reconstruction is insensitive to arrival order ACROSS
+    micro-batches. Replay the change log sliced so the HIGHEST seqs
+    arrive first (each slice one micro-batch) — every interval-closing
+    decision that trusted arrival order would be wrong — and assert the
+    converged history equals the batch window-pass exactly."""
+    from cdc_cloudrun_demo_spark.operators.cdc import cdc_scd2_history
+    from cdc_cloudrun_demo_spark.streaming.cdc_stream import (
+        CHANGE_SCHEMA,
+        scd2_with_state,
+    )
+
+    changes = message_changes_df(spark, sf_smoke).orderBy(F.desc("seq"))
+    rows = changes.collect()
+    n_slices, per = 4, (len(rows) + 3) // 4
+    log_dir = tmp_path / "log"
+    for i in range(n_slices):
+        chunk = rows[i * per : (i + 1) * per]  # slice_000 = highest seqs
+        if chunk:
+            spark.createDataFrame(chunk, schema=changes.schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(log_dir / f"slice_{i:03d}"))
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir / "slice_*"))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        scd2_with_state(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    raw = spark.read.schema(
+        "id long, content string, valid_from_seq long, valid_to_seq long,"
+        " is_current boolean, n_changes long"
+    ).parquet(out)
+    w = Window.partitionBy("id")
+    got = {
+        (r["id"], r["valid_from_seq"]): (
+            r["content"],
+            r["valid_to_seq"],
+            r["is_current"],
+        )
+        for r in raw.withColumn("mx", F.max("n_changes").over(w))
+        .filter(F.col("n_changes") == F.col("mx"))
+        .collect()
+    }
+    want = {
+        (r["id"], r["valid_from_seq"]): (
+            r["content"],
+            r["valid_to_seq"],
+            r["is_current"],
+        )
+        for r in cdc_scd2_history(spark, sf_smoke).collect()
+    }
+    assert got == want
