@@ -978,7 +978,75 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_clusters(
+    spark: SparkSession, sf_dir: str, n_clusters: int = 16, tau: float = 0.35
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal via
+    embedding clustering — k-means partitions the corpus, pairwise
+    cosine runs only WITHIN a cluster, and of each near-dup group the
+    lowest vec_id survives (deterministic keep policy: a vector is
+    dropped iff a LOWER-id member of its cluster sits above ``tau``;
+    0.35 is this synthetic corpus's near-dup band, the same threshold
+    `sim_pairs_above` established — real sentence embeddings use ~0.95).
+    Cluster assignment reuses the memoized spherical-k-means coarse
+    quantizer (`kmeans_centroid_rows` — bounded 2048-row sample, narrow
+    per-row argmax over inlined centroid literals, zero shuffles to
+    assign); the within-cluster pair join is an equi-join on cell id —
+    never all-pairs across the corpus, the whole point of clustering
+    first. At 100 TB the knob is n_clusters: SemDeDup's own setting is
+    ~100k clusters so each cell holds ~thousands of vectors and the
+    per-cell quadratic term stays bounded (the posting-list cap
+    discipline, functions/dedup.py). Output: (vec_id, cell, kept).
+    Rows-only by design (centroids are corpus-trained engine state);
+    the keep-policy invariants are property-tested in
+    tests/test_llm_ops.py."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = kmeans_centroid_rows(
+        spark, emb, n_clusters, corpus_key=sf_dir
+    )
+    ranked = ivf_ranked_cells(cents)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    base = base.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.element_at(ranked(F.col("embedding"), F.col("nrm")), 1).alias("cell"),
+    )
+    a = base.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, F.col("cell_a") == F.col("cell_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 6) > tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left_outer"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("is_dup").isNull().alias("kept"),
+    )
+
+
 QUERIES = {
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
     "sim_pq_codes": sim_pq_codes,
     "sim_ann_pq_topk": sim_ann_pq_topk,

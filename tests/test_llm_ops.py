@@ -701,3 +701,45 @@ def test_ivfpq_recall_and_probed_cell_subset(spark, sf_oracle):
         hits += len(exact & approx.get(q, set()))
         total += 10
     assert hits / total >= 0.2, hits / total
+
+
+def test_semantic_dedup_keep_policy_exact(spark, sf_oracle):
+    """SemDeDup keep-policy invariant, recomputed independently in
+    numpy: a vector is dropped IFF some lower-id member of its cluster
+    has cosine > tau (0.35) with it — checked exhaustively per cluster,
+    and the survivor set must be deterministic across two runs."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        dedup_semantic_clusters,
+    )
+
+    rows = dedup_semantic_clusters(spark, sf_oracle).collect()
+    rows2 = dedup_semantic_clusters(spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    assert sum(1 for r in rows if not r["kept"]) > 0  # policy actually fires
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_oracle, "embeddings").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    kept = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+        kept[r["vec_id"]] = r["kept"]
+    for members in by_cell.values():
+        members.sort()
+        for j, b in enumerate(members):
+            vb = emb[b]
+            has_near = any(
+                round(
+                    float(emb[a] @ vb)
+                    / (np.linalg.norm(emb[a]) * np.linalg.norm(vb)),
+                    6,
+                )
+                > 0.35
+                for a in members[:j]
+            )
+            assert kept[b] == (not has_near), (b, kept[b])

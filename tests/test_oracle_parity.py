@@ -40,6 +40,7 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "sim_pq_codes",  # codebooks are engine-trained (driver k-means); determinism + reconstruction property tests instead
         "sim_ann_pq_topk",  # approximate ANN over engine-trained codebooks; recall-vs-exact property test instead
         "sim_ann_ivfpq_topk",  # IVF+PQ composition, both stages engine-trained; recall + probed-cell-subset property tests instead
+        "dedup_semantic_clusters",  # SemDeDup over engine-trained k-means cells; exact keep-policy + determinism property tests instead
     }
     assert rows_only <= allowed, f"unexpected rows-only queries: {rows_only - allowed}"
 
