@@ -1046,3 +1046,42 @@ def test_scd2_live_converges_under_reversed_slice_order(spark, sf_smoke, tmp_pat
         for r in cdc_scd2_history(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_delta_commit_reuses_crashed_attempt_orphans(spark, tmp_path):
+    """A crash AFTER a Delta commit's data files moved into the table but
+    BEFORE the log version published leaves orphan part files named for
+    the uncommitted version. The retry (CAS guarantees the same version
+    number) must clear/overwrite those exact names — zero permanent
+    garbage, no double-counting — and the committed snapshot must be
+    correct."""
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+
+    store = DeltaLogStore(str(tmp_path / "t"))
+    schema = (
+        "bucket int, id long, content string, last_seq long,"
+        " updated_at timestamp, is_deleted boolean"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "bucket", "id", "content", "last_seq", "updated_at", "is_deleted"
+        )
+
+    store.commit(df([(0, 1, "a", 1, None, False)]), [0], batch_id=0)
+
+    # forge a crashed attempt at delta version 1: files moved, log absent
+    part_dir = os.path.join(store.state_dir, "bucket=0")
+    orphan = os.path.join(part_dir, f"part-{1:020d}-99999.snappy.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"torn garbage, not parquet")
+    # reader is unaffected: no log version references the orphan
+    assert {r["id"] for r in store.read(spark).collect()} == {1}
+
+    # the retry commits version 1 for real
+    store.commit(df([(0, 1, "b", 2, None, False)]), [0], batch_id=1)
+    assert not os.path.exists(orphan), "orphan from crashed attempt must be cleared"
+    snap = {r["id"]: r["content"] for r in store.read(spark).collect()}
+    assert snap == {1: "b"}
+    # and nothing for gc to sweep beyond the superseded v1 files
+    assert store.gc(retain_versions=2) == 0
