@@ -352,7 +352,12 @@ def fn_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-optimized like its sibling (never the row-pickling path the
     scale lint forbids). Logic (last-n words, NULL-padded) is
     SQL-reproducible, so the dynamic schema AND the values hash-match
-    the DuckDB oracle (out-of-range list_extract → NULL on both)."""
+    the DuckDB oracle. Oracle care: DuckDB's list index is 1-based and
+    a NEGATIVE index wraps to the tail (ws[-1] = last element, not
+    NULL), so the short-document padding is expressed with explicit
+    ``CASE WHEN L >= k`` guards rather than out-of-range indexing, and
+    NULL text — which eval explodes to zero rows, dropping the doc via
+    the inner LATERAL — is filtered symmetrically."""
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -393,12 +398,12 @@ FN_UDTF_ANALYZE_ORACLE = """
     WITH s AS (
         SELECT doc_id, string_split(text, ' ') AS ws,
                len(string_split(text, ' ')) AS L
-        FROM documents WHERE doc_id % 5 = 0
+        FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
     )
     SELECT doc_id,
-           ws[L - 2] AS w0,
-           ws[L - 1] AS w1,
-           ws[L] AS w2
+           CASE WHEN L >= 3 THEN ws[L - 2] END AS w0,
+           CASE WHEN L >= 2 THEN ws[L - 1] END AS w1,
+           CASE WHEN L >= 1 THEN ws[L] END AS w2
     FROM s
 """
 

@@ -245,8 +245,9 @@ def _make_sqldump_source():
     from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
     class _WroteFile(WriterCommitMessage):
-        def __init__(self, path: str):
+        def __init__(self, path: str, pid: int):
             self.path = path
+            self.pid = pid
 
     class SqlDumpWriter(DataSourceWriter):
         """The WRITE half of the custom DataSource API (Spark 4
@@ -264,8 +265,15 @@ def _make_sqldump_source():
             from pyspark import TaskContext
 
             os.makedirs(self.dir, exist_ok=True)
-            pid = TaskContext.get().partitionId()
-            tmp = os.path.join(self.dir, f".part-{pid:05d}.sql.tmp")
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            # temp name keyed by task ATTEMPT, not just partition: a
+            # speculative/retried attempt racing a zombie first attempt
+            # must not write into the same file (the standard commit
+            # protocol); exactly one attempt's message wins commit()
+            tmp = os.path.join(
+                self.dir, f".part-{pid:05d}-{ctx.taskAttemptId()}.sql.tmp"
+            )
             with open(tmp, "w", encoding="utf-8") as fh:
                 def lit(v):
                     if v is None:
@@ -293,11 +301,19 @@ def _make_sqldump_source():
                         "INSERT INTO orders (o_orderkey, o_orderstatus,"
                         f" o_totalprice, o_orderdate, note) VALUES ({vals});\n"
                     )
-            return _WroteFile(tmp)
+            return _WroteFile(tmp, pid)
 
         def commit(self, messages):
+            # one message per partition (Spark commits exactly one
+            # attempt); publish under the deterministic partition name —
+            # only the BASENAME loses its hidden-file dot (a naive
+            # whole-path replace would corrupt any '/.'-segment in the
+            # table directory itself, e.g. ~/.cache/...)
             for m in messages:
-                os.replace(m.path, m.path[: -len(".tmp")].replace("/.", "/"))
+                os.replace(
+                    m.path,
+                    os.path.join(os.path.dirname(m.path), f"part-{m.pid:05d}.sql"),
+                )
 
         def abort(self, messages):
             for m in messages:
@@ -389,10 +405,11 @@ def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     see exactly them. Scale: commits are O(touched buckets); the log
     fold the driver performs is metadata-only."""
     from ..streaming.delta_log import DeltaLogStore
+    from ..streaming.tx_snapshot import bucket_expr, lww_merge
 
     state_dir = os.path.join(scratch_dir("delta_rt_"), "table")
     store = DeltaLogStore(state_dir)
-    bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(store.n_buckets)).cast("int")
+    bucket_of = bucket_expr(store.n_buckets)
     base = (
         load_table(spark, sf_dir, "orders")
         .select(
@@ -419,16 +436,7 @@ def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["bucket"] for r in upd.select("bucket").distinct().collect()
     )  # ≤ n_buckets ints — bounded metadata
     cur = store.read(spark, 1).filter(F.col("bucket").isin(touched))
-    merged = (
-        cur.unionByName(upd)
-        .groupBy("bucket", "id")
-        .agg(
-            F.max_by("content", "last_seq").alias("content"),
-            F.max("last_seq").alias("last_seq"),
-            F.max_by("updated_at", "last_seq").alias("updated_at"),
-            F.max_by("is_deleted", "last_seq").alias("is_deleted"),
-        )
-    )
+    merged = lww_merge(cur.unionByName(upd))
     store.commit(merged, touched, batch_id=1)
     out = None
     for v in (1, 2):

@@ -43,6 +43,27 @@ UPDATES_SCHEMA = (
 )
 
 
+def bucket_expr(n_buckets: int):
+    """THE bucket function — ``pmod(xxhash64(id), n)`` — defined once so
+    the sinks, both tx store backends, and the DataSource round-trip
+    cannot silently diverge on how a key maps to a state bucket."""
+    return F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
+
+
+def lww_merge(updates: DataFrame) -> DataFrame:
+    """The keyed last-writer-wins fold over (bucket, id): newest
+    last_seq wins every column, tombstones RETAINED (is_deleted carries
+    forward so replays stay idempotent). One definition shared by the
+    overwrite sink, both tx-snapshot backends, and the Delta round-trip
+    — the merge semantics cannot drift between them."""
+    return updates.groupBy("bucket", "id").agg(
+        F.max_by("content", "last_seq").alias("content"),
+        F.max("last_seq").alias("last_seq"),
+        F.max_by("updated_at", "last_seq").alias("updated_at"),
+        F.max_by("is_deleted", "last_seq").alias("is_deleted"),
+    )
+
+
 def fold_batch(changes: DataFrame) -> DataFrame:
     """LWW-per-key fold of one slice of the log (same as operators/cdc.py)."""
     w = Window.partitionBy("id").orderBy(F.desc("seq"))
@@ -145,7 +166,7 @@ def state_snapshot_sink(
     identical fold, transactional commit instead of per-bucket overwrite."""
     spark = updates_stream.sparkSession
     current_path = os.path.join(state_dir, "current")
-    bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
+    bucket_of = bucket_expr(n_buckets)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.withColumn("bucket", bucket_of).persist()
@@ -163,16 +184,7 @@ def state_snapshot_sink(
                 cur = spark.createDataFrame([], UPDATES_SCHEMA).withColumn(
                     "bucket", F.lit(0).cast("int")
                 )
-            merged = (
-                cur.unionByName(batch_df)
-                .groupBy("bucket", "id")
-                .agg(
-                    F.max_by("content", "last_seq").alias("content"),
-                    F.max("last_seq").alias("last_seq"),
-                    F.max_by("updated_at", "last_seq").alias("updated_at"),
-                    F.max_by("is_deleted", "last_seq").alias("is_deleted"),
-                )
-            )
+            merged = lww_merge(cur.unionByName(batch_df))
             # Stage (materialize) before overwriting the path being read,
             # then commit only the touched bucket partitions.
             stage = os.path.join(state_dir, "stage")

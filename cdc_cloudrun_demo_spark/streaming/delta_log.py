@@ -29,9 +29,14 @@ protocol (delta-io/delta PROTOCOL.md), implemented from the spec:
   vacuumed.
 
 Data files live under ``bucket=<b>/`` Hive-style partition dirs with
-per-version deterministic names, so a crashed commit's retry (same
-version — the CAS guarantees at most one winner per version) overwrites
-its own orphans instead of leaking them.
+globally unique names (version + per-attempt token), the spec's own
+discipline: two writers racing for the same version can never collide
+on a data-file name, so the CAS loser's staged files simply become
+orphans no snapshot references — invisible to readers, reclaimed by
+``gc``'s vacuum — and the winner's committed files are never touched.
+(A deterministic per-version name would force the loser to delete or
+overwrite the winner's already-committed data before the CAS even
+fires — silent destruction ahead of the loud failure.)
 
 The reference anchor is the same as tx_snapshot.py: the ``@Transactional``
 boundary of MessageResource.java:19,33,45 — a reader never observes a
@@ -84,6 +89,12 @@ class DeltaLogStore:
         self.state_dir = state_dir
         self.n_buckets = n_buckets
         self.log_dir = os.path.join(state_dir, "_delta_log")
+        # incremental-replay cache: (delta_version, folded state). A
+        # replay for any v >= cached version folds only the commits in
+        # between — the sink's per-batch metadata cost stays O(1) per
+        # commit instead of O(versions) (Delta readers keep the same
+        # in-memory snapshot and update it incrementally).
+        self._cache: tuple[int, dict[str, Any]] | None = None
 
     # -- log resolution -----------------------------------------------------
     def _log_versions(self) -> list[int]:
@@ -103,23 +114,48 @@ class DeltaLogStore:
             return int(json.load(fh)["version"])
 
     def versions(self) -> list[int]:
-        """Committed snapshot versions readable right now (1-based)."""
+        """Committed snapshot versions readable right now (1-based).
+        A delta version v is readable iff it can be replayed: the JSON
+        chain 0..v is intact, or a checkpoint c <= v exists with the
+        chain c+1..v intact (log retention may have expired the head)."""
         ckpt = self._checkpoint_version()
-        log = self._log_versions()
-        readable = [v for v in log if ckpt is None or v >= ckpt]
-        if ckpt is not None and ckpt not in readable:
-            readable.append(ckpt)
+        logset = set(self._log_versions())
+        readable: set[int] = set()
+        v = 0
+        while v in logset:  # contiguous-from-origin chain
+            readable.add(v)
+            v += 1
+        if ckpt is not None:
+            readable.add(ckpt)  # the checkpoint alone reconstructs it
+            v = ckpt + 1
+            while v in logset:  # contiguous-from-checkpoint chain
+                readable.add(v)
+                v += 1
         return sorted(v + 1 for v in readable)
 
     def _replay(self, upto_delta_version: int) -> dict[str, Any]:
         """Fold the log (checkpoint + JSON commits) up to and including
-        ``upto_delta_version`` into a snapshot state."""
+        ``upto_delta_version`` into a snapshot state. Incremental: a
+        fold at or past the cached version starts from the cached state
+        and reads only the commits in between."""
+        if self._cache is not None and self._cache[0] == upto_delta_version:
+            return self._cache[1]
         ckpt = self._checkpoint_version()
         files: dict[str, dict] = {}
         txns: dict[str, int] = {}
         meta: dict | None = None
         start = 0
-        if ckpt is not None and ckpt <= upto_delta_version:
+        if (
+            self._cache is not None
+            and self._cache[0] < upto_delta_version
+            and (ckpt is None or ckpt <= self._cache[0])
+        ):
+            cached_v, cached = self._cache
+            files = dict(cached["files"])
+            txns = dict(cached["txns"])
+            meta = cached["metaData"]
+            start = cached_v + 1
+        elif ckpt is not None and ckpt <= upto_delta_version:
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(
@@ -163,7 +199,10 @@ class DeltaLogStore:
                         txns[action["txn"]["appId"]] = action["txn"]["version"]
                     elif "metaData" in action:
                         meta = action["metaData"]
-        return {"files": files, "txns": txns, "metaData": meta}
+        state = {"files": files, "txns": txns, "metaData": meta}
+        if self._cache is None or upto_delta_version >= self._cache[0]:
+            self._cache = (upto_delta_version, state)
+        return state
 
     # -- manifest-compatible interface --------------------------------------
     def latest_manifest(self) -> dict | None:
@@ -190,16 +229,12 @@ class DeltaLogStore:
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """A committed snapshot as a DataFrame — exactly the replayed
-        file set, bucket recomputed from the key (pure function of id;
-        leaf-file reads skip partition discovery)."""
-        m = self.manifest(version)
-        files = [f for fl in (m or {"buckets": {}})["buckets"].values() for f in fl]
-        if not files:
-            return spark.createDataFrame([], UPDATES_SCHEMA + ", bucket int")
-        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
-        return spark.read.parquet(
-            *[os.path.join(self.state_dir, f) for f in files]
-        ).withColumn("bucket", bucket_of)
+        file set (shared reader: tx_snapshot.read_manifest_files)."""
+        from .tx_snapshot import read_manifest_files
+
+        return read_manifest_files(
+            spark, self.state_dir, self.manifest(version), self.n_buckets
+        )
 
     # -- commit -------------------------------------------------------------
     def _initial_actions(self) -> list[dict]:
@@ -223,26 +258,22 @@ class DeltaLogStore:
     ) -> None:
         """Stage new data files for the touched buckets, then publish the
         next log version via put-if-absent. Crash before the publish ⇒
-        staged/moved files no version references — invisible; the retry
-        commits the SAME version (CAS: one winner per version) with the
-        same deterministic file names, reusing the orphans."""
+        staged/moved files no version references — invisible to every
+        reader; the retry writes FRESH uniquely-named files (never
+        touching anything already on disk) and the crashed attempt's
+        orphans wait for ``gc``'s vacuum. A concurrent writer racing for
+        the same version loses the CAS loudly AFTER staging only its own
+        uniquely-named files — the winner's committed data is never
+        deleted or overwritten."""
         prev = self.latest_manifest()
         delta_v = 0 if prev is None else prev["version"]
-        # clear orphans a crashed attempt at THIS version left behind
-        # (the CAS guarantees delta_v was never committed, so any file
-        # named for it is referenced by no snapshot — the retry reuses
-        # the names instead of leaking them)
-        orphan_prefix = f"part-{delta_v:020d}-"
-        if os.path.isdir(self.state_dir):
-            for entry in os.listdir(self.state_dir):
-                if entry.startswith("bucket="):
-                    pdir = os.path.join(self.state_dir, entry)
-                    for f in os.listdir(pdir):
-                        if f.startswith(orphan_prefix):
-                            os.remove(os.path.join(pdir, f))
         # stage via Spark's parquet writer, then move into the table's
-        # partition dirs under per-version deterministic names
-        staging = os.path.join(self.state_dir, f"_staging-{delta_v}")
+        # partition dirs under globally unique names (version + attempt
+        # token): no name can collide with a committed file or another
+        # in-flight attempt, so no pre-existing file is ever removed or
+        # replaced here
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.state_dir, f"_staging-{delta_v}-{token}")
         shutil.rmtree(staging, ignore_errors=True)
         merged_touched.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         adds: list[dict] = []
@@ -261,7 +292,7 @@ class DeltaLogStore:
                 if f.endswith(".parquet")
             )
             for i, f in enumerate(parts):
-                name = f"part-{delta_v:020d}-{i:05d}.snappy.parquet"
+                name = f"part-{delta_v:020d}-{i:05d}-{token}.snappy.parquet"
                 dst = os.path.join(part_dir, name)
                 os.replace(os.path.join(staging, entry, f), dst)
                 adds.append(
@@ -321,6 +352,14 @@ class DeltaLogStore:
         try:
             os.link(tmp, final)  # put-if-absent: the spec's commit CAS
         except FileExistsError as e:
+            # CAS lost: another writer published this version first. Our
+            # staged files are uniquely named — the winner's data is
+            # untouched — so we can reclaim exactly what we moved in.
+            for a in adds:
+                try:
+                    os.remove(os.path.join(self.state_dir, a["add"]["path"]))
+                except OSError:
+                    pass
             raise RuntimeError(
                 f"concurrent commit detected: delta log version {delta_v} "
                 "already published by another writer; this store is "
@@ -328,6 +367,11 @@ class DeltaLogStore:
             ) from e
         finally:
             os.unlink(tmp)
+        # the spec's cadence: checkpoint every 10 commits so a cold
+        # reader's replay is O(commits since checkpoint), not O(table
+        # age), without waiting for a maintenance gc()
+        if delta_v > 0 and delta_v % 10 == 0:
+            self._write_checkpoint(delta_v)
 
     # -- maintenance --------------------------------------------------------
     def _write_checkpoint(self, delta_v: int) -> None:

@@ -44,9 +44,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cdc_stream import UPDATES_SCHEMA
+from .cdc_stream import UPDATES_SCHEMA, bucket_expr, lww_merge
 
 N_STATE_BUCKETS = 16
+
+
+def read_manifest_files(
+    spark: SparkSession, state_dir: str, manifest: dict | None, n_buckets: int
+) -> DataFrame:
+    """A committed snapshot as a DataFrame: exactly the manifest's file
+    set, bucket RECOMPUTED from the key (a pure function of id), not
+    parsed from the directory layout — leaf-file reads skip partition
+    discovery, and deriving beats parsing anyway. Shared by both store
+    backends so read semantics stay identical by construction."""
+    files = [
+        f for fl in (manifest or {"buckets": {}})["buckets"].values() for f in fl
+    ]
+    if not files:
+        return spark.createDataFrame([], UPDATES_SCHEMA + ", bucket int")
+    return spark.read.parquet(
+        *[os.path.join(state_dir, f) for f in files]
+    ).withColumn("bucket", bucket_expr(n_buckets))
 
 
 class TxSnapshotStore:
@@ -94,18 +112,10 @@ class TxSnapshotStore:
         (time travel: every commit's manifest is a complete file listing,
         so old snapshots stay readable until `gc` reclaims their files).
         Reads exactly the committed file set — concurrent commits cannot
-        tear the view because the file list came from ONE manifest. The
-        bucket column is RECOMPUTED from the key (it is a pure function
-        of id), not parsed from the directory layout: leaf-file reads
-        skip partition discovery, and deriving beats parsing anyway."""
-        m = self.manifest(version)
-        files = [f for fl in (m or {"buckets": {}})["buckets"].values() for f in fl]
-        if not files:
-            return spark.createDataFrame([], UPDATES_SCHEMA + ", bucket int")
-        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
-        return spark.read.parquet(
-            *[os.path.join(self.state_dir, f) for f in files]
-        ).withColumn("bucket", bucket_of)
+        tear the view because the file list came from ONE manifest."""
+        return read_manifest_files(
+            spark, self.state_dir, self.manifest(version), self.n_buckets
+        )
 
     # -- commit -------------------------------------------------------------
     def _bucket_files(self, gen_dir: str) -> dict[str, list[str]]:
@@ -243,7 +253,7 @@ def tx_snapshot_sink(
         store = TxSnapshotStore(state_dir, n_buckets)
     else:
         raise ValueError(f"unknown tx snapshot backend: {backend!r}")
-    bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
+    bucket_of = bucket_expr(n_buckets)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = store.latest_manifest()
@@ -263,16 +273,7 @@ def tx_snapshot_sink(
             if not touched:
                 return
             cur = store.read(spark).filter(F.col("bucket").isin(touched))
-            merged = (
-                cur.unionByName(batch_df)
-                .groupBy("bucket", "id")
-                .agg(
-                    F.max_by("content", "last_seq").alias("content"),
-                    F.max("last_seq").alias("last_seq"),
-                    F.max_by("updated_at", "last_seq").alias("updated_at"),
-                    F.max_by("is_deleted", "last_seq").alias("is_deleted"),
-                )
-            )
+            merged = lww_merge(cur.unionByName(batch_df))
             if on_before_commit is not None:
                 on_before_commit(batch_id)
             store.commit(merged, touched, batch_id)

@@ -963,9 +963,31 @@ def test_tx_sink_rejects_concurrent_commit(spark, tmp_path, backend):
         with open(rogue_path, "w") as fh:
             _json.dump(rogue, fh)
     else:
+        # the rogue committed a DATA file too — the loser must not
+        # destroy it (a predicted-name cleanup/overwrite would, since
+        # both writers compute the same version number)
+        rogue_data_rel = f"bucket=0/part-{1:020d}-00000-r0gue.snappy.parquet"
+        rogue_data = os.path.join(store.state_dir, rogue_data_rel)
+        os.makedirs(os.path.dirname(rogue_data), exist_ok=True)
+        with open(rogue_data, "wb") as fh:
+            fh.write(b"winner's committed bytes")
         rogue_path = os.path.join(store.log_dir, f"{1:020d}.json")
         with open(rogue_path, "w") as fh:
             fh.write(_json.dumps({"txn": {"appId": "rogue", "version": 99}}) + "\n")
+            fh.write(
+                _json.dumps(
+                    {
+                        "add": {
+                            "path": rogue_data_rel,
+                            "partitionValues": {"bucket": "0"},
+                            "size": 24,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
     rogue_bytes = open(rogue_path, "rb").read()
     with pytest.raises(RuntimeError, match="concurrent commit"):
         # Simulate the true race: we compute v2 ourselves from the v1
@@ -979,6 +1001,16 @@ def test_tx_sink_rejects_concurrent_commit(spark, tmp_path, backend):
             store_race.commit(df, [0], batch_id=1)
     # the rogue's commit survived untouched (no silent overwrite)
     assert open(rogue_path, "rb").read() == rogue_bytes
+    if backend == "delta":
+        # ... including its committed DATA file, byte for byte, and the
+        # loser reclaimed its own staged files on the way out
+        assert open(rogue_data, "rb").read() == b"winner's committed bytes"
+        leftovers = [
+            f
+            for f in os.listdir(os.path.dirname(rogue_data))
+            if f.endswith(".parquet") and "r0gue" not in f and "-00000000000000000001-" in f
+        ]
+        assert leftovers == [], f"loser left staged files: {leftovers}"
 
 
 def test_scd2_live_converges_under_reversed_slice_order(spark, sf_smoke, tmp_path):
@@ -1048,13 +1080,14 @@ def test_scd2_live_converges_under_reversed_slice_order(spark, sf_smoke, tmp_pat
     assert got == want
 
 
-def test_delta_commit_reuses_crashed_attempt_orphans(spark, tmp_path):
+def test_delta_crashed_attempt_orphans_invisible_until_vacuum(spark, tmp_path):
     """A crash AFTER a Delta commit's data files moved into the table but
-    BEFORE the log version published leaves orphan part files named for
-    the uncommitted version. The retry (CAS guarantees the same version
-    number) must clear/overwrite those exact names — zero permanent
-    garbage, no double-counting — and the committed snapshot must be
-    correct."""
+    BEFORE the log version published leaves orphan part files no log
+    version references. Data-file names are globally unique (version +
+    attempt token), so the retry NEVER deletes or overwrites a
+    pre-existing file — deleting by predicted name is exactly how a
+    racing loser would destroy a winner's committed data. The orphan
+    stays invisible to every reader and is reclaimed by gc's vacuum."""
     from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
 
     store = DeltaLogStore(str(tmp_path / "t"))
@@ -1072,16 +1105,21 @@ def test_delta_commit_reuses_crashed_attempt_orphans(spark, tmp_path):
 
     # forge a crashed attempt at delta version 1: files moved, log absent
     part_dir = os.path.join(store.state_dir, "bucket=0")
-    orphan = os.path.join(part_dir, f"part-{1:020d}-99999.snappy.parquet")
+    orphan = os.path.join(part_dir, f"part-{1:020d}-00000-deadbeef.snappy.parquet")
     with open(orphan, "wb") as fh:
         fh.write(b"torn garbage, not parquet")
     # reader is unaffected: no log version references the orphan
     assert {r["id"] for r in store.read(spark).collect()} == {1}
 
-    # the retry commits version 1 for real
+    # the retry commits version 1 for real under fresh unique names,
+    # touching nothing already on disk (the orphan included)
     store.commit(df([(0, 1, "b", 2, None, False)]), [0], batch_id=1)
-    assert not os.path.exists(orphan), "orphan from crashed attempt must be cleared"
+    assert os.path.exists(orphan), "commit must never remove pre-existing files"
     snap = {r["id"]: r["content"] for r in store.read(spark).collect()}
     assert snap == {1: "b"}
-    # and nothing for gc to sweep beyond the superseded v1 files
-    assert store.gc(retain_versions=2) == 0
+    # vacuum reclaims exactly the unreferenced orphan; both retained
+    # snapshots stay whole and readable
+    assert store.gc(retain_versions=2) == 1
+    assert not os.path.exists(orphan)
+    assert {r["content"] for r in store.read(spark, 1).collect()} == {"a"}
+    assert {r["content"] for r in store.read(spark, 2).collect()} == {"b"}
