@@ -86,10 +86,11 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         scalar_fns,
         schema_evolution,
         setops,
+        sql_features,
         streaming_batch,
         windows,
     )
-    from ..functions import dedup, pipeline, similarity, text
+    from ..functions import dedup, ml, pipeline, similarity, text
     from ..sources import file_formats, jdbc_io, multimodal
 
     # Module order sets priority WITHIN the unverified partition (and is
@@ -129,6 +130,11 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         layout,
         graph,
         quality,
+        # round-7 additions: SQL-surface features (recursive CTE, EXECUTE
+        # IMMEDIATE, scripting, observe, XML), sufficient-statistics ML,
+        # appended after the round-6 backlog for the same reason.
+        sql_features,
+        ml,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

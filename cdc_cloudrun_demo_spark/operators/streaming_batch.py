@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import davg, dsum, scaled_long, sql_davg, sql_dsum
 
 
 def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,7 +559,68 @@ def stream_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4 `statestore` data source): run
+    a checkpointed streaming aggregation, then read the operator's RAW
+    keyed state back out of the checkpoint as a DataFrame — the
+    streaming analog of the reference's actuator endpoints that expose
+    live internals for operators to inspect (`application.properties`
+    management exposure; S8/S9 probe the running system, this probes the
+    running STATE). At scale this is the debugging/repair path: state
+    corruption, skewed keys, and watermark stalls are diagnosed by
+    querying the store directly instead of replaying the topic. The
+    state read is partition-parallel (one task per state-store
+    partition, no shuffle); output is |groups| rows. The hash oracle is
+    the equivalent batch aggregate — proving the checkpoint's keyed
+    state IS the aggregation, exactly, after arbitrary micro-batch
+    slicing (integer sums are order-insensitive)."""
+    import os
+    from .._scratch import scratch_dir
+
+    from ..sources import file_stream
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    root = scratch_dir("sstate_")
+    log = os.path.join(root, "log")
+    o.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in o.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(scaled_long("o_totalprice", 2)).alias("price_cents"),
+    )
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "streaming aggregation did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.o_orderpriority").alias("o_orderpriority"),
+        F.col("value.count").alias("n_orders"),
+        F.col("value.sum").alias("price_cents"),
+    )
+
+
+STREAM_STATE_STORE_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "stream_state_store_read": stream_state_store_read,
     "stream_join_outer_live": stream_join_outer_live,
     "stream_join_live": stream_join_live,
     "stream_dedup_live": stream_dedup_live,
@@ -576,6 +637,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_state_store_read": STREAM_STATE_STORE_ORACLE,
     # the stream-maintained moments must converge to the batch moments
     # exactly (order-insensitive integer sums), so the live gate equals
     # the batch z-score oracle verbatim

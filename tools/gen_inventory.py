@@ -3,11 +3,11 @@ live registry. Usage: python tools/gen_inventory.py (prints markdown)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cdc_cloudrun_demo_spark.operators import registry
-from cdc_cloudrun_demo_spark.functions import dedup, pipeline, similarity, text
+from cdc_cloudrun_demo_spark.functions import dedup, ml, pipeline, similarity, text
 from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
     cdc, graph, joins, layout, metrics, quality, relational, sampling,
-    scalar_fns, schema_evolution, setops, streaming_batch, windows)
+    scalar_fns, schema_evolution, setops, sql_features, streaming_batch, windows)
 
 q, o = registry()
 groups = [
@@ -17,6 +17,8 @@ groups = [
  ("Composite analytics (TPC-H-shaped)", analytics), ("Windows", windows),
  ("Set ops", setops), ("Scalar functions", scalar_fns),
  ("Sampling & reshape", sampling),
+ ("SQL-surface features (recursive CTE / EXECUTE IMMEDIATE / scripting / observe / XML)", sql_features),
+ ("ML on sufficient statistics", ml),
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
  ("Export pipeline (PII/sharding/novelty)", pipeline),
