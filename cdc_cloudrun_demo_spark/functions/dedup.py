@@ -737,7 +737,76 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the PRODUCTION shape of exact dedup: a new
+    ingest batch (odd doc_ids) is checked against the accumulated
+    corpus digest index (even doc_ids), then within itself. Each batch
+    doc is classified `dup_of_corpus` (digest already indexed),
+    `dup_in_batch` (a smaller-id batch doc shares the digest), or `new`
+    — exactly the decision an append-only curation pipeline makes per
+    micro-batch without ever re-deduplicating history. Scale shape:
+    both joins are digest-keyed (16-byte md5, never text); the corpus
+    side is the standing dedup index (digest-only, bucketable by
+    digest prefix at 100 TB so each batch probe touches one bucket
+    range), and the within-batch MIN fold is one map-side-combined
+    aggregate. NULL-text docs hash to NULL, match nothing on either
+    join (SQL null-key semantics, identical in the oracle), and land in
+    `new` — a missing payload is not a duplicate of anything."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    corpus = (
+        hashed.filter(F.col("doc_id") % 2 == 0)
+        .select("h")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(corpus, "h", "left")
+        .join(firsts, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus") == 1, F.lit("dup_of_corpus"))
+            .when(
+                F.col("first_id").isNotNull()
+                & (F.col("doc_id") > F.col("first_id")),
+                F.lit("dup_in_batch"),
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+    WITH hashed AS (
+        SELECT doc_id, md5({_SQL_NORM}) AS h FROM documents
+    ),
+    corpus AS (
+        SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT doc_id, h FROM hashed WHERE doc_id % 2 = 1
+    ),
+    firsts AS (
+        SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN f.first_id IS NOT NULL AND b.doc_id > f.first_id
+                     THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b
+    LEFT JOIN corpus c ON b.h = c.h
+    LEFT JOIN firsts f ON b.h = f.h
+"""
+
+
 QUERIES = {
+    "dedup_incremental": dedup_incremental,
     "pipeline_dedup_kept": pipeline_dedup_kept,
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -817,6 +886,7 @@ _SQL_CC_CTES = f"""shingles AS ({_SQL_TRIGRAMS}),
         )"""
 
 ORACLES = {
+    "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_exact": f"""
         SELECT md5({_SQL_NORM}) AS norm_hash,
                MIN(doc_id) AS keep_doc_id,

@@ -1006,7 +1006,76 @@ def text_boilerplate_strip(
     )
 
 
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """One BPE training iteration's pair statistics: adjacent-symbol
+    pair counts over the corpus vocabulary, weighted by word frequency —
+    the top row IS the merge a byte-pair-encoding tokenizer would learn
+    next. This is the inner loop of tokenizer training at corpus scale,
+    and its scale shape is the important part: the corpus collapses to
+    its VOCABULARY first (one word-count shuffle — the same aggregate
+    `text_vocab_topk` runs), and the pair explosion happens over
+    distinct words only (bounded by |vocab| × max word length, NOT by
+    corpus size — a trillion-token corpus has a few million distinct
+    words). Pair counting is a second small shuffle over ≤26² keys with
+    map-side combine; the top-k is a TakeOrdered on a tiny table with a
+    full lexical tie-break so the result set is deterministic. All
+    built-in JVM expressions; the oracle reproduces every step."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    vocab = (
+        words.filter((F.length("word") >= 2) & (F.length("word") <= 20))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        F.col("word"),
+    ).select(
+        F.expr("substring(word, i, 1)").alias("left_sym"),
+        F.expr("substring(word, i + 1, 1)").alias("right_sym"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(top_k)
+    )
+
+
+TEXT_BPE_PAIR_ORACLE = """
+    WITH words AS (
+        SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word, COUNT(*) AS freq FROM words
+        WHERE LENGTH(word) BETWEEN 2 AND 20
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT substring(word, i, 1) AS left_sym,
+               substring(word, i + 1, 1) AS right_sym,
+               freq
+        FROM (SELECT word, freq,
+                     UNNEST(generate_series(1, LENGTH(word) - 1)) AS i
+              FROM vocab)
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+    LIMIT 20
+"""
+
+
 QUERIES = {
+    "text_bpe_pair_stats": text_bpe_pair_stats,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_spell_variants": text_spell_variants,
     "text_bm25_search": text_bm25_search,
@@ -1055,6 +1124,7 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "text_bpe_pair_stats": TEXT_BPE_PAIR_ORACLE,
     "text_boilerplate_strip": """
         WITH words AS (
             SELECT doc_id, w.word, CAST(w.ord - 1 AS BIGINT) AS pos

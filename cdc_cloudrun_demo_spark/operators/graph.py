@@ -48,18 +48,32 @@ DAMP_NUM, DAMP_DEN = 85, 100
 RANK_BROADCAST_MAX_NODES = 50_000_000
 
 
+_RANK_MODE_MEMO: dict[tuple[str, int], str] = {}
+
+
 def _rank_join_mode(spark: SparkSession, sf_dir: str, mode: str) -> str:
-    """Resolve 'auto' to 'broadcast' or 'copartition' by node count."""
+    """Resolve 'auto' to 'broadcast' or 'copartition' by node count.
+
+    Memoized per (corpus, gate): the decision is table-stats metadata —
+    the same cardinality an engine's catalog caches between queries —
+    so the two footer-count jobs run once per corpus, not once per
+    query construction."""
     if mode != "auto":
         return mode
     gate = int(
         os.environ.get("SPARK_GRAFT_RANK_BROADCAST_MAX", RANK_BROADCAST_MAX_NODES)
     )
+    key = (sf_dir, gate)
+    cached = _RANK_MODE_MEMO.get(key)
+    if cached is not None:
+        return cached
     n_nodes = (
         load_table(spark, sf_dir, "customer").count()
         + load_table(spark, sf_dir, "supplier").count()
     )
-    return "broadcast" if n_nodes <= gate else "copartition"
+    resolved = "broadcast" if n_nodes <= gate else "copartition"
+    _RANK_MODE_MEMO[key] = resolved
+    return resolved
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
