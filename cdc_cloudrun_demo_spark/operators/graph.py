@@ -47,6 +47,13 @@ DAMP_NUM, DAMP_DEN = 85, 100
 # plan test to force the co-partitioned path on small data.
 RANK_BROADCAST_MAX_NODES = 50_000_000
 
+# Lineage-truncation cadence for iterative rank/distance loops: one giant
+# AQE plan re-optimizes the whole logical plan after every finished stage
+# (quadratic in stage count — measured ~2× slower across 10 iterations),
+# while checkpointing every iteration materializes needlessly. 3 measured
+# best at sf0.1 (see docs/PLANS.md drift notes).
+CHECKPOINT_EVERY = 3
+
 
 _RANK_MODE_MEMO: dict[tuple[str, int], str] = {}
 
@@ -199,7 +206,7 @@ def graph_pagerank(
         # small. FULL_TIMED in bench.py times this query from
         # construction start, so the work these checkpoints execute
         # early is still measured.
-        if (i + 1) % 3 == 0 and i + 1 < n_iter:
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
