@@ -71,6 +71,35 @@ HEADLINE: dict[str, str] = {
 # (their construction is milliseconds of analysis, not engine work).
 FULL_TIMED = {"graph_pagerank", "graph_pagerank_copart", "sim_ann_pq_topk"}
 
+# Like-for-like series: the suite GROWS each round (new entries join the
+# bench), so the headline wall is not round-over-round comparable on its
+# own. These named subsets pin each round's membership; the emitted
+# `legacy_suites` sums let a reader decompose "suite got bigger" from
+# "queries got slower" without diffing query lists.
+LEGACY_SUITES = {
+    # r1–r5 membership (20 queries)
+    "r5_20q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+    ],
+    # r6 membership = r5 + the three FULL_TIMED heavy additions
+    "r6_23q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+    ],
+}
+
 
 def main() -> None:
     queries, _ = registry()
@@ -162,6 +191,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "legacy_suites": {
+                    k: round(sum(timings[n] for n in names), 4)
+                    for k, names in LEGACY_SUITES.items()
+                },
                 "startup": {"session_s": session_s, "first_query_s": first_query_s},
                 "full_timed_split": {
                     n: {k: v for k, v in s.items() if k != "total"}
