@@ -485,7 +485,96 @@ def source_sqldump_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents metadata → XML files (Spark 4's native XML source, one
+    <doc> element per row) → read back with an explicit schema → per-lang
+    aggregate over the read-back rows. The XML write omits null elements
+    and the read restores them as NULL, so null langs land in the null
+    group on both sides — the oracle aggregates the pristine parquet, and
+    a hash match proves the XML hop is identity on every row. Scale
+    shape: XML scan/write are file-parallel JVM operators like CSV; the
+    aggregate is one map-side-combined exchange."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(scratch_dir("xml_rt_"), "docs_xml")
+    d.write.format("xml").option("rowTag", "doc").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SOURCE_XML_ORACLE = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def source_binary_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` ingestion — THE source for multimodal corpora at
+    scale (image/audio/video blobs landed as object-store files): a
+    bounded fixture subset of documents is written out as one .bin file
+    per doc (utf-8 text bytes; fixture construction only — see bound
+    note), then read back via `spark.read.format("binaryFile")` and
+    fingerprinted (doc_id parsed from the filename, byte length, md5 of
+    the content). The oracle fingerprints the same rows straight from
+    parquet, so a hash match proves the blob hop preserved every byte.
+    Scale shape: the binaryFile scan is file-parallel (one task per
+    blob batch, pathGlobFilter/recursiveFileLookup for layout control)
+    and feeds the same Arrow decode pipeline as `sources/multimodal.py`;
+    nothing here is bounded by corpus size at read time. The WRITE side
+    is a test fixture: 40 rows fetched to the driver (bounded by the
+    LIMIT, vetted in tests/test_scale_lint.py) — a production corpus
+    lands its blobs from the upstream store; Spark has no row-per-file
+    binary writer and an engine should not pretend otherwise."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    root = scratch_dir("blob_rt_")
+    blob_dir = os.path.join(root, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    for row in d.collect():  # bounded: LIMIT 40 fixture rows, vetted
+        with open(os.path.join(blob_dir, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(blob_dir)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+SOURCE_BINARY_ORACLE = """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL
+        ORDER BY doc_id LIMIT 40
+    )
+"""
+
+
 QUERIES = {
+    "source_xml_roundtrip": source_xml_roundtrip,
+    "source_binary_blobs": source_binary_blobs,
     "source_sqldump_writer_roundtrip": source_sqldump_writer_roundtrip,
     "source_delta_roundtrip": source_delta_roundtrip,
     "source_sqldump_roundtrip": source_sqldump_roundtrip,
@@ -498,6 +587,8 @@ QUERIES = {
 ORACLES = {
     # The oracles read the PRISTINE parquet: equality proves the text
     # hop (quote/escape/precision) is identity on every row.
+    "source_xml_roundtrip": SOURCE_XML_ORACLE,
+    "source_binary_blobs": SOURCE_BINARY_ORACLE,
     "source_sqldump_writer_roundtrip": f"""
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,

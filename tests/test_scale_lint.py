@@ -89,8 +89,10 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "streaming/tx_snapshot.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "sources/file_formats.py": (
-            1,
-            "<= n_buckets ints of touched-bucket ids (delta roundtrip)",
+            2,
+            "<= n_buckets ints of touched-bucket ids (delta roundtrip); "
+            "40 LIMIT-bounded fixture rows (binaryFile blob fixture — "
+            "production blobs land from the upstream store)",
         ),
         "session.py": (2, "64-row session warmup, corpus-independent"),
         "functions/similarity.py": (
