@@ -554,3 +554,56 @@ def test_bfs_copart_never_broadcasts_distance_vector(spark, sf_smoke):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_cbo_stats_driven_join_reorder(spark, sf_smoke):
+    """Cost-based join reorder: with table+column statistics in the
+    catalog and CBO on, a 3-way join WRITTEN fact-first must be
+    re-planned dims-first (the selective supplier⋈nation join collapses
+    to a handful of rows before the fact table is touched). This is the
+    declarative-planning contract at 100 TB: the user writes semantics,
+    the optimizer orders the joins from statistics — no hand-scheduled
+    join trees. The assertion reads the optimized logical plan: the
+    INNER (first-executed) join must be mid⋈small, with the fact
+    relation joined last."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    big, mid, small = f"cbo_big_{sfx}", f"cbo_mid_{sfx}", f"cbo_small_{sfx}"
+    for t, n in [("lineitem", big), ("supplier", mid), ("nation", small)]:
+        spark.read.parquet(f"{sf_smoke}/{t}.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable(n)
+        spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS FOR ALL COLUMNS")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    old_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        df = spark.sql(
+            f"""
+            SELECT count(*) AS n
+            FROM {big} b JOIN {mid} m ON b.l_suppkey = m.s_suppkey
+            JOIN {small} s ON m.s_nationkey = s.n_nationkey
+            WHERE s.n_name = 'FRANCE'
+            """
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the innermost join (deepest in the tree = executed first) must
+        # not involve the fact table: big appears only after the second
+        # Join node in a pre-order walk of the reordered tree
+        # pre-order print of the reordered tree Join(Join(mid, small), big)
+        # lists both join nodes first, then the two dim relations, then
+        # the fact relation LAST; the written order (fact joined first)
+        # would print the fact relation before either dim. Two joins must
+        # exist (no join was collapsed), and the fact scan must follow
+        # both dim scans.
+        first_join = plan.index("Join Inner")
+        assert plan.index("Join Inner", first_join + 1) > first_join
+        assert plan.index(big) > plan.index(mid), plan
+        assert plan.index(big) > plan.index(small), plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
+        for n in (big, mid, small):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
