@@ -533,9 +533,11 @@ def dedup_embedding_lsh(
     probability is (1 − θ/π)^bits per table, so banding only recalls
     HIGH-similarity pairs (≈0.85 OR-recall per 0.86-cosine pair here;
     a 0.35 threshold would recall ~15% and must use exact blocked
-    search, which is what dedup_embedding_cosine is). Approximate →
-    rows-only check; drop-recall ≥ 0.9 vs brute force on a clustered
-    corpus and survivor-superset vs exact asserted in tests."""
+    search, which is what dedup_embedding_cosine is). Fully
+    hash-oracled (the portable integer-sign postings let DuckDB
+    re-derive buckets, candidates and cosines end-to-end); drop-recall
+    ≥ 0.9 vs brute force on a clustered corpus and survivor-superset vs
+    exact additionally asserted in tests."""
     from .similarity import cosine, hyperplane_lsh_postings
 
     post = hyperplane_lsh_postings(
@@ -582,8 +584,11 @@ def dedup_embedding_ivf(
     verified with the exact cosine, so precision is 1 by construction
     and only recall is approximate. Multi-probe is the boundary-pair
     fix: a near-dup pair split by a Voronoi edge still meets in one of
-    the probed cells. Approximate → rows-only check; never-over-drops +
-    drop-recall ≥ 0.9 on a clustered corpus asserted in tests."""
+    the probed cells. Fully HASH-ORACLED (round-7): the integer
+    fixed-point quantizer is retrained by the DuckDB oracle, which
+    re-derives postings, candidates and the exact-cosine verify;
+    never-over-drops + drop-recall ≥ 0.9 additionally asserted in
+    tests."""
     from .similarity import dot, ivf_ranked_cells, kmeans_centroid_rows, norm
 
     emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
@@ -599,7 +604,7 @@ def dedup_embedding_ivf(
         "embedding",
         "nrm",
         F.explode(
-            F.slice(ranked(F.col("embedding"), F.col("nrm")), 1, n_probe)
+            F.slice(ranked(F.col("embedding")), 1, n_probe)
         ).alias("cell"),
     )
     a = post.select(
@@ -1373,3 +1378,36 @@ def _embedding_lsh_oracle() -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+
+
+def _embedding_ivf_oracle(threshold: float = 0.8, n_probe: int = 2) -> str:
+    """IVF-cell-blocked embedding dedup re-derived end-to-end in SQL:
+    the integer k-means training chain (similarity._sql_int_kmeans),
+    multi-probe cell postings, the cell-equality candidate join, the
+    round-6 exact-cosine verify, and the survivor anti-join — zero
+    engine state (round-7 upgrade from rows-only)."""
+    from .similarity import _sql_cosine, _sql_int_kmeans, _sql_ranked_cells
+
+    return f"""
+        WITH {_sql_int_kmeans("k_", m=1)},
+        {_sql_ranked_cells("k_")},
+        posts AS (
+            SELECT vec_id, cid FROM k_ranked WHERE rn <= {n_probe}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_keep, b.vec_id AS id_drop
+            FROM posts a JOIN posts b USING (cid)
+            WHERE a.vec_id < b.vec_id
+        ), dropped AS (
+            SELECT DISTINCT c.id_drop AS vec_id
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.id_keep
+            JOIN embeddings b ON b.vec_id = c.id_drop
+            WHERE ROUND({_sql_cosine("a.embedding", "b.embedding")}, 6)
+                  >= {threshold}
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+ORACLES["dedup_embedding_ivf"] = _embedding_ivf_oracle()

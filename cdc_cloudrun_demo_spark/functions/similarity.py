@@ -22,6 +22,14 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_for_compute, load_table
 
+# Fixed-point k-means scale/iterations (see the discipline note above
+# kmeans_centroid_rows): micro-unit quantization + integer Lloyd make the
+# trained centroids oracle-reproducible.
+KM_SCALE = 1_000_000
+KM_ITER = 8
+
+
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (strict left fold, deterministic)."""
@@ -223,6 +231,300 @@ def _sql_lsh_postings(n_tables: int = 8, bits_per_table: int = 8) -> str:
     return "\n            UNION ALL ".join(selects)
 
 
+def _sql_quantize(col: str = "embedding") -> str:
+    """DuckDB micro-unit quantization — textual twin of `quantized_vec`
+    / `_quantize_np` (identical IEEE expression per element)."""
+    return (
+        f"list_transform({col}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+
+
+def _sql_int_kmeans(
+    prefix: str,
+    n_clusters: int = 16,
+    n_iter: int = KM_ITER,
+    sample_size: int = 2048,
+    seed: int = 42,
+    m: int = 1,
+    dim: int = 64,
+) -> str:
+    """CTE-chain text recomputing the engine's integer fixed-point
+    k-means from the parquet — the oracle twin of `kmeans_centroid_rows`
+    (m=1) and `_pq_codebooks` (m>1, one chain trains all subspaces at
+    once keyed by `sub`). Ends with ``{prefix}cents(sub, cid, cv)``
+    where cv is the int64 centroid list. Every step is exact integer
+    arithmetic (the floor-divide update uses FLOOR over a double
+    quotient of exact ints — lossless while |sum| < 2^53, and sums here
+    are ≤ sample·2·10⁶), so the centroids match the numpy training
+    bit-for-bit. Embed inside ``WITH ...`` and follow with the entry
+    logic."""
+    dsub = dim // m
+    p = prefix
+    subs = ", ".join(str(j) for j in range(m))
+    parts = [
+        f"""{p}sample0 AS (
+            SELECT vec_id, {_sql_quantize()} AS q,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'),
+                                vec_id) AS ord
+            FROM embeddings
+        ), {p}samples AS (
+            SELECT vec_id, ord, t.sub,
+                   list_slice(q, t.sub * {dsub} + 1, (t.sub + 1) * {dsub}) AS qs
+            FROM {p}sample0, (SELECT UNNEST([{subs}]) AS sub) t
+            WHERE ord <= {sample_size}
+        ), {p}cent0 AS (
+            SELECT sub, ord - 1 AS cid, qs AS cv FROM {p}samples
+            WHERE ord <= {n_clusters}
+        )"""
+    ]
+    d2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (s.qs[i] - c.cv[i]) * (s.qs[i] - c.cv[i])))"
+    )
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""{p}asg{k} AS (
+            SELECT sub, vec_id, qs, cid FROM (
+                SELECT s.sub, s.vec_id, s.qs, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.sub, s.vec_id
+                           ORDER BY {d2}, c.cid) AS rn
+                FROM {p}samples s JOIN {p}cent{k - 1} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        ), {p}upd{k} AS (
+            SELECT sub, cid, list(v ORDER BY d) AS cv FROM (
+                SELECT sub, cid, d,
+                       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+                FROM (
+                    SELECT sub, cid, UNNEST(qs) AS v,
+                           generate_subscripts(qs, 1) AS d
+                    FROM {p}asg{k}
+                )
+                GROUP BY sub, cid, d
+            ) GROUP BY sub, cid
+        ), {p}cent{k} AS (
+            SELECT prev.sub, prev.cid, COALESCE(u.cv, prev.cv) AS cv
+            FROM {p}cent{k - 1} prev
+            LEFT JOIN {p}upd{k} u ON prev.sub = u.sub AND prev.cid = u.cid
+        )"""
+        )
+    parts.append(
+        f"{p}cents AS (SELECT sub, cid, cv FROM {p}cent{n_iter})"
+    )
+    return ",\n".join(parts)
+
+
+def _sql_int_d2(a: str, b: str, dsub: int) -> str:
+    """Exact integer squared L2 between two int64 lists (oracle twin of
+    `_int_dist2` — order-insensitive, so the fold order is free)."""
+    return (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _sql_l2(a: str, b: str, dim: int = 64) -> str:
+    """Float squared L2 — textual twin of the exact-rerank fold
+    (sequential per-index accumulation, same IEEE chain as Spark's
+    zip_with + aggregate)."""
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {t} * {t}))"
+
+
+def _sql_ranked_cells(prefix: str = "k_", dim: int = 64) -> str:
+    """CTE text ranking every corpus vector against ``{prefix}cents``
+    by exact integer squared L2 (asc, tie → lowest cid) — the oracle
+    twin of `ivf_ranked_cells`. Requires the `_sql_int_kmeans(prefix,
+    m=1)` chain earlier in the WITH list; emits ``{prefix}corpusq`` and
+    ``{prefix}ranked(vec_id, cid, rn)``."""
+    p = prefix
+    return f"""{p}corpusq AS (
+            SELECT vec_id, embedding, {_sql_quantize()} AS q FROM embeddings
+        ), {p}ranked AS (
+            SELECT s.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY {_sql_int_d2("s.q", "c.cv", dim)}, c.cid) AS rn
+            FROM {p}corpusq s CROSS JOIN {p}cents c
+        )"""
+
+
+def _ivf_topk_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """sim_ann_ivf_topk re-derived end-to-end in SQL: the integer
+    k-means training chain, integer-L2 cell assignment and query
+    probing, the cell-equality candidate join, the exact float cosine
+    (fixed-order fold) and the (cos desc, id asc) top-k."""
+    return f"""
+        WITH {_sql_int_kmeans("k_", m=1)},
+        {_sql_ranked_cells("k_")},
+        asgn AS (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid FROM k_ranked
+            WHERE vec_id < 5 AND rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id
+            FROM qprobe q JOIN asgn a USING (cid)
+            WHERE a.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND({_sql_cosine("qe.embedding", "ne.embedding")}, 6)
+                     AS cos_sim
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+def _semdedup_oracle(n_clusters: int = 16, tau: float = 0.35) -> str:
+    """dedup_semantic_clusters re-derived in SQL: integer k-means cells,
+    within-cell pairs, the round-6 exact-cosine drop rule, keep = no
+    lower-id near-dup in the cell."""
+    return f"""
+        WITH {_sql_int_kmeans("k_", n_clusters=n_clusters, m=1)},
+        {_sql_ranked_cells("k_")},
+        asgn AS (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE ROUND({_sql_cosine("ea.embedding", "eb.embedding")}, 6) > {tau}
+        )
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell,
+               d.vec_id IS NULL AS kept
+        FROM asgn a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+def _sql_pq_codes(m: int = 8, ksub: int = 16, dim: int = 64) -> str:
+    """CTE text assigning every corpus vector its PQ codes against the
+    ``p_cents`` integer codebooks — the oracle twin of `_pq_codes_arr`.
+    Emits ``pq_subq`` and ``pq_codes_t(vec_id, sub, code)``."""
+    dsub = dim // m
+    subs = ", ".join(str(j) for j in range(m))
+    return f"""pq_subq AS (
+            SELECT vec_id, t.sub,
+                   list_slice({_sql_quantize()}, t.sub * {dsub} + 1,
+                              (t.sub + 1) * {dsub}) AS qs
+            FROM embeddings, (SELECT UNNEST([{subs}]) AS sub) t
+        ), pq_codes_t AS (
+            SELECT vec_id, sub, cid AS code FROM (
+                SELECT s.vec_id, s.sub, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.sub
+                           ORDER BY {_sql_int_d2("s.qs", "c.cv", dsub)}, c.cid) AS rn
+                FROM pq_subq s JOIN p_cents c ON s.sub = c.sub
+            ) WHERE rn = 1
+        )"""
+
+
+def _pq_codes_oracle(m: int = 8, ksub: int = 16) -> str:
+    return f"""
+        WITH {_sql_int_kmeans("p_", n_clusters=ksub, m=m)},
+        {_sql_pq_codes(m=m, ksub=ksub)}
+        SELECT vec_id, CAST(sub AS INT) AS subspace, CAST(code AS INT) AS code
+        FROM pq_codes_t
+    """
+
+
+def _sql_adc_chain(m: int = 8, dim: int = 64, rerank: int = 100, k: int = 10,
+                   cand_cte: str = "adccand") -> str:
+    """Shared ADC tail: integer ADC distances over ``{cand_cte}(query_id,
+    neighbor_id)`` candidate pairs, top-``rerank`` per query, exact
+    float-L2 re-rank, final top-``k``. Requires ``p_cents``,
+    ``pq_codes_t`` and ``pq_subq`` CTEs."""
+    dsub = dim // m
+    return f"""adcq AS (
+            SELECT vec_id AS query_id, sub, qs FROM pq_subq WHERE vec_id < 5
+        ), adc AS (
+            SELECT q.query_id, co.vec_id AS neighbor_id,
+                   CAST(SUM({_sql_int_d2("q.qs", "b.cv", dsub)}) AS BIGINT)
+                     AS adc_dist
+            FROM adcq q
+            JOIN pq_codes_t co ON co.sub = q.sub
+            JOIN p_cents b ON b.sub = co.sub AND b.cid = co.code
+            JOIN {cand_cte} cc ON cc.query_id = q.query_id
+                              AND cc.neighbor_id = co.vec_id
+            GROUP BY q.query_id, co.vec_id
+        ), cands AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS rn
+                FROM adc
+            ) WHERE rn <= {rerank}
+        ), exact AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND({_sql_l2("qe.embedding", "ne.embedding", dim)}, 6)
+                     AS l2_dist
+            FROM cands c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, l2_dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY l2_dist, neighbor_id) AS rn
+            FROM exact
+        ) WHERE rn <= {k}"""
+
+
+def _pq_topk_oracle(m: int = 8, ksub: int = 16, rerank: int = 100, k: int = 10) -> str:
+    """sim_ann_pq_topk re-derived in SQL: integer codebooks, PQ code
+    assignment, integer ADC candidate generation over ALL corpus rows,
+    exact float-L2 re-rank, top-k."""
+    return f"""
+        WITH {_sql_int_kmeans("p_", n_clusters=ksub, m=m)},
+        {_sql_pq_codes(m=m, ksub=ksub)},
+        adccand AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+            CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.vec_id
+        ),
+        {_sql_adc_chain(m=m, rerank=rerank, k=k)}
+    """
+
+
+def _ivfpq_topk_oracle(
+    n_clusters: int = 16, n_probe: int = 4, m: int = 8, ksub: int = 16,
+    rerank: int = 100, k: int = 10,
+) -> str:
+    """sim_ann_ivfpq_topk re-derived in SQL: BOTH training chains (the
+    coarse quantizer and the PQ codebooks), integer cell assignment +
+    query probing, candidates restricted to probed cells, integer ADC,
+    exact float-L2 re-rank, top-k — the complete FAISS-IVFPQ shape with
+    zero engine state."""
+    return f"""
+        WITH {_sql_int_kmeans("k_", n_clusters=n_clusters, m=1)},
+        {_sql_ranked_cells("k_")},
+        {_sql_int_kmeans("p_", n_clusters=ksub, m=m)},
+        {_sql_pq_codes(m=m, ksub=ksub)},
+        asgn AS (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid FROM k_ranked
+            WHERE vec_id < 5 AND rn <= {n_probe}
+        ),
+        adccand AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id
+            FROM qprobe q JOIN asgn a USING (cid)
+            WHERE a.vec_id <> q.query_id
+        ),
+        {_sql_adc_chain(m=m, rerank=rerank, k=k)}
+    """
+
+
 def _sql_cosine(a: str, b: str) -> str:
     """DuckDB cosine between two embedding columns — the identical
     IEEE chain the oracled brute-force entries already hash-match."""
@@ -379,70 +681,101 @@ def _corpus_fingerprint(corpus_key: str) -> tuple | None:
         return None
 
 
+# Fixed-point k-means discipline (round-7): vectors are quantized to
+# micro-units (floor(x·10⁶ + 0.5), the same scaled-long rule as
+# operators/_util) and Lloyd runs ENTIRELY in int64 — integer squared-L2
+# assignment (tie → lowest cell id) and floor-division centroid updates.
+# Every step is order-insensitive exact arithmetic, so a DuckDB oracle
+# can recompute the IDENTICAL centroids from the parquet with unrolled
+# CTEs (`_sql_int_kmeans`), which upgrades the whole IVF/PQ family from
+# rows-only checks to full hash-match oracles. Init is the first K
+# sample rows in portable-md5 order (no RNG); an empty cluster keeps its
+# previous centroid (frozen, matching the COALESCE in the SQL twin).
+def _quantize_np(X):
+    import numpy as np
+
+    return np.floor(X * float(KM_SCALE) + 0.5).astype(np.int64)
+
+
+def _int_lloyd(Q, n_clusters: int, n_iter: int):
+    """Integer Lloyd over quantized rows Q (N×d int64) → (K×d int64)."""
+    import numpy as np
+
+    cents = Q[: min(n_clusters, len(Q))].copy()
+    for _ in range(n_iter):
+        d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties resolve to the lowest cell id
+        for c in range(len(cents)):
+            members = Q[assign == c]
+            if len(members):
+                cents[c] = np.floor_divide(members.sum(axis=0), len(members))
+    return cents
+
+
+def _kmeans_sample(emb: DataFrame, sample_size: int, seed: int):
+    """Bounded deterministic sample in PORTABLE order: md5 of the id
+    string — a seeded pseudo-random shuffle both engines compute
+    identically (xxhash64 would be Spark-only), so the oracle trains on
+    the exact same rows. Fixed-size distributed top-k, never a
+    data-scaled collect: a 100 TB build samples the same ~10⁵ rows."""
+    return (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))),
+            F.col("vec_id"),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+
+
 def kmeans_centroid_rows(
     spark: SparkSession,
     emb: DataFrame,
     n_clusters: int,
     sample_size: int = 2048,
-    n_iter: int = 15,
+    n_iter: int = KM_ITER,
     seed: int = 42,
     corpus_key: str = "",
-) -> list[tuple[int, list[float]]]:
-    """Spherical k-means (Lloyd) centroids trained on a bounded,
-    deterministic sample — the IVF coarse quantizer.
+) -> list[tuple[int, list[int]]]:
+    """K-means (integer fixed-point Lloyd) centroids trained on a
+    bounded, deterministic sample — the IVF coarse quantizer, now fully
+    ORACLE-REPRODUCIBLE (see the fixed-point discipline note above):
+    centroids are int64 micro-unit vectors a DuckDB CTE chain recomputes
+    bit-for-bit, so every downstream IVF/SemDeDup entry hash-matches.
 
     The sample is FIXED-SIZE (``sample_size`` rows via a distributed
     top-k, never a data-scaled collect), so the driver-side fit is
-    O(sample·k·iter) flops — trivial next to one corpus pass and
-    independent of corpus size; a 100 TB build samples ~10⁵ vectors, same
-    shape. Rows are picked by ``xxhash64(vec_id)`` order — a seeded
-    pseudo-random shuffle of ids, so the sample is uniform even when the
-    corpus is ordered by source/time (a head-of-table sample would train
-    on one source, leave clusters empty, and sink IVF recall). Vectors
-    and centroids are L2-normalized, so argmax dot = argmax cosine and
-    downstream cnrm ≡ 1.
+    O(sample·k·iter) integer ops — trivial next to one corpus pass and
+    independent of corpus size; a 100 TB build samples ~10⁵ vectors,
+    same shape. Rows are picked by portable md5(id) order, so the
+    sample is uniform even when the corpus is ordered by source/time.
 
     The trained centroids are memoized per (corpus, hyperparams): an IVF
     coarse quantizer is built ONCE at ingest and reused by every query —
     retraining per query call would misrepresent the operator's cost at
-    any scale. The cache holds plain floats (session-independent),
+    any scale. The cache holds plain ints (session-independent),
     LRU-capped at _CENTROID_CACHE_MAX corpora; an unstat-able corpus
     path (None fingerprint) is never cached (round-4 advice)."""
     import numpy as np
 
     fp = _corpus_fingerprint(corpus_key) if corpus_key else None
-    cache_key = (corpus_key, fp, n_clusters, sample_size, n_iter, seed)
+    cache_key = ("ivf-q", corpus_key, fp, n_clusters, sample_size, n_iter, seed)
     if fp is not None:
         with _centroid_lock:
             if cache_key in _centroid_cache:
                 _centroid_cache.move_to_end(cache_key)
                 return _centroid_cache[cache_key]
 
-    sample = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
-        .limit(sample_size)
-        .collect()
-    )
+    sample = _kmeans_sample(emb, sample_size, seed)
     if not sample:
         # empty corpus: one zero centroid keeps every downstream plan
         # well-formed (assignment evaluates over zero rows; top-k and
         # dedup both yield empty results instead of a numpy axis error)
-        return [(0, [0.0])]
+        return [(0, [0])]
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
-    for _ in range(n_iter):
-        assign = (X @ cents.T).argmax(axis=1)
-        for c in range(len(cents)):
-            members = X[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cents[c] = v / nv
-    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cents = _int_lloyd(_quantize_np(X), n_clusters, n_iter)
+    rows = [(int(i), [int(x) for x in c]) for i, c in enumerate(cents)]
     if fp is not None:
         with _centroid_lock:
             _centroid_cache[cache_key] = rows
@@ -452,32 +785,56 @@ def kmeans_centroid_rows(
     return rows
 
 
-def ivf_ranked_cells(cent_rows: list[tuple[int, list[float]]]):
-    """Column builder: for a row's (vec, nrm), the centroid ids ranked by
-    cosine (desc, tie → lowest cid).
+def quantized_vec(vec) -> Column:
+    """Per-row micro-unit quantization — the in-plan twin of
+    `_quantize_np` (identical IEEE expression, so the int64 values match
+    numpy's and the oracle's bit-for-bit). Narrow transform, no
+    exchange."""
+    return F.transform(
+        vec, lambda x: F.floor(x * F.lit(float(KM_SCALE)) + F.lit(0.5)).cast("long")
+    )
 
-    The K centroids are driver-side constants (K·dim doubles), so list
-    assignment is a NARROW per-row argmax over an inlined literal array —
+
+def _int_dist2(qv, cv) -> Column:
+    """Exact integer squared L2 between two quantized vectors — an
+    order-insensitive int64 fold (zip → diff² → sum), so the value is
+    reproducible in any engine."""
+    return F.aggregate(
+        F.zip_with(qv, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_ranked_cells(cent_rows: list[tuple[int, list[int]]]):
+    """Column builder: for a row's vector, the centroid ids ranked by
+    EXACT integer squared-L2 distance (asc, tie → lowest cid) against
+    the quantized fixed-point centroids — fully oracle-reproducible
+    (the float-cosine ranking it replaces depended on engine-trained
+    float centroids, which forced rows-only checks downstream).
+
+    The K centroids are driver-side constants (K·dim int64), so cell
+    assignment is a NARROW per-row argmin over an inlined literal array —
     no crossJoin, no window, no shuffle of the corpus at any scale. The
     literal is ONE parsed SQL expression, not K·dim F.lit() calls:
     per-element Column construction costs a Py4J round-trip each (~1 ms ×
     1024 = a whole query's budget); the text parses JVM-side in one call
-    and constant-folds. Rounding keeps the historical tie-break (desc
-    c_sim, asc cid): default struct ordering sorts neg asc = sim desc,
-    then cid asc. Centroids are unit-norm, so dot/nrm is the cosine."""
+    and constant-folds. array_sort on (d2, cid) structs gives the
+    deterministic asc-asc ranking both engines agree on."""
     structs = ", ".join(
         "named_struct('cid', {}, 'cvec', array({}))".format(
-            int(cid), ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+            int(cid), ", ".join(f"CAST({int(x)} AS BIGINT)" for x in vec)
         )
         for cid, vec in cent_rows
     )
     cents_arr = F.expr(f"array({structs})")
 
-    def ranked(vec, nrm):
+    def ranked(vec):
+        qv = quantized_vec(vec)
         scored = F.transform(
             cents_arr,
             lambda c: F.struct(
-                (-F.round(dot(vec, c.cvec) / nrm, 6)).alias("neg"),
+                _int_dist2(qv, c.cvec).alias("d2"),
                 c.cid.alias("cid"),
             ),
         )
@@ -497,12 +854,15 @@ def sim_ann_ivf_topk(
     lists by nearest centroid, probe only the ``n_probe`` lists closest to
     each query, exact cosine within candidates.
 
-    Centroids come from spherical k-means on a bounded deterministic
-    sample (``kmeans_centroid_rows``). Scale shape: assignment is one
-    broadcast (N×K dots, embarrassingly parallel, no shuffle of the
-    corpus); the probe is an equality join on cluster id, so each query
-    touches n_probe/n_clusters of the data — the IVF speedup. Approximate
-    → rows-only check; recall@10 ≥ 0.8 vs brute force asserted in tests.
+    Centroids come from integer fixed-point k-means on a bounded
+    deterministic sample (``kmeans_centroid_rows``). Scale shape:
+    assignment is a narrow inlined-literal argmin (embarrassingly
+    parallel, no shuffle of the corpus); the probe is an equality join
+    on cluster id, so each query touches n_probe/n_clusters of the data
+    — the IVF speedup. Fully HASH-ORACLED (round-7): the DuckDB oracle
+    retrains the identical centroids and re-derives assignment, probing
+    and the exact cosine top-k; recall@10 ≥ 0.8 vs brute force is
+    additionally property-tested.
     """
     emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
         # each vector's norm once — reused by assignment AND candidate scoring
@@ -515,14 +875,14 @@ def sim_ann_ivf_topk(
         "vec_id",
         "embedding",
         "nrm",
-        ranked_cids(F.col("embedding"), F.col("nrm"))[0].alias("cid"),
+        ranked_cids(F.col("embedding"))[0].alias("cid"),
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("nrm").alias("qnrm"),
         F.explode(
-            F.slice(ranked_cids(F.col("embedding"), F.col("nrm")), 1, n_probe)
+            F.slice(ranked_cids(F.col("embedding")), 1, n_probe)
         ).alias("cid"),
     )
     cos = dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
@@ -549,48 +909,38 @@ def _pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     sample_size: int = 2048,
-    n_iter: int = 15,
+    n_iter: int = KM_ITER,
     seed: int = 42,
     corpus_key: str = "",
-) -> list[list[list[float]]]:
+) -> list[list[list[int]]]:
     """Product-quantization codebooks: split the vector into ``m``
-    subspaces and run L2 Lloyd k-means (``ksub`` centroids) per
-    subspace on the same bounded deterministic sample discipline as
-    `kmeans_centroid_rows` (fixed-size hash-ordered sample — the only
+    subspaces and run integer fixed-point Lloyd (``ksub`` centroids)
+    per subspace on the same bounded deterministic sample discipline as
+    `kmeans_centroid_rows` (portable md5-ordered sample — the only
     collect, independent of corpus size; memoized per corpus like the
-    IVF quantizer, so the codebook is built once at ingest)."""
+    IVF quantizer, so the codebook is built once at ingest). Integer
+    training makes the codebooks — and therefore the PQ codes and the
+    whole ADC distance chain — oracle-reproducible: code assignment and
+    ADC lookups are exact int64 arithmetic on both engines."""
     import numpy as np
 
     fp = _corpus_fingerprint(corpus_key) if corpus_key else None
-    cache_key = ("pq", corpus_key, fp, m, ksub, sample_size, n_iter, seed)
+    cache_key = ("pq-q", corpus_key, fp, m, ksub, sample_size, n_iter, seed)
     if fp is not None:
         with _centroid_lock:
             if cache_key in _centroid_cache:
                 _centroid_cache.move_to_end(cache_key)
                 return _centroid_cache[cache_key]
-    sample = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
-        .limit(sample_size)
-        .collect()
-    )
+    sample = _kmeans_sample(emb, sample_size, seed)
     if not sample:
-        return [[[0.0]] for _ in range(m)]
+        return [[[0]] for _ in range(m)]
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    dsub = X.shape[1] // m
-    rng = np.random.RandomState(seed)
-    books: list[list[list[float]]] = []
+    Q = _quantize_np(X)
+    dsub = Q.shape[1] // m
+    books: list[list[list[int]]] = []
     for j in range(m):
-        S = X[:, j * dsub : (j + 1) * dsub]
-        cents = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
-        for _ in range(n_iter):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(cents)):
-                members = S[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append([[float(x) for x in c] for c in cents])
+        cents = _int_lloyd(Q[:, j * dsub : (j + 1) * dsub], ksub, n_iter)
+        books.append([[int(x) for x in c] for c in cents])
     if fp is not None:
         with _centroid_lock:
             _centroid_cache[cache_key] = books
@@ -615,32 +965,24 @@ def _pq_codes_arr(
     emb = load_for_compute(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
     dsub = len(books[0][0])
+    qfull = quantized_vec(F.col("embedding"))
     code_cols = []
     for j, book in enumerate(books):
         structs = ", ".join(
             "named_struct('code', {}, 'cvec', array({}))".format(
-                int(c), ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+                int(c), ", ".join(f"CAST({int(x)} AS BIGINT)" for x in vec)
             )
             for c, vec in enumerate(book)
         )
         book_arr = F.expr(f"array({structs})")
-        sub = F.slice(F.col("embedding"), j * dsub + 1, dsub)
+        sub = F.slice(qfull, j * dsub + 1, dsub)
 
         def _score(sub_col):
             # single-arg lambda: PySpark binds a 2-arg transform lambda
             # to (element, index), so the subvector must close over a
             # factory, not a default argument
             return lambda cent: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            sub_col, cent.cvec, lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    9,
-                ).alias("d2"),
+                _int_dist2(sub_col, cent.cvec).alias("d2"),
                 cent.code.alias("code"),
             )
 
@@ -667,10 +1009,11 @@ def sim_pq_codes(
     (round-5 verdict: the `array<int>` form hard-errored the driver's
     pandas sort_values) — via `posexplode`, a narrow per-row op (no
     exchange; the array lives and dies inside one projection).
-    Codebooks are engine-trained (driver-side k-means on a bounded
-    2048-row sample) → rows-only check; determinism, the m·rows row
-    count, the code∈[0,ksub) range, and the reconstruction-error
-    contract are property-tested in tests/test_llm_ops.py."""
+    Codebooks are integer fixed-point (round-7) — the DuckDB oracle
+    retrains them from the parquet and re-derives every code, so this
+    entry is fully hash-matched; determinism, the m·rows row count, the
+    code∈[0,ksub) range, and the reconstruction-error contract are
+    additionally property-tested in tests/test_llm_ops.py."""
     codes = _pq_codes_arr(spark, sf_dir, m=m, ksub=ksub)
     return codes.select(
         "vec_id",
@@ -708,7 +1051,9 @@ def sim_ann_pq_topk(
     `win_topn_salted` two-phase pre-prune (partition-local top-C, then
     global top-C over partitions·C rows; same pattern, no semantic
     change) — and the final top-k over the bounded re-ranked set.
-    Approximate → rows-only check; recall@10 vs exact L2 is
+    Fully HASH-ORACLED (round-7): integer codebooks + integer ADC make
+    the candidate stage exact on both engines, and the float re-rank is
+    a fixed-order fold; recall@10 vs exact L2 is additionally
     property-tested."""
     import numpy as np
 
@@ -723,10 +1068,14 @@ def sim_ann_pq_topk(
     dsub = len(books[0][0])
     per_query = []
     for qr in queries:
-        q = np.array(qr["embedding"], dtype=np.float64)
+        q = _quantize_np(np.array(qr["embedding"], dtype=np.float64))
+        # integer ADC lookup table: exact squared-L2 between the
+        # quantized query subvector and each integer codebook centroid —
+        # the whole candidate-generation chain is exact int64, so the
+        # oracle recomputes the identical distances
         table = [
             [
-                float(((q[j * dsub : (j + 1) * dsub] - np.array(c)) ** 2).sum())
+                int((((q[j * dsub : (j + 1) * dsub]) - np.array(c, dtype=np.int64)) ** 2).sum())
                 for c in books[j]
             ]
             for j in range(m)
@@ -734,7 +1083,7 @@ def sim_ann_pq_topk(
         tbl_sql = "array({})".format(
             ", ".join(
                 "array({})".format(
-                    ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in row)
+                    ", ".join(f"CAST({v} AS BIGINT)" for v in row)
                 )
                 for row in table
             )
@@ -746,13 +1095,13 @@ def sim_ann_pq_topk(
                 F.col("pq_codes"),
                 lambda row, c: F.element_at(row, c + 1),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         per_query.append(
             F.struct(
                 F.lit(int(qr["vec_id"])).alias("query_id"),
-                F.round(dist, 9).alias("adc_dist"),
+                dist.alias("adc_dist"),
             )
         )
     scored = codes.select(
@@ -819,8 +1168,10 @@ def sim_ann_ivfpq_topk(
     models the ingest-time layout — production stores (cid, codes)
     in one row at index build, making it free. Probed cells per query
     are computed driver-side over the same centroid constants with the
-    same round-6 tie-break as the in-plan ranking. Approximate →
-    rows-only check; recall vs exact L2 property-tested."""
+    same exact-integer tie-break as the in-plan ranking. Fully
+    HASH-ORACLED (round-7): both training chains are integer
+    fixed-point, so the oracle re-derives cells, codes, ADC and the
+    re-rank; recall vs exact L2 additionally property-tested."""
     import numpy as np
 
     emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
@@ -830,7 +1181,7 @@ def sim_ann_ivfpq_topk(
     books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
     ranked_cids = ivf_ranked_cells(cent_rows)
     assigned = emb.select(
-        "vec_id", ranked_cids(F.col("embedding"), F.col("nrm"))[0].alias("cid")
+        "vec_id", ranked_cids(F.col("embedding"))[0].alias("cid")
     )
     codes = _pq_codes_arr(spark, sf_dir, m=m, ksub=ksub)
     corpus = assigned.join(codes, "vec_id")
@@ -840,23 +1191,22 @@ def sim_ann_ivfpq_topk(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, l2_dist double"
         )
-    cents = {cid: np.array(v, dtype=np.float64) for cid, v in cent_rows}
+    cents = {cid: np.array(v, dtype=np.int64) for cid, v in cent_rows}
     dsub = len(books[0][0])
     per_query = []
     for qr in queries:
-        q = np.array(qr["embedding"], dtype=np.float64)
-        qn = float(np.sqrt((q * q).sum()))
-        # same scoring + tie-break as ivf_ranked_cells: round-6 cosine
-        # desc, cid asc (centroids are unit-norm)
+        q = _quantize_np(np.array(qr["embedding"], dtype=np.float64))
+        # same scoring + tie-break as ivf_ranked_cells: exact integer
+        # squared-L2 asc, cid asc — the oracle re-derives the same list
         probed = [
             cid
             for _, cid in sorted(
-                (-round(float(cents[cid] @ q) / qn, 6), cid) for cid in cents
+                (int(((q - cents[cid]) ** 2).sum()), cid) for cid in cents
             )[:n_probe]
         ]
         table = [
             [
-                float(((q[j * dsub : (j + 1) * dsub] - np.array(c)) ** 2).sum())
+                int((((q[j * dsub : (j + 1) * dsub]) - np.array(c, dtype=np.int64)) ** 2).sum())
                 for c in books[j]
             ]
             for j in range(m)
@@ -864,7 +1214,7 @@ def sim_ann_ivfpq_topk(
         tbl_sql = "array({})".format(
             ", ".join(
                 "array({})".format(
-                    ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in row)
+                    ", ".join(f"CAST({v} AS BIGINT)" for v in row)
                 )
                 for row in table
             )
@@ -875,14 +1225,14 @@ def sim_ann_ivfpq_topk(
                 F.col("pq_codes"),
                 lambda row, c: F.element_at(row, c + 1),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         per_query.append(
             F.struct(
                 F.lit(int(qr["vec_id"])).alias("query_id"),
                 F.array(*[F.lit(int(c)) for c in probed]).alias("probed"),
-                F.round(dist, 9).alias("adc_dist"),
+                dist.alias("adc_dist"),
             )
         )
     scored = (
@@ -1014,7 +1364,7 @@ def dedup_semantic_clusters(
         "vec_id",
         "embedding",
         "nrm",
-        F.element_at(ranked(F.col("embedding"), F.col("nrm")), 1).alias("cell"),
+        F.element_at(ranked(F.col("embedding")), 1).alias("cell"),
     )
     a = base.select(
         F.col("cell").alias("cell_a"),
@@ -1189,3 +1539,13 @@ ORACLES = {
         FROM norms GROUP BY label
     """,
 }
+
+# Round-7 upgrade: the integer fixed-point k-means (see KM_SCALE note)
+# makes the whole IVF/PQ family oracle-reproducible — DuckDB retrains
+# the identical centroids from the parquet with unrolled CTEs, so these
+# five former rows-only entries now carry full hash-match oracles.
+ORACLES["sim_ann_ivf_topk"] = _ivf_topk_oracle()
+ORACLES["dedup_semantic_clusters"] = _semdedup_oracle()
+ORACLES["sim_pq_codes"] = _pq_codes_oracle()
+ORACLES["sim_ann_pq_topk"] = _pq_topk_oracle()
+ORACLES["sim_ann_ivfpq_topk"] = _ivfpq_topk_oracle()

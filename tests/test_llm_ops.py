@@ -553,7 +553,11 @@ def test_pq_codes_reconstruction_and_determinism(spark, sf_oracle):
     recon = np.zeros_like(X)
     for row_i, vid in enumerate(ids):
         for j, c in enumerate(rows1[vid]):
-            recon[row_i, j * dsub : (j + 1) * dsub] = books[j][c]
+            # codebooks are integer micro-units (round-7 fixed-point
+            # k-means) — scale back to float for the reconstruction
+            recon[row_i, j * dsub : (j + 1) * dsub] = (
+                np.array(books[j][c], dtype=np.float64) / 1e6
+            )
     mse_pq = ((X - recon) ** 2).mean()
     mse_mean = ((X - X.mean(axis=0)) ** 2).mean()
     assert mse_pq < 0.8 * mse_mean, (mse_pq, mse_mean)
@@ -675,17 +679,17 @@ def test_ivfpq_recall_and_probed_cell_subset(spark, sf_oracle):
     cid_of = {
         r["vec_id"]: r["cid"]
         for r in emb.select(
-            "vec_id", ranked(F.col("embedding"), F.col("nrm"))[0].alias("cid")
+            "vec_id", ranked(F.col("embedding"))[0].alias("cid")
         ).collect()
     }
-    cents = {cid: np.array(v) for cid, v in cent_rows}
+    cents = {cid: np.array(v, dtype=np.int64) for cid, v in cent_rows}
     for q, neigh in approx.items():
-        qv = X[ids == q][0]
-        qn = float(np.sqrt((qv * qv).sum()))
+        qv = np.floor(X[ids == q][0] * 1e6 + 0.5).astype(np.int64)
+        # same integer squared-L2 ranking as ivf_ranked_cells
         probed = [
             cid
             for _, cid in sorted(
-                (-round(float(cents[c] @ qv) / qn, 6), c) for c in cents
+                (int(((qv - cents[c]) ** 2).sum()), c) for c in cents
             )[:4]
         ]
         for n in neigh:
