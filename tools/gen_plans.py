@@ -17,7 +17,7 @@ COMMENTARY = {
  "join_asof": "The union-then-window as-of plan: ONE hash exchange on the key, one sort, one window pass. The naive per-row correlated lookup would be O(events x orders); this is O(n log n) with a single shuffle. Bench-variance note (round 3, verdict task 6): r2's +43% (0.43->0.62 s) did NOT reproduce - r3 measured 0.511/0.499 s across two full-suite runs while the suite TOTAL itself varied 7.92->9.04 s (+-14%) on identical code, and six isolated warm runs in one session were flat at 0.66-0.70 s (noop sink). joins.py is unchanged since r1. Named cause: suite-level run variance (JIT/page-cache state), not a regression.",
  "cdc_materialize": "The CDC fold is one exchange on the key + row_number - last-write-wins and tombstone drop are filters above the window, so the log is never joined against itself. Partition the log by key at write time and the exchange disappears.",
  "dedup_ngram_jaccard": "Posting-list similarity join: shingles shuffle ONCE to group by (block, shingle); pairs explode from each list; set sizes ride a broadcast. No CartesianProduct/BroadcastNestedLoopJoin anywhere in the plan (guarded by tests/test_plans.py).",
- "sim_ann_ivf_topk": "List assignment is a NARROW per-row argmax over the inlined centroid literals (constant-folded, K*dim doubles) - no crossJoin, no window, zero exchanges to assign the corpus; the probe is a BroadcastHashJoin on cell id against the bounded query set, and the only shuffle is the final per-query top-k window over candidate rows (n_probe/n_clusters of the corpus).",
+ "sim_ann_ivf_topk": "Cell assignment is a NARROW per-row integer-L2 argmin over the inlined fixed-point centroid literals (constant-folded, K*dim int64 - round-7: integer Lloyd makes the centroids oracle-retrainable, so this entry is fully hash-matched) - no crossJoin, no window, zero exchanges to assign the corpus; the probe is a BroadcastHashJoin on cell id against the bounded query set, and the only shuffle is the final per-query top-k window over candidate rows (n_probe/n_clusters of the corpus).",
  "multimodal_frame_sample": "Binary payloads flow through ArrowEvalPython (mapInPandas) in one pass after the adaptive rebalance; the expansion to frames happens inside the Arrow batch, never on the driver.",
  "dedup_embedding_cosine": "Each vector's norm is projected ONCE before the label-blocked join (O(N) folds); only the dot product remains in the join condition, evaluated per candidate pair. The small side broadcasts; the anti-join back to the corpus is the only exchange of the full table. At corpus scale the block key switches to LSH buckets - same plan shape.",
  "join_scalar_subquery": "The global mean is a 1-row aggregate joined by BroadcastNestedLoopJoin - the fact table streams once and is never repartitioned for the comparison; the threshold test is exact integer math (scaled longs), so no float boundary flip at any scale.",
@@ -42,7 +42,7 @@ COMMENTARY = {
  "sample_mixture": "Temperature-based source mixing: the per-source counts are a tiny aggregate whose sqrt-weights and quotas are EXACT integer arithmetic (scaled-long sqrt, integer sum, one multiply-divide) broadcast back onto the corpus; the quota fill is the hash-ordered window of sample_stratified. No float accumulation anywhere, so the selection boundary is engine- and partitioning-stable.",
  "sim_quantize_int8": "4x vector compression with ZERO wide operators: per-row array transforms (JVM higher-order functions, no UDF, no shuffle) compute the symmetric scale and the int8 codes in one narrow pass - at 100 TB this runs at scan speed and is the precondition for RAM-resident ANN indexes. floor(x+0.5) on an identical IEEE chain makes every code bit-identical to the DuckDB oracle.",
  "multimodal_phash_dedup": "Image-dedup shape: 8-byte sketches per blob via one ArrowEvalPython pass (payloads read once, never shuffled), then the shared 4x16-bit hamming-banded self-join - candidates are O(band collisions), lossless for hamming <= 3 by pigeonhole. The join input is ~10^-6 of the payload bytes.",
- "dedup_embedding_ivf": "Third blocking scheme of the embedding-dedup family, aligned with the ANN index: each vector posts to its n_probe nearest IVF cells via the same narrow inlined-centroid argmax as sim_ann_ivf_topk (zero exchanges to assign), candidates equality-self-join on cell id (O(sum cell^2), never all-pairs), exact-cosine verify gives precision 1. The coarse quantizer is the memoized one sim_ann_ivf_topk already built - dedup costs no extra index pass.",
+ "dedup_embedding_ivf": "Third blocking scheme of the embedding-dedup family, aligned with the ANN index: each vector posts to its n_probe nearest IVF cells via the same narrow inlined-centroid integer-L2 argmin as sim_ann_ivf_topk (zero exchanges to assign), candidates equality-self-join on cell id (O(sum cell^2), never all-pairs), exact-cosine verify gives precision 1. The coarse quantizer is the memoized one sim_ann_ivf_topk already built - dedup costs no extra index pass.",
  "text_contamination": "Train/eval overlap gate: the bounded eval-gram set broadcasts; the unbounded train side is only SCANNED and left-semi-joined against that broadcast - no shuffle keyed on train grams anywhere. Matched grams (a subset of eval grams) broadcast back to score each eval doc, so the two corpus passes are the whole cost at any scale.",
  "source_csv_roundtrip": "CSV ingestion with the schema passed explicitly (no inferSchema pre-scan) and microsecond timestampFormat pinned on both write and read; parallelism comes from the file count, the aggregate is the standard scaled-long partial-then-merge with one exchange. Hash-matching the pristine-parquet oracle proves the text hop is identity per row.",
  "source_jsonl_roundtrip": "JSON-lines ingestion, same discipline as the CSV twin: explicit schema, pinned microsecond timestamps (Spark's default emits millis - a silent 1000x precision loss on event times), count_distinct + scaled-long aggregate above the scan, one exchange.",
