@@ -1391,9 +1391,9 @@ def _embedding_ivf_oracle(threshold: float = 0.8, n_probe: int = 2) -> str:
     return f"""
         WITH {_sql_int_kmeans("k_", m=1)},
         {_sql_ranked_cells("k_")},
-        posts AS (
+        posts AS MATERIALIZED (
             SELECT vec_id, cid FROM k_ranked WHERE rn <= {n_probe}
-        ), cand AS (
+        ), cand AS MATERIALIZED (
             SELECT DISTINCT a.vec_id AS id_keep, b.vec_id AS id_drop
             FROM posts a JOIN posts b USING (cid)
             WHERE a.vec_id < b.vec_id

@@ -257,24 +257,27 @@ def _sql_int_kmeans(
     arithmetic (the floor-divide update uses FLOOR over a double
     quotient of exact ints — lossless while |sum| < 2^53, and sums here
     are ≤ sample·2·10⁶), so the centroids match the numpy training
-    bit-for-bit. Embed inside ``WITH ...`` and follow with the entry
-    logic."""
+    bit-for-bit. Every CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs by
+    default, and an 8-deep iteration chain whose levels are referenced
+    twice each re-evaluates exponentially — measured 22.3 s → 0.3 s for
+    this chain alone, 391 s → 29 s across the six ANN oracles. Embed
+    inside ``WITH ...`` and follow with the entry logic."""
     dsub = dim // m
     p = prefix
     subs = ", ".join(str(j) for j in range(m))
     parts = [
-        f"""{p}sample0 AS (
+        f"""{p}sample0 AS MATERIALIZED (
             SELECT vec_id, {_sql_quantize()} AS q,
                    row_number() OVER (
                        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'),
                                 vec_id) AS ord
             FROM embeddings
-        ), {p}samples AS (
+        ), {p}samples AS MATERIALIZED (
             SELECT vec_id, ord, t.sub,
                    list_slice(q, t.sub * {dsub} + 1, (t.sub + 1) * {dsub}) AS qs
             FROM {p}sample0, (SELECT UNNEST([{subs}]) AS sub) t
             WHERE ord <= {sample_size}
-        ), {p}cent0 AS (
+        ), {p}cent0 AS MATERIALIZED (
             SELECT sub, ord - 1 AS cid, qs AS cv FROM {p}samples
             WHERE ord <= {n_clusters}
         )"""
@@ -285,7 +288,7 @@ def _sql_int_kmeans(
     )
     for k in range(1, n_iter + 1):
         parts.append(
-            f"""{p}asg{k} AS (
+            f"""{p}asg{k} AS MATERIALIZED (
             SELECT sub, vec_id, qs, cid FROM (
                 SELECT s.sub, s.vec_id, s.qs, c.cid,
                        row_number() OVER (
@@ -293,7 +296,7 @@ def _sql_int_kmeans(
                            ORDER BY {d2}, c.cid) AS rn
                 FROM {p}samples s JOIN {p}cent{k - 1} c ON s.sub = c.sub
             ) WHERE rn = 1
-        ), {p}upd{k} AS (
+        ), {p}upd{k} AS MATERIALIZED (
             SELECT sub, cid, list(v ORDER BY d) AS cv FROM (
                 SELECT sub, cid, d,
                        CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
@@ -304,14 +307,14 @@ def _sql_int_kmeans(
                 )
                 GROUP BY sub, cid, d
             ) GROUP BY sub, cid
-        ), {p}cent{k} AS (
+        ), {p}cent{k} AS MATERIALIZED (
             SELECT prev.sub, prev.cid, COALESCE(u.cv, prev.cv) AS cv
             FROM {p}cent{k - 1} prev
             LEFT JOIN {p}upd{k} u ON prev.sub = u.sub AND prev.cid = u.cid
         )"""
         )
     parts.append(
-        f"{p}cents AS (SELECT sub, cid, cv FROM {p}cent{n_iter})"
+        f"{p}cents AS MATERIALIZED (SELECT sub, cid, cv FROM {p}cent{n_iter})"
     )
     return ",\n".join(parts)
 
@@ -340,9 +343,9 @@ def _sql_ranked_cells(prefix: str = "k_", dim: int = 64) -> str:
     m=1)` chain earlier in the WITH list; emits ``{prefix}corpusq`` and
     ``{prefix}ranked(vec_id, cid, rn)``."""
     p = prefix
-    return f"""{p}corpusq AS (
+    return f"""{p}corpusq AS MATERIALIZED (
             SELECT vec_id, embedding, {_sql_quantize()} AS q FROM embeddings
-        ), {p}ranked AS (
+        ), {p}ranked AS MATERIALIZED (
             SELECT s.vec_id, c.cid,
                    row_number() OVER (
                        PARTITION BY s.vec_id
@@ -359,7 +362,7 @@ def _ivf_topk_oracle(k: int = 10, n_probe: int = 4) -> str:
     return f"""
         WITH {_sql_int_kmeans("k_", m=1)},
         {_sql_ranked_cells("k_")},
-        asgn AS (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
+        asgn AS MATERIALIZED (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
         qprobe AS (
             SELECT vec_id AS query_id, cid FROM k_ranked
             WHERE vec_id < 5 AND rn <= {n_probe}
@@ -393,7 +396,7 @@ def _semdedup_oracle(n_clusters: int = 16, tau: float = 0.35) -> str:
     return f"""
         WITH {_sql_int_kmeans("k_", n_clusters=n_clusters, m=1)},
         {_sql_ranked_cells("k_")},
-        asgn AS (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
+        asgn AS MATERIALIZED (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
         dropped AS (
             SELECT DISTINCT b.vec_id
             FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -413,12 +416,12 @@ def _sql_pq_codes(m: int = 8, ksub: int = 16, dim: int = 64) -> str:
     Emits ``pq_subq`` and ``pq_codes_t(vec_id, sub, code)``."""
     dsub = dim // m
     subs = ", ".join(str(j) for j in range(m))
-    return f"""pq_subq AS (
+    return f"""pq_subq AS MATERIALIZED (
             SELECT vec_id, t.sub,
                    list_slice({_sql_quantize()}, t.sub * {dsub} + 1,
                               (t.sub + 1) * {dsub}) AS qs
             FROM embeddings, (SELECT UNNEST([{subs}]) AS sub) t
-        ), pq_codes_t AS (
+        ), pq_codes_t AS MATERIALIZED (
             SELECT vec_id, sub, cid AS code FROM (
                 SELECT s.vec_id, s.sub, c.cid,
                        row_number() OVER (
@@ -445,9 +448,9 @@ def _sql_adc_chain(m: int = 8, dim: int = 64, rerank: int = 100, k: int = 10,
     float-L2 re-rank, final top-``k``. Requires ``p_cents``,
     ``pq_codes_t`` and ``pq_subq`` CTEs."""
     dsub = dim // m
-    return f"""adcq AS (
+    return f"""adcq AS MATERIALIZED (
             SELECT vec_id AS query_id, sub, qs FROM pq_subq WHERE vec_id < 5
-        ), adc AS (
+        ), adc AS MATERIALIZED (
             SELECT q.query_id, co.vec_id AS neighbor_id,
                    CAST(SUM({_sql_int_d2("q.qs", "b.cv", dsub)}) AS BIGINT)
                      AS adc_dist
@@ -457,7 +460,7 @@ def _sql_adc_chain(m: int = 8, dim: int = 64, rerank: int = 100, k: int = 10,
             JOIN {cand_cte} cc ON cc.query_id = q.query_id
                               AND cc.neighbor_id = co.vec_id
             GROUP BY q.query_id, co.vec_id
-        ), cands AS (
+        ), cands AS MATERIALIZED (
             SELECT query_id, neighbor_id FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id
@@ -511,7 +514,7 @@ def _ivfpq_topk_oracle(
         {_sql_ranked_cells("k_")},
         {_sql_int_kmeans("p_", n_clusters=ksub, m=m)},
         {_sql_pq_codes(m=m, ksub=ksub)},
-        asgn AS (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
+        asgn AS MATERIALIZED (SELECT vec_id, cid FROM k_ranked WHERE rn = 1),
         qprobe AS (
             SELECT vec_id AS query_id, cid FROM k_ranked
             WHERE vec_id < 5 AND rn <= {n_probe}
