@@ -747,3 +747,51 @@ def test_semantic_dedup_keep_policy_exact(spark, sf_oracle):
                 for a in members[:j]
             )
             assert kept[b] == (not has_near), (b, kept[b])
+
+
+def test_kmeans_centroids_match_duckdb_retraining(spark, sf_oracle):
+    """The keystone of the round-7 ANN oracle upgrade: the engine's
+    integer fixed-point k-means (numpy int64 Lloyd on the md5-ordered
+    sample) and the DuckDB unrolled-CTE retraining must agree
+    BIT-FOR-BIT — on the coarse quantizer AND every PQ subspace
+    codebook. If this drifts (a numpy dtype change, a floor-division
+    semantics change, a sample-order change), all six ANN oracles go
+    red at once; this test names the culprit directly."""
+    import duckdb
+
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _pq_codebooks,
+        _sql_int_kmeans,
+        kmeans_centroid_rows,
+    )
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    eng = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    books = _pq_codebooks(spark, emb, corpus_key=sf_oracle)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet')"
+    )
+    coarse = {
+        cid: list(cv)
+        for _, cid, cv in con.sql(
+            "WITH " + _sql_int_kmeans("k_", m=1) + " SELECT sub, cid, cv FROM k_cents"
+        ).fetchall()
+    }
+    assert all(coarse[cid] == vec for cid, vec in eng)
+    pq = {
+        (sub, cid): list(cv)
+        for sub, cid, cv in con.sql(
+            "WITH " + _sql_int_kmeans("p_", n_clusters=16, m=8)
+            + " SELECT sub, cid, cv FROM p_cents"
+        ).fetchall()
+    }
+    assert all(
+        pq[(j, c)] == vec
+        for j, book in enumerate(books)
+        for c, vec in enumerate(book)
+    )
+    con.close()
