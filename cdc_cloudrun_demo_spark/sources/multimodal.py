@@ -514,8 +514,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius is lossless by pigeonhole. This is the image-dedup shape for a
     100 TB multimodal corpus: sketches are 8 bytes/blob, so the join
     input is ~10⁻⁶ of the payload bytes; the blobs themselves are read
-    once in the sketch pass and never shuffled. Rows-only entry (the
-    sketch is computed in the Arrow UDF); exact-dup-recall and
+    once in the sketch pass and never shuffled. Fully HASH-ORACLED
+    (round-7): the stand-in sketch is a pure function of the payload
+    bytes, so the DuckDB oracle recomputes every sketch from the utf-8
+    text and re-derives the banded pairs; exact-dup-recall and
     single-byte-perturbation properties in tests/test_llm_ops.py."""
     from ..functions.dedup import hamming_banded_pairs
 
@@ -661,3 +663,55 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# Round-7 upgrade: the stand-in pHash is a pure function of the payload
+# bytes (strided byte-sum parities), so DuckDB can recompute every
+# sketch from the utf-8 text and re-derive the banded-hamming pairs —
+# the last multimodal rows-only entry becomes a full hash oracle. Byte
+# extraction parses hex(encode(text)) two chars at a time; band keys
+# are rebuilt from the parities directly (no signed-shift pitfalls);
+# two's-complement bit 63 maps to the int64 minimum. Every CTE is
+# MATERIALIZED (DuckDB inlines by default; the bands CTE is referenced
+# twice).
+ORACLES["multimodal_phash_dedup"] = """
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), bytes AS MATERIALIZED (
+        SELECT doc_id, p,
+               strpos('0123456789ABCDEF', substr(h, 2 * p + 1, 1)) * 16
+             + strpos('0123456789ABCDEF', substr(h, 2 * p + 2, 1)) - 17 AS byte
+        FROM (SELECT doc_id, h, unnest(range(0, n)) AS p FROM docs)
+    ), parities AS MATERIALIZED (
+        SELECT doc_id, p % 64 AS bit, SUM(byte) % 2 AS par
+        FROM bytes GROUP BY doc_id, p % 64
+    ), sk AS MATERIALIZED (
+        SELECT d.doc_id,
+               COALESCE(SUM(CASE WHEN s.par = 1 THEN
+                   CASE WHEN s.bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << CAST(s.bit AS INT)) END
+                   ELSE 0 END), 0) AS phash
+        FROM docs d LEFT JOIN parities s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id
+    ), bandkeys AS MATERIALIZED (
+        SELECT d.doc_id, b.band,
+               COALESCE(SUM(CASE WHEN s.par = 1
+                   THEN (CAST(1 AS BIGINT) << CAST(s.bit % 16 AS INT))
+                   ELSE 0 END), 0) AS key
+        FROM docs d
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+        LEFT JOIN parities s
+               ON d.doc_id = s.doc_id AND s.bit // 16 = b.band
+        GROUP BY d.doc_id, b.band
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           bit_count(xor(sa.phash, sb.phash)) AS hamming
+    FROM cand c
+    JOIN sk sa ON sa.doc_id = c.id_a
+    JOIN sk sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.phash, sb.phash)) <= 3
+"""

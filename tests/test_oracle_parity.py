@@ -37,7 +37,6 @@ def test_all_queries_have_oracle_or_are_whitelisted():
         "dedup_minhash_lsh",  # MLlib-seeded hash family (engine-internal RNG)
         "agg_approx_percentiles",
         "agg_hll_merge",  # sketch binary/estimator are engine-specific; exact-merge property test instead
-        "multimodal_phash_dedup",  # sketch computed in the Arrow UDF; recall/perturbation property tests instead
     }
     assert rows_only <= allowed, f"unexpected rows-only queries: {rows_only - allowed}"
 
