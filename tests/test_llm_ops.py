@@ -795,3 +795,51 @@ def test_kmeans_centroids_match_duckdb_retraining(spark, sf_oracle):
         for c, vec in enumerate(book)
     )
     con.close()
+
+
+def test_graph_ann_recall_vs_brute_force(spark, sf_oracle):
+    """The NSW-style beam walk must surface most of the true top-10 by
+    exact L2 (the graph-ANN quality contract: greedy routing over a
+    k-NN graph converges to the query's neighborhood). Also pins
+    determinism (two runs identical) and the visited-set bound."""
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _int_dist2,
+        quantized_vec,
+        sim_ann_graph_topk,
+    )
+
+    rows1 = sim_ann_graph_topk(spark, sf_oracle).collect()
+    rows2 = sim_ann_graph_topk(spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    approx: dict[int, set] = {}
+    for r in rows1:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert approx and all(len(v) <= 10 for v in approx.values())
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    nodes = emb.select("vec_id", quantized_vec(F.col("embedding")).alias("nv"))
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        quantized_vec(F.col("embedding")).alias("qv"),
+    )
+    exact_rows = (
+        nodes.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist2(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+        .collect()
+    )
+    truth: dict[int, list] = {}
+    for r in exact_rows:
+        truth.setdefault(r["query_id"], []).append((r["d2"], r["vec_id"]))
+    hits = total = 0
+    for q, lst in truth.items():
+        top = {vid for _, vid in sorted(lst)[:10]}
+        hits += len(top & approx.get(q, set()))
+        total += len(top)
+    recall = hits / total
+    assert recall >= 0.5, f"graph-ANN recall@10 {recall:.2f} below floor"
