@@ -58,6 +58,12 @@ HEADLINE: dict[str, str] = {
     # nothing broadcast) timed against the broadcast path above so the
     # strategy gate's cost at dimension scale is a measured number
     "graph_pagerank_copart": "collect",
+    # round-7: the graph-ANN pair — the k-NN graph build (two blocking
+    # joins + per-src top-k) and the iterative beam search (bounded
+    # per-hop joins over the pinned edge list, FULL_TIMED because the
+    # edge pin executes during construction)
+    "sim_knn_graph": "count",
+    "sim_ann_graph_topk": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -69,7 +75,12 @@ HEADLINE: dict[str, str] = {
 # lookup tables and collects its bounded query set. Plan-only queries
 # keep the r1–r5 action-only protocol so the series stays comparable
 # (their construction is milliseconds of analysis, not engine work).
-FULL_TIMED = {"graph_pagerank", "graph_pagerank_copart", "sim_ann_pq_topk"}
+FULL_TIMED = {
+    "graph_pagerank",
+    "graph_pagerank_copart",
+    "sim_ann_pq_topk",
+    "sim_ann_graph_topk",
+}
 
 # Like-for-like series: the suite GROWS each round (new entries join the
 # bench), so the headline wall is not round-over-round comparable on its
