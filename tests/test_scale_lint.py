@@ -44,6 +44,8 @@ BNLJ_BOUNDED = {
     "text_bm25_search": "1-row (n_docs, total_len) corpus aggregate",
     "layout_zone_map_prune": "1-row min/max bounds aggregate per layout",
     "dq_freshness_lag": "1-row global-max-timestamp aggregate",
+    "sim_ann_graph_topk": "1-row MIN(vec_id) entry-point aggregate crossed "
+    "onto the bounded (vec_id < 5) query set",
 }
 
 
