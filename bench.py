@@ -64,6 +64,10 @@ HEADLINE: dict[str, str] = {
     # edge pin executes during construction)
     "sim_knn_graph": "count",
     "sim_ann_graph_topk": "collect",
+    # round-8: the vector store's ingest path — new vectors get edges
+    # against the standing corpus via the same bounded blocking, no
+    # graph rebuild (the batch-vs-corpus shape of dedup_incremental)
+    "sim_knn_graph_incremental": "count",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -108,6 +112,19 @@ LEGACY_SUITES = {
         "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
         "multimodal_features", "multimodal_frame_sample",
         "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+    ],
+    # r7 membership = r6 + the rank-join gate's at-scale path and the
+    # graph-ANN pair
+    "r7_26q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
     ],
 }
 
@@ -194,6 +211,29 @@ def main() -> None:
             f.result()
     concurrent_s = round(time.perf_counter() - t0, 4)
 
+    # Per-query amortization of the graph-ANN beam walk (round-7 verdict
+    # item 2): |Q|=5 prices per-stage scheduling overhead, |Q|=500 the
+    # batch-serving shape — all queries ride the SAME per-hop jobs, so
+    # per-query cost must collapse. FULL_TIMED protocol (the eager hop
+    # pins execute during construction), warm pass then best-of-2.
+    def run_batch_ann() -> float:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        queries["sim_ann_graph_batch"](spark, SF_DIR).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    run_batch_ann()  # warm (index + codegen), untimed
+    batch_total = min(run_batch_ann(), run_batch_ann())
+    q5_total = timings["sim_ann_graph_topk"]
+    batch_ann = {
+        "n_queries": 500,
+        "total_s": batch_total,
+        "per_query_ms": round(batch_total / 500 * 1000, 2),
+        "q5_total_s": q5_total,
+        "q5_per_query_ms": round(q5_total / 5 * 1000, 2),
+        "amortization_x": round((q5_total / 5) / (batch_total / 500), 1),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -211,6 +251,7 @@ def main() -> None:
                     n: {k: v for k, v in s.items() if k != "total"}
                     for n, s in splits.items()
                 },
+                "batch_ann": batch_ann,
                 "concurrency": {
                     "mix_serial_s": serial_s,
                     "mix_concurrent_s": concurrent_s,

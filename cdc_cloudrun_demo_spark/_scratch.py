@@ -16,6 +16,7 @@ import shutil
 import tempfile
 
 _live: dict[str, list[str]] = {}
+_roots: dict[str, str] = {}
 
 
 def scratch_dir(prefix: str) -> str:
@@ -29,8 +30,25 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def scratch_root(prefix: str) -> str:
+    """ONE long-lived temp directory per prefix, created on first use
+    and removed only at interpreter exit — for memoized on-disk index
+    artifacts whose lifetime is tied to a CACHE ENTRY, not to the
+    call-before-last (`scratch_dir`'s keep-two policy would delete a
+    still-cached index as soon as two newer builds landed under the
+    same prefix — round-7 advice). Callers own per-key subdirectories
+    under the root and delete them when evicting the cache entry."""
+    d = _roots.get(prefix)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=prefix)
+        _roots[prefix] = d
+    return d
+
+
 @atexit.register
 def _cleanup() -> None:
     for dirs in _live.values():
         while dirs:
             shutil.rmtree(dirs.pop(), ignore_errors=True)
+    while _roots:
+        shutil.rmtree(_roots.popitem()[1], ignore_errors=True)

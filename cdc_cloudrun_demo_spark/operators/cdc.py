@@ -223,10 +223,24 @@ def cdc_materialize_tx(
     crash/replay/GC properties are proven separately in
     tests/test_streaming.py::test_tx_sink_*)."""
     import os
+
+    from ..streaming.tx_snapshot import read_tx_snapshot
+
+    tmp = _run_tx_materializer(spark, sf_dir, backend)
+    return read_tx_snapshot(spark, os.path.join(tmp, "state")).select(
+        "id", "content", "last_seq", "updated_at"
+    )
+
+
+def _run_tx_materializer(spark: SparkSession, sf_dir: str, backend: str) -> str:
+    """Shared harness for the tx-sink entries: slice the change log into
+    micro-batch files, fold it through `tx_snapshot_sink` with the given
+    commit protocol, and return the scratch dir holding ``state``."""
+    import os
     from .._scratch import scratch_dir
 
     from ..streaming.cdc_stream import CHANGE_SCHEMA, materialize_with_state
-    from ..streaming.tx_snapshot import read_tx_snapshot, tx_snapshot_sink
+    from ..streaming.tx_snapshot import tx_snapshot_sink
 
     tmp = scratch_dir("cdc_tx_q_")
     log_dir = os.path.join(tmp, "log")
@@ -250,9 +264,46 @@ def cdc_materialize_tx(
         raise RuntimeError("tx streaming materializer did not finish within 300s")
     if q.exception() is not None:
         raise q.exception()
-    return read_tx_snapshot(spark, os.path.join(tmp, "state")).select(
-        "id", "content", "last_seq", "updated_at"
-    )
+    return tmp
+
+
+def cdc_tombstone_gc(
+    spark: SparkSession, sf_dir: str, backend: str = "manifest"
+) -> DataFrame:
+    """Tombstone GC on the transactional CDC snapshot: fold the full
+    change log through the atomic sink, then compact tombstones behind
+    the source watermark (`streaming/tx_snapshot.py::compact_tombstones`
+    — here the log is fully folded, so the horizon is its max seq) and
+    vacuum. The returned frame is the RAW compacted snapshot with NO
+    tombstone filter; hash-matching the LIVE-fold oracle therefore
+    proves both halves at once: every expired tombstone is physically
+    gone from the state files, and no live row was lost or altered by
+    the compaction commit. The replay-safety half (a replayed old batch
+    cannot resurrect a dropped key) is proven in
+    tests/test_streaming.py::test_tombstone_gc_replay_safe, parametrized
+    over both commit protocols. Reference anchor: the DELETE semantics
+    of MessageResource.java:43-48 and SURVEY §7's "state growth
+    (tombstone TTL)" hard item."""
+    import os
+    from ..streaming.tx_snapshot import compact_tombstones, open_store
+
+    tmp = _run_tx_materializer(spark, sf_dir, backend)
+    store = open_store(os.path.join(tmp, "state"))
+    horizon = message_changes_df(spark, sf_dir).agg(
+        F.max("seq").alias("m")
+    ).collect()[0]["m"]
+    compact_tombstones(store, spark, horizon_seq=horizon)
+    store.gc()
+    return store.read(spark).select("id", "content", "last_seq", "updated_at")
+
+
+def cdc_tombstone_gc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cdc_tombstone_gc` over the Delta Lake log protocol backend —
+    the compaction commit is an ordinary put-if-absent log version
+    (removes for the compacted buckets' old files, adds for the
+    rewritten ones), so readers switch atomically and time travel to
+    the pre-compaction snapshot keeps working until vacuum."""
+    return cdc_tombstone_gc(spark, sf_dir, backend="delta")
 
 
 def cdc_scd2_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +564,8 @@ QUERIES = {
     "cdc_materialize_streaming": cdc_materialize_streaming,
     "cdc_materialize_tx": cdc_materialize_tx,
     "cdc_materialize_tx_delta": cdc_materialize_tx_delta,
+    "cdc_tombstone_gc": cdc_tombstone_gc,
+    "cdc_tombstone_gc_delta": cdc_tombstone_gc_delta,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_scd2_live": cdc_scd2_live,
     "cdc_snapshot_asof": cdc_snapshot_asof,
@@ -600,6 +653,10 @@ ORACLES = {
     "cdc_materialize_streaming": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_materialize_tx": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_materialize_tx_delta": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    # the RAW compacted snapshot vs the LIVE fold: equality proves zero
+    # surviving tombstones AND untouched live rows (see cdc_tombstone_gc)
+    "cdc_tombstone_gc": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_tombstone_gc_delta": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""
         {_CTE},
         v AS (

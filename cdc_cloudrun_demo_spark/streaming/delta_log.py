@@ -113,19 +113,32 @@ class DeltaLogStore:
         with open(lc) as fh:
             return int(json.load(fh)["version"])
 
+    def _checkpoint_versions(self) -> list[int]:
+        """All on-disk checkpoint versions, ascending. ``_last_checkpoint``
+        is the spec's HINT (it saves a listing on object stores); the
+        authoritative set is the files themselves — gc keeps a horizon
+        checkpoint OLDER than the hinted one, and replaying a retained
+        historical version must be able to start from it."""
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.parquet")
+        )
+
     def versions(self) -> list[int]:
         """Committed snapshot versions readable right now (1-based).
         A delta version v is readable iff it can be replayed: the JSON
         chain 0..v is intact, or a checkpoint c <= v exists with the
         chain c+1..v intact (log retention may have expired the head)."""
-        ckpt = self._checkpoint_version()
         logset = set(self._log_versions())
         readable: set[int] = set()
         v = 0
         while v in logset:  # contiguous-from-origin chain
             readable.add(v)
             v += 1
-        if ckpt is not None:
+        for ckpt in self._checkpoint_versions():
             readable.add(ckpt)  # the checkpoint alone reconstructs it
             v = ckpt + 1
             while v in logset:  # contiguous-from-checkpoint chain
@@ -140,7 +153,13 @@ class DeltaLogStore:
         and reads only the commits in between."""
         if self._cache is not None and self._cache[0] == upto_delta_version:
             return self._cache[1]
-        ckpt = self._checkpoint_version()
+        # newest usable checkpoint for THIS target — not the hint:
+        # _last_checkpoint points at the newest checkpoint, which may be
+        # PAST a retained historical version being time-traveled to
+        ckpt = max(
+            (c for c in self._checkpoint_versions() if c <= upto_delta_version),
+            default=None,
+        )
         files: dict[str, dict] = {}
         txns: dict[str, int] = {}
         meta: dict | None = None
@@ -254,7 +273,11 @@ class DeltaLogStore:
         ]
 
     def commit(
-        self, merged_touched: DataFrame, touched: list[int], batch_id: int
+        self,
+        merged_touched: DataFrame,
+        touched: list[int],
+        batch_id: int,
+        replace_all_touched: bool = False,
     ) -> None:
         """Stage new data files for the touched buckets, then publish the
         next log version via put-if-absent. Crash before the publish ⇒
@@ -313,7 +336,11 @@ class DeltaLogStore:
             for b in touched:
                 # a touched bucket replaced only if the batch produced a
                 # file for it (an empty batch partition keeps the old set)
-                if str(b) in staged_buckets:
+                # — EXCEPT under compaction semantics (replace_all_touched,
+                # compact_tombstones), where "no staged file" means the
+                # bucket's rows were all expired tombstones: emit the
+                # removes with no adds
+                if replace_all_touched or str(b) in staged_buckets:
                     for old in prev["buckets"].get(str(b), []):
                         removes.append(
                             {
@@ -446,10 +473,16 @@ class DeltaLogStore:
         tmp = os.path.join(self.log_dir, f".ckpt-{delta_v}.tmp")
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(self.log_dir, _CKPT_FMT.format(delta_v)))
-        lc_tmp = os.path.join(self.log_dir, "._last_checkpoint.tmp")
-        with open(lc_tmp, "w") as fh:
-            json.dump({"version": delta_v, "size": len(rows)}, fh)
-        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        # the pointer is FORWARD-ONLY: gc writes a retention-horizon
+        # checkpoint that may be OLDER than the newest auto checkpoint,
+        # and repointing the hint backward would make every cold replay
+        # fold more JSON commits than necessary (round-7 advice)
+        cur = self._checkpoint_version()
+        if cur is None or delta_v > cur:
+            lc_tmp = os.path.join(self.log_dir, "._last_checkpoint.tmp")
+            with open(lc_tmp, "w") as fh:
+                json.dump({"version": delta_v, "size": len(rows)}, fh)
+            os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
     def gc(self, retain_versions: int = 1) -> int:
         """Vacuum + log retention: checkpoint the newest version, delete
@@ -465,7 +498,18 @@ class DeltaLogStore:
         for v in keep:
             for fl in self.manifest(v)["buckets"].values():
                 live.update(fl)
-        self._write_checkpoint(keep[0] - 1)  # oldest retained snapshot
+        # Retention needs a checkpoint at EXACTLY the oldest retained
+        # snapshot's delta version (keep[0]-1): the JSONs before it are
+        # about to expire, so that version — and every retained version
+        # after it, whose chain from this checkpoint stays intact — must
+        # be replayable from it. Skip the write when it already exists
+        # (idempotent re-gc), and never when only NEWER checkpoints
+        # exist — those can't serve the oldest retained version. The
+        # _last_checkpoint hint stays forward-only (_write_checkpoint),
+        # so this horizon checkpoint never degrades cold replays of the
+        # head (round-7 advice).
+        if keep[0] - 1 > 0 and keep[0] - 1 not in self._checkpoint_versions():
+            self._write_checkpoint(keep[0] - 1)  # oldest retained snapshot
         removed = 0
         for entry in os.listdir(self.state_dir):
             if not entry.startswith("bucket="):

@@ -133,7 +133,11 @@ class TxSnapshotStore:
         return out
 
     def commit(
-        self, merged_touched: DataFrame, touched: list[int], batch_id: int
+        self,
+        merged_touched: DataFrame,
+        touched: list[int],
+        batch_id: int,
+        replace_all_touched: bool = False,
     ) -> None:
         """Write new data files for the touched buckets, then publish a
         new manifest atomically. Crash before the final rename ⇒ orphan
@@ -146,10 +150,16 @@ class TxSnapshotStore:
         buckets = dict(prev["buckets"])  # untouched entries carried verbatim
         new_files = self._bucket_files(gen_dir)
         for b in touched:
+            if replace_all_touched:
+                # compaction semantics (compact_tombstones): a touched
+                # bucket's new content IS the staged set — possibly
+                # nothing, when every remaining row was an expired
+                # tombstone
+                buckets[str(b)] = new_files.get(str(b), [])
             # a touched bucket may legitimately produce no file (all rows
             # merged away is impossible under retained tombstones, but an
             # empty batch partition is) — keep the old list then
-            if str(b) in new_files:
+            elif str(b) in new_files:
                 buckets[str(b)] = new_files[str(b)]
         manifest = {"version": version, "batch_id": batch_id, "buckets": buckets}
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -219,6 +229,63 @@ def open_store(state_dir: str, n_buckets: int = N_STATE_BUCKETS):
 
         return DeltaLogStore(state_dir, n_buckets)
     return TxSnapshotStore(state_dir, n_buckets)
+
+
+def compact_tombstones(store, spark: SparkSession, horizon_seq: int) -> int:
+    """Watermark-gated tombstone GC — the state-retention policy the
+    CDC fold needs at production churn (SURVEY §7's own hard list:
+    "state growth (tombstone TTL)"). Without it every sink retains
+    tombstones forever and the snapshot accretes dead keys without
+    bound; a materializer folding months of deletes
+    (`MessageResource.java:43-48`'s DELETE semantics) hits this first.
+
+    A tombstone exists to outvote LATE data: a row for its key carrying
+    a lower ``last_seq`` must lose the LWW merge. It is therefore safe
+    to drop exactly when no future batch can carry such a row:
+
+    * **Replayed batches can't** — the sink's exactly-once skip drops
+      any batch with ``batch_id <= manifest.batch_id`` before merging,
+      so everything already folded is unreachable (both backends; the
+      Delta store records the frontier in its ``txn`` action).
+    * **New batches are bounded by the source watermark** — the caller
+      passes ``horizon_seq``, the source's promise that every future
+      update has ``last_seq > horizon_seq`` (the same contract as
+      ``withWatermark`` on event time).
+
+    Tombstones with ``last_seq <= horizon_seq`` are dropped by
+    committing a COMPACTION snapshot over the affected buckets — a
+    normal commit (immutable files + atomic pointer publish) that
+    re-uses the previous manifest's ``batch_id``, so the replay-skip
+    frontier is unchanged and readers switch atomically from the
+    uncompacted to the compacted view. Untouched buckets' files carry
+    over verbatim; reclaiming the superseded files is ``store.gc()``'s
+    job, as for any commit. Returns the number of tombstones dropped.
+
+    Replay-safety is proven in tests/test_streaming.py::
+    test_tombstone_gc_* (parametrized over both protocols): fold N
+    batches, compact, replay old batches → state identical, and the raw
+    snapshot hash-matches the live fold (no tombstone survives)."""
+    prev = store.latest_manifest()
+    if prev is None:
+        return 0
+    snap = store.read(spark)
+    expired = F.col("is_deleted") & (F.col("last_seq") <= F.lit(horizon_seq))
+    touched = [
+        r["bucket"]
+        for r in snap.filter(expired).select("bucket").distinct().collect()
+    ]  # ≤ n_buckets ints — bounded metadata
+    if not touched:
+        return 0
+    kept = snap.filter(F.col("bucket").isin(touched)).filter(~expired).persist()
+    try:
+        n_before = snap.filter(F.col("bucket").isin(touched)).count()
+        n_after = kept.count()  # also materializes `kept` pre-commit
+        store.commit(
+            kept, touched, batch_id=prev["batch_id"], replace_all_touched=True
+        )
+    finally:
+        kept.unpersist()
+    return n_before - n_after
 
 
 def tx_snapshot_sink(

@@ -843,3 +843,44 @@ def test_graph_ann_recall_vs_brute_force(spark, sf_oracle):
         total += len(top)
     recall = hits / total
     assert recall >= 0.5, f"graph-ANN recall@10 {recall:.2f} below floor"
+
+
+def test_incremental_knn_edges_equal_full_rebuild_slice(spark, sf_oracle):
+    """Incremental ANN-index maintenance: a batch vector's candidate set
+    (LSH ∪ IVF-cell mates over corpus ∪ batch) and top-k_edges ranking
+    are the same whether computed incrementally at ingest or by a full
+    rebuild — so the incremental edges must EQUAL the rebuild's rows for
+    batch (odd-id) sources, and contain no corpus (even-id) sources.
+    This is the correctness contract that lets a vector store ingest
+    appends in O(|batch|·candidates) without touching the standing
+    index (functions/similarity.py::sim_knn_graph_incremental)."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_knn_graph,
+        sim_knn_graph_incremental,
+    )
+
+    inc = {tuple(r) for r in sim_knn_graph_incremental(spark, sf_oracle).collect()}
+    full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
+    assert inc, "incremental ingest produced no edges"
+    assert all(src % 2 == 1 for src, _, _ in inc)
+    assert inc == {(s, d, u) for (s, d, u) in full if s % 2 == 1}
+
+
+def test_batch_walk_per_query_independent(spark, sf_oracle):
+    """The beam walk is per-query independent (each query's seeds, beam
+    and visited set never interact), so the |Q|=500 batch walk restricted
+    to the first 5 queries must equal the |Q|=5 walk — the property that
+    makes bench.py's batch_ann amortization measurement a fair
+    comparison (same answers, wider batch)."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_ann_graph_batch,
+        sim_ann_graph_topk,
+    )
+
+    small = {tuple(r) for r in sim_ann_graph_topk(spark, sf_oracle).collect()}
+    big = {
+        tuple(r)
+        for r in sim_ann_graph_batch(spark, sf_oracle).collect()
+        if r["query_id"] < 5
+    }
+    assert small and big == small

@@ -89,7 +89,15 @@ def test_no_unvetted_driver_collects_in_engine_source():
         # file -> (max occurrences, bound)
         "plans/__init__.py": (1, "plan-audit tooling, not an operator path"),
         "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
-        "streaming/tx_snapshot.py": (1, "<= n_buckets ints of touched-bucket ids"),
+        "streaming/tx_snapshot.py": (
+            2,
+            "<= n_buckets ints of touched-bucket ids (sink merge + "
+            "tombstone compaction)",
+        ),
+        "operators/cdc.py": (
+            1,
+            "1-row MAX(seq) watermark aggregate (tombstone GC horizon)",
+        ),
         "sources/file_formats.py": (
             2,
             "<= n_buckets ints of touched-bucket ids (delta roundtrip); "

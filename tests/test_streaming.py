@@ -1123,3 +1123,120 @@ def test_delta_crashed_attempt_orphans_invisible_until_vacuum(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert {r["content"] for r in store.read(spark, 1).collect()} == {"a"}
     assert {r["content"] for r in store.read(spark, 2).collect()} == {"b"}
+
+
+@pytest.mark.parametrize("backend", ["manifest", "delta"])
+def test_tombstone_gc_replay_safe(spark, tmp_path, backend):
+    """Watermark-gated tombstone compaction (SURVEY §7's "state growth
+    (tombstone TTL)" item): fold batches including a delete, compact
+    tombstones at the watermark, then prove a dropped key CANNOT be
+    resurrected — (a) a replayed old batch is dropped by the
+    exactly-once batch_id skip, whose frontier the compaction commit
+    preserves; (b) late data is excluded by the watermark contract; and
+    a genuinely NEW batch above the watermark still folds correctly
+    afterward, including a legitimate re-insert of the deleted key with
+    a newer seq (that's LWW, not resurrection). Parametrized over both
+    commit protocols."""
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import (
+        compact_tombstones,
+        open_store,
+        read_tx_snapshot,
+        tx_snapshot_sink,
+    )
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        q = tx_snapshot_sink(
+            materialize_with_state(stream), state_dir, ckpt, backend=backend
+        )
+        assert q.awaitTermination(120)
+
+    spark.createDataFrame(_tx_rows_phase1(), CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_000"))
+    run_stream()
+    spark.createDataFrame(_tx_rows_phase2(), CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_001"))
+    run_stream()
+
+    store = open_store(state_dir)
+    m_before = store.latest_manifest()
+    live_before = {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }
+    assert live_before == _tx_want_final()
+    raw = store.read(spark)
+    assert raw.filter(F.col("is_deleted")).count() == 1  # key 3's tombstone
+
+    # compact at the source watermark: every folded seq <= 1009
+    assert compact_tombstones(store, spark, horizon_seq=1009) == 1
+    m_after = store.latest_manifest()
+    assert m_after["version"] == m_before["version"] + 1  # a real commit
+    assert m_after["batch_id"] == m_before["batch_id"], (
+        "compaction must preserve the replay-skip frontier"
+    )
+    raw = store.read(spark)
+    assert raw.filter(F.col("is_deleted")).count() == 0, "tombstone not dropped"
+    assert {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    } == live_before, "compaction altered live rows"
+    # idempotent: nothing left behind the watermark
+    assert compact_tombstones(store, spark, horizon_seq=1009) == 0
+
+    # replay: erase the checkpoint's commit marker so Spark re-fires the
+    # last committed batch — the sink must skip it (batch_id frontier),
+    # so the dropped key stays dead and the version doesn't move
+    commits = os.path.join(ckpt, "commits")
+    last = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_stream()
+    assert store.latest_manifest()["version"] == m_after["version"], (
+        "replayed batch must not re-commit"
+    )
+    assert 3 not in {
+        r["id"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }, "replay resurrected a compacted key"
+
+    # a NEW batch above the watermark still folds: re-insert the deleted
+    # key (legitimate — newer seq beats the already-dropped tombstone by
+    # absence) and delete another key (fresh tombstone, above horizon)
+    from datetime import datetime
+
+    rows3 = [
+        (2000, "INSERT", 3, "reborn-3", datetime(2024, 1, 3, 0, 0, 0)),
+        (2001, "DELETE", 7, None, datetime(2024, 1, 3, 0, 0, 1)),
+    ]
+    spark.createDataFrame(rows3, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "slice_002"))
+    run_stream()
+    live = {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }
+    want = dict(live_before)
+    want[3] = "reborn-3"
+    del want[7]
+    assert live == want
+    # the fresh tombstone (seq 2001 > old horizon) is retained...
+    raw = store.read(spark)
+    assert raw.filter(F.col("is_deleted")).count() == 1
+    # ...until the watermark passes it
+    assert compact_tombstones(store, spark, horizon_seq=2001) == 1
+    assert store.read(spark).filter(F.col("is_deleted")).count() == 0
+    # vacuum after compaction: superseded generations reclaimed, state intact
+    assert store.gc() >= 1
+    assert {
+        r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
+    } == want

@@ -80,11 +80,17 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 7)
 
-Suite wall ~15.2 s (r6, 23 queries) -> **~41 s (r7, 26 queries)** — all
-growth, no regression: the BENCH json now carries `legacy_suites` (the
-pinned r5 20-query and r6 23-query membership sums), and the r6-compat
-23-query series reads **~15.9 s vs 15.22 s (+4%, inside the suite-level
-run spread)**. The three additions:
+Suite wall 15.22 s (r6, 23 queries) -> **41.07 s (r7, 26 queries;
+committed BENCH_r07.json)** — all growth, no regression: the BENCH json
+now carries `legacy_suites` (the pinned r5 20-query and r6 23-query
+membership sums), and the r6-compat 23-query series reads **16.50 s vs
+15.22 s (+8.4%)** in the committed artifact. r6's four-run spread was
+±0.4 s, and a post-tune rerun (probe memoization, commit 4bc7872)
+measured ~15.9 s, but the artifact of record is the committed one:
++8.4%, at the edge of noise, worst absolute per-query delta +0.74 s
+(graph_pagerank 5.33 -> 6.07 s). (Round-8 true-up of the r7 text, which
+previously quoted the uncommitted post-tune run — verdict item 5.) The
+three additions:
 
 - `graph_pagerank_copart` (~6.9 s): the same 10-iteration fixed point
   through the AT-SCALE rank join (co-partitioned shuffle-hash, nothing
