@@ -810,8 +810,114 @@ DEDUP_INCREMENTAL_ORACLE = f"""
 """
 
 
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, w: int = 8
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): instead of dropping whole
+    near-duplicate documents, find every ``w``-token substring that
+    occurs MORE THAN ONCE anywhere in the corpus and report, per
+    document, the merged duplicated SPANS — the pieces a training
+    pipeline cuts out while keeping the unique remainder. (The paper
+    builds a corpus suffix array; the distributed equivalent is a
+    rolling w-gram posting pass, the standard map-reduce reformulation.)
+
+    Plan shape (scales where a suffix array cannot): one projection
+    materializes the token array, a per-row transform emits (pos, md5
+    of the w-token window) — positions matter, so no array_distinct —
+    then ONE shuffle on the gram hash counts occurrences (map-side
+    partial aggs), duplicated grams join back to their positions, and
+    a per-doc gaps-and-islands window merges overlapping [pos, pos+w)
+    intervals. No pair join anywhere: a gram repeated k times costs k
+    posting rows, never k² pairs, so hot boilerplate cannot go
+    quadratic (contrast the capped-posting discipline the Jaccard pair
+    ops need). At 100 TB the gram table is the big intermediate: ~1 row
+    per corpus token position at 24 bytes — the same budget as the
+    inverted-index builders.
+
+    Output: (doc_id, span_start, span_end, n_dup_grams) with token
+    indices, span_end exclusive; every span is >= w tokens and spans
+    within a doc never overlap (property-tested). Fully hash-oracled:
+    md5 grams, integer positions and window arithmetic are
+    engine-portable."""
+    from pyspark.sql.window import Window
+
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    wc = F.col("__words")
+    tok = d.select("doc_id", words.alias("__words")).filter(F.size(wc) >= w)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(wc) - w),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(wc, i + 1, w))).alias("h"),
+        ),
+    )
+    occ = tok.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    dup = occ.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    hits = occ.join(dup, "h").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    island = F.sum(is_new).over(win.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("__island", island)
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )
+
+
+def _substring_spans_oracle(w: int = 8) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS words
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, g.pos AS pos, g.h AS h FROM (
+                SELECT doc_id, UNNEST(
+                    [STRUCT_PACK(
+                         pos := CAST(i - 1 AS BIGINT),
+                         h := md5(array_to_string(words[i:i+{w - 1}], ' ')))
+                     FOR i IN RANGE(1, LENGTH(words) - {w} + 2)]) AS g
+                FROM toks WHERE LENGTH(words) >= {w}
+            )
+        ), dup AS (
+            SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2
+        ), hits AS (
+            SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (h)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (
+                SELECT doc_id, pos,
+                       MAX(pos + {w}) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+                FROM hits
+            )
+        )
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {w} AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY doc_id, island
+    """
+
+
 QUERIES = {
     "dedup_incremental": dedup_incremental,
+    "dedup_substring_spans": dedup_substring_spans,
     "pipeline_dedup_kept": pipeline_dedup_kept,
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -1378,6 +1484,7 @@ def _embedding_lsh_oracle() -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+ORACLES["dedup_substring_spans"] = _substring_spans_oracle()
 
 
 def _embedding_ivf_oracle(threshold: float = 0.8, n_probe: int = 2) -> str:

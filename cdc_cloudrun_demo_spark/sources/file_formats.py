@@ -450,6 +450,108 @@ def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def source_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (bin-packing compaction) on a deliberately FRAGMENTED
+    Delta-protocol table: the orders seed is committed from an 8-way
+    random repartition, so every hash bucket receives up to 8 small
+    parquet parts in one commit — the small-file accumulation a
+    long-running merge sink produces and OPTIMIZE exists to repair.
+    `DeltaLogStore.optimize` then rewrites each bucket to one file via
+    remove+add actions with ``dataChange: false`` (protocol semantics:
+    bytes moved, zero rows changed) and the compacted snapshot is
+    summarized. Hash-matching the SAME closed form as the uncompacted
+    seed proves OPTIMIZE is content-invisible end to end; file-count
+    collapse, pre-OPTIMIZE time travel, dataChange flags and vacuum are
+    pinned in tests/test_streaming.py::test_delta_optimize_compacts.
+    Scale: one Spark job regardless of fragmentation (fragmented files
+    read with basePath, repartitioned BY bucket, one output file per
+    bucket); driver work is ≤ n_buckets of file bookkeeping."""
+    from ..streaming.delta_log import DeltaLogStore
+    from ..streaming.tx_snapshot import bucket_expr
+
+    state_dir = os.path.join(scratch_dir("delta_opt_"), "table")
+    store = DeltaLogStore(state_dir)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("content"),
+            F.lit(1).cast("long").alias("last_seq"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.lit(False).alias("is_deleted"),
+        )
+        .withColumn("bucket", bucket_expr(store.n_buckets))
+        .repartition(8)  # the fragmentation under repair
+    )
+    store.commit(base, list(range(store.n_buckets)), batch_id=0)
+    store.optimize(spark)
+    return (
+        store.read(spark)
+        .filter(~F.col("is_deleted"))
+        .groupBy("content")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+    )
+
+
+def source_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the Delta-protocol store: three commits —
+    the orders seed, an LWW update/delete wave (the roundtrip shapes:
+    %7 keys overwritten to 'X', %11 keys tombstoned), then an OPTIMIZE
+    — and `DeltaLogStore.change_feed` emits the row-level changes after
+    version 1: inserts/deletes/update pre+post images diffed from the
+    touched buckets of each ``dataChange: true`` commit, while the
+    OPTIMIZE version contributes NOTHING (its actions carry
+    ``dataChange: false`` — the protocol's reason for the flag, proven
+    here end to end because a single leaked byte-move row would break
+    the hash). Summarized per (version, change_type) with exact key
+    sums; the oracle is the closed form over orders. Scale: each
+    version's diff reads only its touched buckets at v and v-1; the
+    feed never scans the table."""
+    from ..streaming.delta_log import DeltaLogStore
+    from ..streaming.tx_snapshot import bucket_expr, lww_merge
+
+    state_dir = os.path.join(scratch_dir("delta_cdf_"), "table")
+    store = DeltaLogStore(state_dir)
+    bucket_of = bucket_expr(store.n_buckets)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("content"),
+            F.lit(1).cast("long").alias("last_seq"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.lit(False).alias("is_deleted"),
+        )
+        .withColumn("bucket", bucket_of)
+    )
+    store.commit(base, list(range(store.n_buckets)), batch_id=0)
+    upd = base.filter((F.col("id") % 7 == 0) | (F.col("id") % 11 == 0)).select(
+        "id",
+        F.when(F.col("id") % 11 == 0, F.col("content"))
+        .otherwise(F.lit("X"))
+        .alias("content"),
+        F.lit(2).cast("long").alias("last_seq"),
+        F.col("updated_at"),
+        (F.col("id") % 11 == 0).alias("is_deleted"),
+        "bucket",
+    )
+    touched = sorted(
+        r["bucket"] for r in upd.select("bucket").distinct().collect()
+    )  # ≤ n_buckets ints — bounded metadata
+    cur = store.read(spark, 1).filter(F.col("bucket").isin(touched))
+    store.commit(lww_merge(cur.unionByName(upd)), touched, batch_id=1)
+    store.optimize(spark)
+    return (
+        store.change_feed(spark, from_version=1)
+        .groupBy("version", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("last_seq").alias("sum_seq"),
+        )
+    )
+
+
 def source_sqldump_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → the custom DataSource's WRITE path
     (``df.write.format("sqldump")``, Spark 4 ``DataSourceWriter`` with
@@ -577,6 +679,8 @@ QUERIES = {
     "source_binary_blobs": source_binary_blobs,
     "source_sqldump_writer_roundtrip": source_sqldump_writer_roundtrip,
     "source_delta_roundtrip": source_delta_roundtrip,
+    "source_delta_optimize": source_delta_optimize,
+    "source_delta_change_feed": source_delta_change_feed,
     "source_sqldump_roundtrip": source_sqldump_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
@@ -612,6 +716,27 @@ ORACLES = {
                COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id
         FROM orders WHERE o_orderkey % 11 <> 0
         GROUP BY 2
+    """,
+    "source_delta_optimize": """
+        SELECT o_orderstatus AS content,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "source_delta_change_feed": """
+        SELECT 2 AS version, 'delete' AS change_type,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
+               CAST(COUNT(*) AS BIGINT) AS sum_seq
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT 2, 'update_preimage',
+               COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT 2, 'update_postimage',
+               COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(2 * COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
     """,
     "source_sqldump_roundtrip": f"""
         SELECT o_orderstatus,

@@ -368,6 +368,19 @@ class DeltaLogStore:
                 }
             }
         )
+        self._publish(delta_v, actions, adds)
+        # the spec's cadence: checkpoint every 10 commits so a cold
+        # reader's replay is O(commits since checkpoint), not O(table
+        # age), without waiting for a maintenance gc()
+        if delta_v > 0 and delta_v % 10 == 0:
+            self._write_checkpoint(delta_v)
+
+    def _publish(self, delta_v: int, actions: list[dict], adds: list[dict]) -> None:
+        """Publish one log version via put-if-absent (the spec's commit
+        CAS). On a lost race, reclaim exactly the uniquely-named files
+        this attempt staged in (the winner's data is never touched) and
+        surface the conflict loudly — the store is single-writer by
+        contract."""
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".{delta_v:020d}.json.tmp")
         with open(tmp, "w") as fh:
@@ -377,11 +390,8 @@ class DeltaLogStore:
             os.fsync(fh.fileno())
         final = os.path.join(self.log_dir, _LOG_FMT.format(delta_v))
         try:
-            os.link(tmp, final)  # put-if-absent: the spec's commit CAS
+            os.link(tmp, final)
         except FileExistsError as e:
-            # CAS lost: another writer published this version first. Our
-            # staged files are uniquely named — the winner's data is
-            # untouched — so we can reclaim exactly what we moved in.
             for a in adds:
                 try:
                     os.remove(os.path.join(self.state_dir, a["add"]["path"]))
@@ -394,13 +404,206 @@ class DeltaLogStore:
             ) from e
         finally:
             os.unlink(tmp)
-        # the spec's cadence: checkpoint every 10 commits so a cold
-        # reader's replay is O(commits since checkpoint), not O(table
-        # age), without waiting for a maintenance gc()
-        if delta_v > 0 and delta_v % 10 == 0:
-            self._write_checkpoint(delta_v)
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level changes AFTER ``from_version`` up to ``to_version``
+        (default newest) — the Delta Change Data Feed shape, derived by
+        replay instead of stored _change_data files: for each commit,
+        the snapshots at v-1 and v are diffed by key over ONLY the
+        buckets that commit's ``dataChange: true`` adds touched (file
+        bookkeeping names them; untouched buckets can't differ). A
+        commit whose actions are all ``dataChange: false`` (OPTIMIZE)
+        emits nothing — the flag exists precisely so incremental
+        consumers skip byte movement. Output: (version, change_type
+        ∈ insert/delete/update_preimage/update_postimage, id, content,
+        last_seq); a key whose tombstone flag flips reads as
+        delete/insert, matching the LWW fold's semantics. Per-version
+        cost is O(touched-bucket rows), never the table; the version
+        loop is bounded by the retained log."""
+        versions = self.versions()
+        if to_version is None:
+            to_version = versions[-1] if versions else from_version
+        out: DataFrame | None = None
+        for v in versions:
+            if not (from_version < v <= to_version):
+                continue
+            touched: set[str] = set()
+            data_change = False
+            with open(os.path.join(self.log_dir, _LOG_FMT.format(v - 1))) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    for kind in ("add", "remove"):
+                        if kind in a and a[kind].get("dataChange", True):
+                            data_change = True
+                            if kind == "add":
+                                touched.add(
+                                    a[kind]["partitionValues"]["bucket"]
+                                )
+            if not data_change or not touched:
+                continue
+            tb = [int(b) for b in sorted(touched)]
+            new = self.read(spark, v).filter(F.col("bucket").isin(tb))
+            if v - 1 in versions:
+                old = self.read(spark, v - 1).filter(F.col("bucket").isin(tb))
+            else:  # diffing against the pre-table void
+                old = new.filter(F.lit(False))
+            o = old.select(
+                F.col("id").alias("o_id"),
+                F.col("content").alias("o_content"),
+                F.col("last_seq").alias("o_seq"),
+                F.col("is_deleted").alias("o_del"),
+            )
+            n = new.select("id", "content", "last_seq", "is_deleted")
+            j = n.join(o, n.id == o.o_id, "full_outer")
+            changed = j.filter(
+                F.col("o_id").isNull()
+                | F.col("id").isNull()
+                | (F.col("content") != F.col("o_content"))
+                | (F.col("last_seq") != F.col("o_seq"))
+                | (F.col("is_deleted") != F.col("o_del"))
+            )
+            was_live = F.col("o_id").isNotNull() & ~F.col("o_del")
+            is_live = F.col("id").isNotNull() & ~F.col("is_deleted")
+            ins = changed.filter(is_live & ~was_live).select(
+                F.lit(v).alias("version"),
+                F.lit("insert").alias("change_type"),
+                "id", "content", "last_seq",
+            )
+            dele = changed.filter(was_live & ~is_live).select(
+                F.lit(v).alias("version"),
+                F.lit("delete").alias("change_type"),
+                F.col("o_id").alias("id"),
+                F.col("o_content").alias("content"),
+                F.col("o_seq").alias("last_seq"),  # preimage, per CDF
+            )
+            upd = changed.filter(was_live & is_live)
+            pre = upd.select(
+                F.lit(v).alias("version"),
+                F.lit("update_preimage").alias("change_type"),
+                F.col("o_id").alias("id"),
+                F.col("o_content").alias("content"),
+                F.col("o_seq").alias("last_seq"),
+            )
+            post = upd.select(
+                F.lit(v).alias("version"),
+                F.lit("update_postimage").alias("change_type"),
+                "id", "content", "last_seq",
+            )
+            part = ins.unionByName(dele).unionByName(pre).unionByName(post)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return spark.createDataFrame(
+                [], "version int, change_type string, id long,"
+                " content string, last_seq long"
+            )
+        return out
 
     # -- maintenance --------------------------------------------------------
+    def optimize(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int:
+        """The spec's OPTIMIZE (bin-packing compaction): rewrite every
+        bucket holding more than ``max_files_per_bucket`` data files
+        down to one file and publish the swap as a log version whose
+        remove+add actions carry ``dataChange: false`` — the protocol's
+        marker that the commit moved BYTES, not rows, so incremental
+        consumers (streams, change feeds) skip it instead of re-emitting
+        the table. Snapshot content is bit-identical (hash-proven by
+        `source_delta_optimize`); time travel to pre-OPTIMIZE versions
+        keeps working until vacuum reclaims the old files.
+
+        Plan shape: ONE Spark job — all fragmented buckets' files read
+        with basePath (the partition column re-attaches), repartitioned
+        BY bucket so each bucket's rows land in exactly one task, and
+        written partitionBy(bucket) → exactly one output file per
+        bucket; the per-bucket driver work is file bookkeeping over
+        ≤ n_buckets entries. Returns the number of files compacted away.
+        Reference anchor: delta-io PROTOCOL.md dataChange semantics;
+        the local analog of `layout_compaction_plan`'s bin-packing,
+        executed transactionally."""
+        prev = self.latest_manifest()
+        if prev is None:
+            return 0
+        frag = {
+            b: fl
+            for b, fl in prev["buckets"].items()
+            if len(fl) > max_files_per_bucket
+        }
+        if not frag:
+            return 0
+        delta_v = prev["version"]
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.state_dir, f"_staging-{delta_v}-{token}")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged = spark.read.option("basePath", self.state_dir).parquet(
+            *[os.path.join(self.state_dir, f) for fl in frag.values() for f in fl]
+        )
+        merged.repartition(len(frag), "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(staging)
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        adds: list[dict] = []
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            part_dir = os.path.join(self.state_dir, entry)
+            os.makedirs(part_dir, exist_ok=True)
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(staging, entry))
+                if f.endswith(".parquet")
+            )
+            for i, f in enumerate(parts):
+                name = f"part-{delta_v:020d}-{i:05d}-{token}.snappy.parquet"
+                dst = os.path.join(part_dir, name)
+                os.replace(os.path.join(staging, entry, f), dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": f"{entry}/{name}",
+                            "partitionValues": {"bucket": b},
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        removes = [
+            {
+                "remove": {
+                    "path": old,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+            for b, fl in sorted(frag.items())
+            for old in fl
+        ]
+        actions = (
+            removes
+            + adds
+            + [
+                {
+                    "commitInfo": {
+                        "operation": "OPTIMIZE",
+                        "operationParameters": {"compactedBuckets": len(frag)},
+                        "timestamp": now_ms,
+                    }
+                }
+            ]
+        )
+        self._publish(delta_v, actions, adds)
+        return sum(len(fl) for fl in frag.values())
+
     def _write_checkpoint(self, delta_v: int) -> None:
         """The spec's checkpoint: one parquet row per live action at
         ``delta_v`` (add/txn/metaData/protocol columns), then

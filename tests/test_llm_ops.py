@@ -884,3 +884,73 @@ def test_batch_walk_per_query_independent(spark, sf_oracle):
         if r["query_id"] < 5
     }
     assert small and big == small
+
+
+def test_substring_spans_known_corpus(spark, tmp_path, sf_oracle):
+    """Exact-substring dedup on a CONTROLLED corpus: two documents share
+    one 10-word passage embedded at known offsets in otherwise-unique
+    text, and one document repeats a passage internally — the reported
+    spans must be exactly the duplicated windows, merged, and nothing
+    else. Plus corpus-level invariants at sf_oracle: every span covers
+    >= w tokens, spans within a doc are disjoint and ordered, and
+    n_dup_grams can never exceed the span's gram capacity."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_substring_spans
+
+    w = 8
+
+    def wd(tag, i):  # letter-only distinct words: the tokenizer is [a-z]+
+        return tag + chr(97 + i // 26) + chr(97 + i % 26)
+
+    def uniq(tag, n):
+        return " ".join(wd(tag, i) for i in range(n))
+
+    shared = uniq("common", 10)  # 10 shared words
+    rep9 = uniq("rep", 9)
+    rows = [
+        # doc 0: 5 unique words, the shared passage, 5 more unique words
+        (0, f"{uniq('zero', 5)} {shared} {uniq('tail', 5)}", "en", "web", 0),
+        # doc 1: shared passage at the very start
+        (1, f"{shared} {uniq('one', 7)}", "en", "web", 0),
+        # doc 2: internal repeat — the same 9 words twice back-to-back
+        (2, f"{rep9} {rep9}", "en", "web", 0),
+        # doc 3: fully unique, must not appear
+        (3, uniq("three", 30), "en", "web", 0),
+    ]
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(corpus, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dedup_substring_spans(spark, corpus, w=w).collect()
+    }
+    # doc 0: shared words occupy token positions 5..14 → w-grams fully
+    # inside the shared text start at 5..7 (3 grams), span [5, 15)
+    # doc 1: positions 0..9 → grams at 0..2, span [0, 10)
+    # doc 2: tokens 0..17, rep{i} at i and i+9 → every w-gram window
+    # repeats (gram at p equals gram at p+9 for p <= 1; actually the
+    # doubled text makes grams at 0..10 collide pairwise) → one merged
+    # span covering all gram positions 0..10, span [0, 18)
+    assert got[0] == (5, 15, 3)
+    assert got[1] == (0, 10, 3)
+    assert got[2][0] == 0 and got[2][1] == 18
+    assert 3 not in got
+
+    # corpus-level invariants on the real synthetic tables
+    spans = dedup_substring_spans(spark, sf_oracle).collect()
+    assert spans, "synthetic corpus contains exact dups; spans expected"
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_end"] - r["span_start"] >= w
+        assert 1 <= r["n_dup_grams"] <= r["span_end"] - r["span_start"] - w + 1
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for iv in by_doc.values():
+        iv.sort()
+        for (s1, e1), (s2, _e2) in zip(iv, iv[1:]):
+            assert s2 > e1, "spans within a doc must be disjoint"

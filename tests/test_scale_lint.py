@@ -99,10 +99,11 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "1-row MAX(seq) watermark aggregate (tombstone GC horizon)",
         ),
         "sources/file_formats.py": (
-            2,
-            "<= n_buckets ints of touched-bucket ids (delta roundtrip); "
-            "40 LIMIT-bounded fixture rows (binaryFile blob fixture — "
-            "production blobs land from the upstream store)",
+            3,
+            "<= n_buckets ints of touched-bucket ids (delta roundtrip + "
+            "change-feed fixture); 40 LIMIT-bounded fixture rows "
+            "(binaryFile blob fixture — production blobs land from the "
+            "upstream store)",
         ),
         "session.py": (2, "64-row session warmup, corpus-independent"),
         "functions/similarity.py": (

@@ -1240,3 +1240,108 @@ def test_tombstone_gc_replay_safe(spark, tmp_path, backend):
     assert {
         r["id"]: r["content"] for r in read_tx_snapshot(spark, state_dir).collect()
     } == want
+
+
+def test_delta_optimize_compacts(spark, tmp_path):
+    """OPTIMIZE: a fragmented commit (8 parts per bucket) is bin-packed
+    to one file per bucket by a log version whose remove+add actions
+    carry dataChange:false; content is unchanged, the pre-OPTIMIZE
+    version stays time-travelable, a second OPTIMIZE is a no-op, and
+    vacuum reclaims exactly the superseded fragments."""
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import bucket_expr
+
+    store = DeltaLogStore(str(tmp_path / "table"), n_buckets=4)
+    rows = [(i, f"c{i}", 1, None, False) for i in range(64)]
+    base = (
+        spark.createDataFrame(
+            rows,
+            "id long, content string, last_seq long,"
+            " updated_at timestamp, is_deleted boolean",
+        )
+        .withColumn("bucket", bucket_expr(4))
+        .repartition(8)
+    )
+    store.commit(base, [0, 1, 2, 3], batch_id=0)
+    m1 = store.latest_manifest()
+    frag_files = sum(len(fl) for fl in m1["buckets"].values())
+    assert frag_files > 4, "fixture failed to fragment"
+    before = {(r["id"], r["content"]) for r in store.read(spark).collect()}
+
+    removed = store.optimize(spark)
+    assert removed == frag_files
+    m2 = store.latest_manifest()
+    assert m2["version"] == m1["version"] + 1
+    assert all(len(fl) == 1 for fl in m2["buckets"].values())
+    assert {(r["id"], r["content"]) for r in store.read(spark).collect()} == before
+    # the swap is flagged as data-invisible, per the protocol
+    import json as _json
+
+    log = open(
+        str(tmp_path / "table" / "_delta_log" / f"{m1['version']:020d}.json")
+    ).read()
+    acts = [_json.loads(line) for line in log.splitlines() if line.strip()]
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    ) and all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    # pre-OPTIMIZE snapshot still time travels
+    assert {
+        (r["id"], r["content"]) for r in store.read(spark, m1["version"]).collect()
+    } == before
+    # idempotent; vacuum reclaims exactly the fragments
+    assert store.optimize(spark) == 0
+    assert store.gc() == frag_files
+    assert {(r["id"], r["content"]) for r in store.read(spark).collect()} == before
+
+
+def test_change_feed_transitions(spark, tmp_path):
+    """CDF semantics over the LWW store's full transition matrix:
+    version 1 emits pure inserts (diff against the pre-table void), a
+    tombstone flip reads as delete (preimage values), a tombstone
+    RESURRECTION reads as insert, value changes emit pre+post image
+    pairs, an arriving tombstone for a never-seen key emits nothing
+    (no live change), and an empty version range returns an empty,
+    correctly-typed frame."""
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import bucket_expr, lww_merge
+
+    store = DeltaLogStore(str(tmp_path / "table"), n_buckets=2)
+    schema = (
+        "id long, content string, last_seq long,"
+        " updated_at timestamp, is_deleted boolean"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "bucket", bucket_expr(2)
+        )
+
+    # v1: keys 1 (live), 2 (live), 3 (tombstone on arrival)
+    store.commit(df([(1, "a", 1, None, False), (2, "b", 1, None, False),
+                     (3, None, 1, None, True)]), [0, 1], batch_id=0)
+    # v2: key 1 updated, key 2 deleted, key 3 resurrected, key 4 inserted
+    upd = df([(1, "a2", 2, None, False), (2, "b", 2, None, True),
+              (3, "back", 2, None, False), (4, "new", 2, None, False)])
+    cur = store.read(spark, 1)
+    store.commit(lww_merge(cur.unionByName(upd)), [0, 1], batch_id=1)
+
+    feed = {
+        (r["version"], r["change_type"], r["id"]): (r["content"], r["last_seq"])
+        for r in store.change_feed(spark, from_version=0).collect()
+    }
+    # v1: only the LIVE keys insert; the arrival-tombstone key 3 is silent
+    assert feed[(1, "insert", 1)] == ("a", 1)
+    assert feed[(1, "insert", 2)] == ("b", 1)
+    assert (1, "insert", 3) not in feed and (1, "delete", 3) not in feed
+    # v2: the full matrix
+    assert feed[(2, "update_preimage", 1)] == ("a", 1)
+    assert feed[(2, "update_postimage", 1)] == ("a2", 2)
+    assert feed[(2, "delete", 2)] == ("b", 1)  # preimage values
+    assert feed[(2, "insert", 3)] == ("back", 2)  # resurrection
+    assert feed[(2, "insert", 4)] == ("new", 2)
+    assert len(feed) == 7
+    # empty range: typed empty frame
+    empty = store.change_feed(spark, from_version=2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"version", "change_type", "id", "content",
+                                  "last_seq"}
