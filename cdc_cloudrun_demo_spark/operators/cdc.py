@@ -232,7 +232,12 @@ def cdc_materialize_tx(
     )
 
 
-def _run_tx_materializer(spark: SparkSession, sf_dir: str, backend: str) -> str:
+def _run_tx_materializer(
+    spark: SparkSession,
+    sf_dir: str,
+    backend: str,
+    tombstone_ttl_seqs: int | None = None,
+) -> str:
     """Shared harness for the tx-sink entries: slice the change log into
     micro-batch files, fold it through `tx_snapshot_sink` with the given
     commit protocol, and return the scratch dir holding ``state``."""
@@ -257,6 +262,7 @@ def _run_tx_materializer(spark: SparkSession, sf_dir: str, backend: str) -> str:
         state_dir=os.path.join(tmp, "state"),
         checkpoint_dir=os.path.join(tmp, "ckpt"),
         backend=backend,
+        tombstone_ttl_seqs=tombstone_ttl_seqs,
     )
     finished = q.awaitTermination(300)
     if not finished:
@@ -295,6 +301,31 @@ def cdc_tombstone_gc(
     compact_tombstones(store, spark, horizon_seq=horizon)
     store.gc()
     return store.read(spark).select("id", "content", "last_seq", "updated_at")
+
+
+def cdc_materialize_ttl_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention policy running LIVE inside the streaming sink
+    (`tx_snapshot_sink(tombstone_ttl_seqs=0)`): after every micro-batch
+    commit, tombstones behind the sequence watermark are compacted
+    automatically — the production shape, where a materializer folding
+    months of churn never accretes dead keys in the first place, rather
+    than waiting for maintenance-time `compact_tombstones`. ttl=0
+    declares the in-order source this sliced change log is (each batch's
+    max seq is a true frontier); the out-of-order safety half — a lag
+    ttl retaining tombstones until late data can no longer arrive — is
+    proven in tests/test_streaming.py::test_live_ttl_lag_blocks_late_
+    resurrection. Returns the RAW final snapshot, so hash-matching the
+    live-fold oracle proves every tombstone was dropped in-flight AND no
+    live row was harmed."""
+    import os
+    from ..streaming.tx_snapshot import open_store
+
+    tmp = _run_tx_materializer(spark, sf_dir, "manifest", tombstone_ttl_seqs=0)
+    return (
+        open_store(os.path.join(tmp, "state"))
+        .read(spark)
+        .select("id", "content", "last_seq", "updated_at")
+    )
 
 
 def cdc_tombstone_gc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +597,7 @@ QUERIES = {
     "cdc_materialize_tx_delta": cdc_materialize_tx_delta,
     "cdc_tombstone_gc": cdc_tombstone_gc,
     "cdc_tombstone_gc_delta": cdc_tombstone_gc_delta,
+    "cdc_materialize_ttl_live": cdc_materialize_ttl_live,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_scd2_live": cdc_scd2_live,
     "cdc_snapshot_asof": cdc_snapshot_asof,
@@ -657,6 +689,7 @@ ORACLES = {
     # surviving tombstones AND untouched live rows (see cdc_tombstone_gc)
     "cdc_tombstone_gc": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_tombstone_gc_delta": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
+    "cdc_materialize_ttl_live": f"{_CTE} {_FOLD_SQL.format(src='message_changes')}",
     "cdc_scd2_history": f"""
         {_CTE},
         v AS (

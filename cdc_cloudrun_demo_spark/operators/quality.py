@@ -232,8 +232,96 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("column_name", "n_rows", "n_null", "n_distinct")
 
 
+def dq_drift_psi(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index — the standard drift gate between a
+    reference and a current data segment (here: even vs odd event_id
+    halves of the events table, the engine's stand-in for last-month vs
+    this-month ingest). A training pipeline runs this before trusting a
+    new snapshot: PSI < 0.1 stable, 0.1–0.25 moderate drift, > 0.25
+    investigate.
+
+    Shape: ONE scan of the table; the reference segment's (min, max) is
+    a 1-row bounds aggregate broadcast back (the zone-map pattern),
+    every row clamps into one of ``n_bins`` equal-width bins, and one
+    groupBy(bin) produces both segments' counts via conditional sums.
+    The bin spine explodes from the bounds row, so empty bins still
+    report (their smoothed term is part of PSI). Laplace (+1)
+    smoothing keeps the log finite.
+
+    Portability: bin edges and the smoothed proportions are pure IEEE
+    double chains over exact integers (identical in both engines); the
+    one transcendental — ln of the proportion ratio — uses the
+    round-at-3-then-floor micro-nat discipline of the LM scorers
+    (functions/text.py), so the last-ulp libm divergence cannot flip
+    the hash. Output: (bin, n_ref, n_cur, dlog_micro, psi_term_micro).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    seg = ev.select((F.col("event_id") % 2 == 0).alias("is_ref"), "value")
+    bounds = seg.filter(F.col("is_ref")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    raw = F.floor((F.col("value") - F.col("lo")) / width)
+    bin_ = (
+        F.when(F.col("hi") <= F.col("lo"), F.lit(0))
+        .otherwise(F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)))
+        .cast("int")
+    )
+    counts = (
+        seg.crossJoin(F.broadcast(bounds))
+        .select("is_ref", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    full = (
+        spine.join(counts, "bin", "left_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+                )
+            )
+        )
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        (F.col("tot_ref") + n_bins).cast("double")
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        (F.col("tot_cur") + n_bins).cast("double")
+    )
+    ratio = ((F.col("n_cur") + 1) * (F.col("tot_ref") + n_bins)).cast("double") / (
+        ((F.col("n_ref") + 1) * (F.col("tot_cur") + n_bins)).cast("double")
+    )
+    dlog_micro = F.floor(F.round(F.log(ratio) * F.lit(1_000_000.0), 3)).cast("long")
+    return full.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        dlog_micro.alias("dlog_micro"),
+        F.round((p_cur - p_ref) * dlog_micro.cast("double"), 3).alias(
+            "psi_term_micro"
+        ),
+    )
+
+
 QUERIES = {
     "dq_constraints": dq_constraints,
+    "dq_drift_psi": dq_drift_psi,
     "dq_skew_histogram": dq_skew_histogram,
     "dq_freshness_lag": dq_freshness_lag,
     "dq_null_profile": dq_null_profile,
@@ -243,6 +331,49 @@ _LANG_LIST = ", ".join(f"'{x}'" for x in _ALLOWED_LANGS)
 
 ORACLES = {
     "dq_skew_histogram": SKEW_ORACLE,
+    "dq_drift_psi": """
+        WITH seg AS (
+            SELECT (event_id % 2 = 0) AS is_ref, value
+            FROM events WHERE value IS NOT NULL
+        ), bounds AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi FROM seg WHERE is_ref
+        ), binned AS (
+            SELECT is_ref,
+                   CASE WHEN hi <= lo THEN 0
+                        ELSE CAST(LEAST(9, GREATEST(0,
+                            FLOOR((value - lo) / ((hi - lo) / 10)))) AS INT)
+                   END AS bin
+            FROM seg, bounds
+        ), counts AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ref,
+                   CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_cur
+            FROM binned GROUP BY bin
+        ), tot AS (
+            SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur FROM counts
+        ), spine AS (
+            SELECT CAST(UNNEST(RANGE(0, 10)) AS INT) AS bin FROM bounds
+        ), filled AS (
+            SELECT s.bin, COALESCE(c.n_ref, 0) AS n_ref,
+                   COALESCE(c.n_cur, 0) AS n_cur, t.tot_ref, t.tot_cur
+            FROM spine s LEFT JOIN counts c USING (bin) CROSS JOIN tot t
+        ), terms AS (
+            SELECT bin, n_ref, n_cur,
+                   CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE)
+                     - CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE)
+                     AS dp,
+                   CAST(FLOOR(ROUND(LN(
+                       CAST((n_cur + 1) * (tot_ref + 10) AS DOUBLE)
+                     / CAST((n_ref + 1) * (tot_cur + 10) AS DOUBLE)
+                   ) * 1000000.0, 3)) AS BIGINT) AS dlog_micro
+            FROM filled
+        )
+        SELECT bin, n_ref, n_cur, dlog_micro,
+               ROUND(dp * CAST(dlog_micro AS DOUBLE), 3) AS psi_term_micro
+        FROM terms
+    """,
     "dq_freshness_lag": """
         WITH ev AS (
             SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,

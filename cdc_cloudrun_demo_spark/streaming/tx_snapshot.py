@@ -295,6 +295,7 @@ def tx_snapshot_sink(
     n_buckets: int = N_STATE_BUCKETS,
     on_before_commit: Callable[[int], None] | None = None,
     backend: str = "manifest",
+    tombstone_ttl_seqs: int | None = None,
 ):
     """foreachBatch sink with ATOMIC snapshot commits (module docstring).
     Same fold as `state_snapshot_sink` (keyed LWW by last_seq, tombstones
@@ -310,7 +311,15 @@ def tx_snapshot_sink(
     ``'delta'`` (the public Delta Lake log protocol,
     streaming/delta_log.py). Identical commit contract — the tx test
     suite runs unchanged against both.
-    """
+
+    ``tombstone_ttl_seqs``: when set, the retention policy runs LIVE —
+    after each commit the sink compacts tombstones behind
+    ``frontier - ttl`` where frontier is the max ``last_seq`` committed
+    so far (the sequence-domain watermark: the source's promise that no
+    update arrives more than ttl seqs late). ttl=0 declares an in-order
+    source and drops each tombstone the moment it is committed. None
+    (default) retains tombstones forever and leaves compaction to
+    maintenance-time `compact_tombstones`."""
     spark = updates_stream.sparkSession
     if backend == "delta":
         from .delta_log import DeltaLogStore
@@ -321,6 +330,7 @@ def tx_snapshot_sink(
     else:
         raise ValueError(f"unknown tx snapshot backend: {backend!r}")
     bucket_of = bucket_expr(n_buckets)
+    frontier = {"max": None}  # max committed last_seq (closure state)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = store.latest_manifest()
@@ -344,6 +354,20 @@ def tx_snapshot_sink(
             if on_before_commit is not None:
                 on_before_commit(batch_id)
             store.commit(merged, touched, batch_id)
+            if tombstone_ttl_seqs is not None:
+                # live retention (docstring): one bounded 1-row aggregate
+                # over the persisted batch advances the seq watermark,
+                # then tombstones behind frontier - ttl are compacted —
+                # an ordinary commit over only the buckets holding one
+                mx = batch_df.agg(F.max("last_seq").alias("m")).collect()[0]["m"]
+                if mx is not None and (
+                    frontier["max"] is None or mx > frontier["max"]
+                ):
+                    frontier["max"] = mx
+                if frontier["max"] is not None:
+                    compact_tombstones(
+                        store, spark, frontier["max"] - tombstone_ttl_seqs
+                    )
         finally:
             batch_df.unpersist()
 

@@ -90,9 +90,10 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "plans/__init__.py": (1, "plan-audit tooling, not an operator path"),
         "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "streaming/tx_snapshot.py": (
-            2,
+            3,
             "<= n_buckets ints of touched-bucket ids (sink merge + "
-            "tombstone compaction)",
+            "tombstone compaction) and a 1-row MAX(last_seq) watermark "
+            "aggregate (live TTL)",
         ),
         "operators/cdc.py": (
             1,

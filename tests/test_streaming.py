@@ -1345,3 +1345,69 @@ def test_change_feed_transitions(spark, tmp_path):
     assert empty.count() == 0
     assert set(empty.columns) == {"version", "change_type", "id", "content",
                                   "last_seq"}
+
+
+def test_live_ttl_lag_blocks_late_resurrection(spark, tmp_path):
+    """Live TTL with a LAG: the sink compacts only tombstones older than
+    frontier - ttl, so a late batch (within the ttl window) carrying a
+    lower seq for a deleted key must still LOSE the LWW merge against
+    the retained tombstone; once the frontier advances past the window,
+    the tombstone is dropped automatically. This is the out-of-order
+    half of the live retention contract (cdc_materialize_ttl_live's
+    in-order ttl=0 shape is hash-proven by the driver)."""
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import (
+        open_store,
+        read_tx_snapshot,
+        tx_snapshot_sink,
+    )
+    from datetime import datetime
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        q = tx_snapshot_sink(
+            materialize_with_state(stream), state_dir, ckpt,
+            tombstone_ttl_seqs=5,
+        )
+        assert q.awaitTermination(120)
+
+    ts = datetime(2024, 1, 1)
+    # batch A: insert keys 1,2 then delete key 1 at seq 10 (frontier 10,
+    # horizon 5 → the tombstone at 10 survives compaction)
+    spark.createDataFrame(
+        [(1, "INSERT", 1, "one", ts), (2, "INSERT", 2, "two", ts),
+         (10, "DELETE", 1, None, ts)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_000"))
+    run_stream()
+    store = open_store(state_dir)
+    assert store.read(spark).filter(F.col("is_deleted")).count() == 1
+
+    # batch B: LATE update for key 1 at seq 8 (< 10, within ttl) — the
+    # retained tombstone must outvote it; frontier stays 10
+    spark.createDataFrame(
+        [(8, "UPDATE", 1, "late-loser", ts)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_001"))
+    run_stream()
+    assert 1 not in {
+        r["id"] for r in read_tx_snapshot(spark, state_dir).collect()
+    }, "late update resurrected a deleted key"
+    assert store.read(spark).filter(F.col("is_deleted")).count() == 1
+
+    # batch C: frontier advances to 20 → horizon 15 > 10 → the tombstone
+    # is compacted automatically, live state unchanged
+    spark.createDataFrame(
+        [(20, "UPDATE", 2, "two-v2", ts)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_002"))
+    run_stream()
+    assert store.read(spark).filter(F.col("is_deleted")).count() == 0
+    assert {
+        (r["id"], r["content"])
+        for r in read_tx_snapshot(spark, state_dir).collect()
+    } == {(2, "two-v2")}
