@@ -68,6 +68,11 @@ HEADLINE: dict[str, str] = {
     # against the standing corpus via the same bounded blocking, no
     # graph rebuild (the batch-vs-corpus shape of dedup_incremental)
     "sim_knn_graph_incremental": "count",
+    # round-8: exact-substring dedup (rolling-gram posting pass + span
+    # merge — the corpus-token-scaled LLM-pipeline heavyweight) and the
+    # PSI drift gate (one scan + 10-row output)
+    "dedup_substring_spans": "count",
+    "dq_drift_psi": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators

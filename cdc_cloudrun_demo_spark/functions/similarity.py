@@ -1728,6 +1728,82 @@ def sim_knn_graph_incremental(
     )
 
 
+def sim_knn_graph_upsert(
+    spark: SparkSession, sf_dir: str, k_edges: int = 8, n_batches: int = 4
+) -> DataFrame:
+    """Index-maintenance ALGEBRA for the ANN graph: the corpus arrives
+    as ``n_batches`` sequential ingests (vec_id % n_batches) and the
+    edge state is maintained by merge + per-src top-k — each step adds
+    the new vectors' FORWARD edges (batch → everything seen) and the
+    BACK-edge updates real graph inserts need (earlier vectors gain the
+    new arrivals as candidates, re-ranked against their standing edge
+    list). The per-src top-k merge is lossless for fixed k —
+    topk(topk(A) ∪ B) = topk(A ∪ B), because nothing outside a set's
+    top-k can re-enter once better candidates exist — and every blocked
+    candidate pair (s, d) surfaces exactly at step
+    max(batch(s), batch(d)), so after the last ingest the maintained
+    state EQUALS the one-shot `sim_knn_graph` rebuild: this entry
+    hash-matches the SAME oracle, which is the strongest possible proof
+    that incremental maintenance loses nothing. (Contrast
+    `sim_knn_graph_incremental`, the single-ingest forward-only shape.)
+    Per-step state is the ≤ N·k_edges edge list, pinned eagerly per
+    step (the beam walk's discipline); candidate generation reuses the
+    memoized posting/cell indexes, filtered to each step's batch on one
+    side — at scale the posting probe is |batch| × bucket mates, never
+    N²."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    qcorp = emb.select("vec_id", quantized_vec(F.col("embedding")).alias("qv"))
+    post = _lsh_postings_cached(spark, sf_dir)
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    ranked = ivf_ranked_cells(cents)
+    cellpost = emb.select(
+        "vec_id",
+        F.explode(F.slice(ranked(F.col("embedding")), 1, 2)).alias("cell"),
+    )
+
+    def cand_from(p: DataFrame, keys: list[str]) -> DataFrame:
+        a = p.select(*keys, F.col("vec_id").alias("src"))
+        b = p.select(*keys, F.col("vec_id").alias("dst"))
+        return (
+            a.join(b, keys)
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+
+    cand = cand_from(post, ["tbl", "bucket"]).union(cand_from(cellpost, ["cell"]))
+    w = Window.partitionBy("src").orderBy(F.asc("d2_units"), F.asc("dst"))
+    state: DataFrame | None = None
+    for b in range(n_batches):
+        is_batch = lambda c: c % n_batches == b  # noqa: B023
+        is_seen = lambda c: c % n_batches <= b  # noqa: B023
+        step = (
+            cand.filter(
+                (is_batch(F.col("src")) & is_seen(F.col("dst")))
+                | (is_seen(F.col("src")) & is_batch(F.col("dst")))
+            )
+            .dropDuplicates(["src", "dst"])
+            .join(
+                qcorp.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa")),
+                "src",
+            )
+            .join(
+                qcorp.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb")),
+                "dst",
+            )
+            .select("src", "dst", _int_dist2(F.col("qa"), F.col("qb")).alias("d2_units"))
+        )
+        merged = step if state is None else state.unionByName(step).dropDuplicates(
+            ["src", "dst"]
+        )
+        state = (
+            merged.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k_edges)
+            .select("src", "dst", "d2_units")
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
 def _sql_knn_edges(k_edges: int = 8, src_where: str = "") -> str:
     """CTE text for the k-NN graph — the oracle twin of
     `knn_graph_edges`. Requires ``postings`` (the portable LSH posting
@@ -1864,6 +1940,7 @@ def _graph_topk_oracle(
 QUERIES = {
     "sim_knn_graph": sim_knn_graph,
     "sim_knn_graph_incremental": sim_knn_graph_incremental,
+    "sim_knn_graph_upsert": sim_knn_graph_upsert,
     "sim_ann_graph_topk": sim_ann_graph_topk,
     "sim_ann_graph_batch": sim_ann_graph_batch,
     "dedup_semantic_clusters": dedup_semantic_clusters,
@@ -2018,6 +2095,8 @@ ORACLES["sim_knn_graph"] = _knn_graph_oracle()
 ORACLES["sim_knn_graph_incremental"] = _knn_graph_oracle(
     src_where="WHERE src % 2 = 1"
 )
+# the maintained state must equal the one-shot rebuild — SAME oracle
+ORACLES["sim_knn_graph_upsert"] = _knn_graph_oracle()
 ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
 ORACLES["sim_ann_ivf_topk"] = _ivf_topk_oracle()

@@ -954,3 +954,20 @@ def test_substring_spans_known_corpus(spark, tmp_path, sf_oracle):
         iv.sort()
         for (s1, e1), (s2, _e2) in zip(iv, iv[1:]):
             assert s2 > e1, "spans within a doc must be disjoint"
+
+
+def test_upsert_index_equals_rebuild(spark, sf_oracle):
+    """The maintained ANN index (4 sequential ingests, forward edges +
+    back-edge re-ranks, per-src top-k merge) must equal the one-shot
+    rebuild EXACTLY — the merge algebra is lossless for fixed k
+    (functions/similarity.py::sim_knn_graph_upsert). The driver proves
+    this against DuckDB; this test pins it Spark-vs-Spark so a
+    regression is caught locally without the oracle."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_knn_graph,
+        sim_knn_graph_upsert,
+    )
+
+    upsert = {tuple(r) for r in sim_knn_graph_upsert(spark, sf_oracle).collect()}
+    full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
+    assert upsert == full and upsert

@@ -46,6 +46,8 @@ BNLJ_BOUNDED = {
     "dq_freshness_lag": "1-row global-max-timestamp aggregate",
     "sim_ann_graph_topk": "1-row MIN(vec_id) entry-point aggregate crossed "
     "onto the bounded (vec_id < 5) query set",
+    "dq_drift_psi": "1-row reference min/max bounds aggregate + 1-row "
+    "segment-totals aggregate crossed onto the n_bins=10 spine",
 }
 
 

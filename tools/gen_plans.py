@@ -73,6 +73,8 @@ COMMENTARY = {
  "multimodal_audio_vad": "Voice-activity segmentation: payload bytes stream through ONE ArrowEvalPython pass (never shuffled); only the 64-sample frame FEATURE rows shuffle once on doc_id for the gaps-and-islands run window, and the output is segment-sized. The activity predicate is exact-integer (sum_sq >= T*n), so segment boundaries cannot flip across engines.",
  "sim_ann_graph_topk": "NSW-style beam search over the memoized on-disk indexes (edge list + LSH posting list, both built once per corpus at ingest). Round-8 rework: `visited` is EAGERLY pinned once per hop (localCheckpoint(eager=True) - the Spark twin of the oracle's MATERIALIZED CTEs), so the final rescore is one depth-1 join over the pinned state instead of re-executing every hop's subtree; `beam` stays lazy because it is consumed exactly once inside the next hop's pin job. The returned plan is therefore a shallow join+window over checkpointed RDD scans - the iterative work already ran, hop-bounded, during construction (FULL_TIMED in bench.py). Walk state is O(|Q| x visited) rows at ANY corpus size; per-query cost collapses at batch |Q| (bench.py batch_ann: ~13 ms/query at |Q|=500 vs ~440 ms/query at |Q|=5 - pure per-stage scheduling amortization, measured not argued).",
  "sim_knn_graph_incremental": "Incremental ANN-index ingest: candidates for the arriving batch (odd vec_ids) come from the memoized posting index probed by the batch's own postings - the src filter pushes through the candidate union into both blocking joins' probe sides, so the heavy self-joins run batch x (corpus + batch), never N x N - then one per-src top-k window. Edges equal the full rebuild's rows for batch sources (property-pinned), so the standing index is APPENDED to, never recomputed; per-ingest cost scales with |batch| x candidates-per-vector regardless of corpus size.",
+ "dedup_substring_spans": "Exact-substring dedup (Lee et al. 2022 reformulated map-reduce): the token array materializes once per doc, a narrow transform emits (pos, md5-of-w-token-window) structs, ONE hash shuffle on the gram counts occurrences (map-side partials), duplicated grams join back to their positions, and a per-doc gaps-and-islands window merges [pos, pos+w) intervals. No pair join anywhere - a gram repeated k times costs k posting rows, never k^2, so hot boilerplate cannot go quadratic. The gram table is ~1 row per corpus token position: the same budget as an inverted-index build, embarrassingly scalable.",
+ "dq_drift_psi": "PSI drift gate: one scan of events; the reference segment's (min, max) is a 1-row bounds aggregate broadcast back (vetted BNLJ - the zone-map pattern), bin assignment is a narrow clamped projection, and ONE groupBy(bin) yields both segments' counts via conditional sums; the 10-row spine + totals are 1-row-aggregate crossJoins. Output is n_bins rows at any table size. The single transcendental (ln of the smoothed ratio) uses the micro-nat round-then-floor discipline, so the gate is hash-oracled despite libm.",
 }
 
 print("# Plan audit — headline queries\n")
@@ -82,17 +84,17 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 8)
 
-Suite wall 41.07 s (r7, 26 queries) -> **~31.1 s (r8, 27 queries;
+Suite wall 41.07 s (r7, 26 queries) -> **~27.2 s (r8, 29 queries;
 round-8 build-time run — the driver's BENCH_r08.json is the artifact of
-record)**: the suite GREW by one query (`sim_knn_graph_incremental`,
-~3.7 s of honest cold ingest work) and still dropped ~10 s, because the
-round's one `weak` row was fixed rather than re-measured. The pinned
-series: `r7_26q` **27.4 s vs 41.1 s (-33%)**, `r6_23q` 17.0 s (vs 16.5
-r7 — run noise on sim_ann_pq_topk/graph_pagerank, plans unchanged),
-`r5_20q` 8.1 s (flat since r5).
+record)**: the suite GREW by three queries (`sim_knn_graph_incremental`
+~2.7 s of honest cold ingest work, `dedup_substring_spans` ~1.3 s,
+`dq_drift_psi` ~0.4 s) and still dropped ~14 s, because the round's one
+`weak` row was fixed rather than re-measured. The pinned series:
+`r7_26q` **22.9 s vs 41.1 s (-44%)**, `r6_23q` 14.5 s (vs 15.2 r6 —
+slightly faster than the r6 original), `r5_20q` 7.2 s (flat since r5).
 
-- `sim_ann_graph_topk` **17.80 -> ~2.8 s** (construction ~2.5 +
-  action ~0.3), hash oracle unchanged. Two fixes, both index/iteration
+- `sim_ann_graph_topk` **17.80 -> ~2.1 s** (construction ~1.9 +
+  action ~0.2), hash oracle unchanged. Two fixes, both index/iteration
   discipline rather than algorithm changes: (1) `visited` is eagerly
   pinned once per hop — the Spark twin of the oracle's MATERIALIZED
   CTEs (r7 verdict item 1); the lazy chain was re-executing every
@@ -105,17 +107,22 @@ r7 — run noise on sim_ann_pq_topk/graph_pagerank, plans unchanged),
   list (both memos: per-key subdirs, existence-checked, evict-deletes).
 - **Per-query amortization measured** (r7 verdict item 2): bench.py's
   `batch_ann` section runs the identical walk at |Q|=500 —
-  **~16 ms/query vs ~560 ms/query at |Q|=5 (35x)**, and ~220x below
+  **~13 ms/query vs ~410 ms/query at |Q|=5 (33x)**, and ~280x below
   r7's committed |Q|=5 ratio (3,560 ms/query). The walk's per-hop jobs
   are query-count-independent (all queries ride the same bounded hop
   count; state just gains rows), which is the scheduling-overhead claim
   of the r7 PLANS text, now a number. Result equality between the
   batch walk's first-5 slice and the |Q|=5 walk is property-pinned
   (per-query independence), so the comparison is apples-to-apples.
-- `sim_knn_graph_incremental` ~3.7 s: the ingest path (batch x standing
+- `sim_knn_graph_incremental` ~2.7 s: the ingest path (batch x standing
   postings candidates + per-src top-k) — real per-batch work over a
   20k-vector append at sf0.1, priced cold by design (ingest is never
-  warm); isolated best-of-3 was 2.65 s.
+  warm). Its multi-batch twin `sim_knn_graph_upsert` (not benched — a
+  correctness construct) proves the maintenance algebra by
+  hash-matching the one-shot rebuild's oracle.
+- `dedup_substring_spans` ~1.3 s and `dq_drift_psi` ~0.4 s joined the
+  headline as the round's LLM-pipeline/data-quality additions (one
+  posting shuffle + one window; one scan + 10-row output).
 
 ## Bench-drift accounting (round 7)
 
