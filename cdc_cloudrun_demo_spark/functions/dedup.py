@@ -876,6 +876,37 @@ def dedup_substring_spans(
     )
 
 
+def dedup_substring_kept(
+    spark: SparkSession, sf_dir: str, w: int = 8
+) -> DataFrame:
+    """Survivorship gate over exact-substring dedup — the decision the
+    training pipeline actually makes with `dedup_substring_spans`'
+    output: per document, how many of its tokens sit inside duplicated
+    spans, and keep the document iff at most half do (heavily-boilerplate
+    docs are dropped whole; lightly-contaminated docs survive for span
+    excision). The threshold compare is exact integer cross-
+    multiplication (2·dup_tokens <= n_tokens) — no float boundary at
+    any scale. One extra aggregate + one broadcast-sized join over the
+    spans op's plan; docs shorter than ``w`` tokens have no grams and
+    pass trivially. Output: (doc_id, n_tokens, dup_tokens, kept)."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    toks = d.select("doc_id", F.size(words).cast("long").alias("n_tokens"))
+    dup = (
+        dedup_substring_spans(spark, sf_dir, w=w)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"))
+    )
+    return toks.join(dup, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        (
+            2 * F.coalesce(F.col("dup_tokens"), F.lit(0)) <= F.col("n_tokens")
+        ).alias("kept"),
+    )
+
+
 def _substring_spans_oracle(w: int = 8) -> str:
     return f"""
         WITH toks AS (
@@ -918,6 +949,7 @@ def _substring_spans_oracle(w: int = 8) -> str:
 QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_kept": dedup_substring_kept,
     "pipeline_dedup_kept": pipeline_dedup_kept,
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -1485,6 +1517,22 @@ def _embedding_lsh_oracle() -> str:
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 ORACLES["dedup_substring_spans"] = _substring_spans_oracle()
+ORACLES["dedup_substring_kept"] = f"""
+    WITH spans AS ({_substring_spans_oracle()}),
+    dup AS (
+        SELECT doc_id, SUM(span_end - span_start) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ), toks AS (
+        SELECT doc_id,
+               CAST(LENGTH(regexp_extract_all(LOWER(text), '[a-z]+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           2 * CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) <= t.n_tokens AS kept
+    FROM toks t LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
 
 
 def _embedding_ivf_oracle(threshold: float = 0.8, n_probe: int = 2) -> str:

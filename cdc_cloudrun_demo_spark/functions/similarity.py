@@ -1408,6 +1408,7 @@ def knn_graph_edges(
     n_tables: int = 8,
     bits_per_table: int = 8,
     src_pred=None,
+    node_pred=None,
 ) -> DataFrame:
     """Directed k-NN graph over the embedding corpus — the index
     structure of graph-based ANN (the HNSW/NSW family, the quality
@@ -1436,6 +1437,11 @@ def knn_graph_edges(
         post = hyperplane_lsh_postings(
             spark, sf_dir, n_tables=n_tables, bits_per_table=bits_per_table
         ).select("tbl", "bucket", "vec_id")
+    if node_pred is not None:
+        # coarse-layer build (`sim_ann_hnsw_topk`): BOTH endpoints live
+        # in the layer, so the posting tables shrink to the layer before
+        # any join runs — the subset graph costs |layer|-scaled work
+        post = post.filter(node_pred(F.col("vec_id")))
     lsh_cand = (
         post.select("tbl", "bucket", F.col("vec_id").alias("src"))
         .join(
@@ -1451,6 +1457,8 @@ def knn_graph_edges(
         "vec_id",
         F.explode(F.slice(ranked(F.col("embedding")), 1, 2)).alias("cell"),
     )
+    if node_pred is not None:
+        cellpost = cellpost.filter(node_pred(F.col("vec_id")))
     cell_cand = (
         cellpost.select("cell", F.col("vec_id").alias("src"))
         .join(cellpost.select("cell", F.col("vec_id").alias("dst")), "cell")
@@ -1705,6 +1713,165 @@ def sim_ann_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ann_graph_topk(spark, sf_dir, n_queries=500)
 
 
+_l1_edge_cache: OrderedDict[tuple, str] = OrderedDict()
+
+
+def _l1_graph_build(
+    spark: SparkSession, sf_dir: str, k_edges: int, layer_mod: int
+) -> DataFrame:
+    """Coarse-layer navigable graph = SHORT-range k-NN links (the same
+    candidate blocking, both endpoints in the layer) ∪ LONG-range HUB
+    links: every layer node also points at each quantizer cell's hub
+    (the cell's min layer vec_id). Blocked candidates alone only link
+    nearby vectors, which leaves well-separated clusters mutually
+    unreachable and the walk stuck in the entry's cluster (measured
+    recall 0.18 → 0.52 with hubs on the clustered test corpus — at the
+    flat walk's property floor, with zero per-query index probes); the
+    per-cell hubs are the deterministic version of HNSW's long-range
+    links — any cell is reachable from anywhere in one hop, at
+    |layer| × n_cells extra edges. Fully deterministic → oracle-replayable."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    knn = knn_graph_edges(
+        spark, sf_dir, k_edges=k_edges, node_pred=lambda c: c % layer_mod == 0
+    ).select("src", "dst")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    ranked = ivf_ranked_cells(cents)
+    prim = emb.filter(F.col("vec_id") % layer_mod == 0).select(
+        "vec_id", F.element_at(ranked(F.col("embedding")), 1).alias("cell")
+    )
+    hubs = prim.groupBy("cell").agg(F.min("vec_id").alias("dst"))
+    hub_edges = (
+        prim.select(F.col("vec_id").alias("src"))
+        .crossJoin(F.broadcast(hubs.select("dst")))  # ≤ n_cells rows
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return knn.union(hub_edges).dropDuplicates(["src", "dst"])
+
+
+def _l1_edges_cached(
+    spark: SparkSession, sf_dir: str, k_edges: int, layer_mod: int
+) -> DataFrame:
+    """Coarse-layer graph (see `_l1_graph_build`), memoized on disk like
+    the base-layer index — HNSW builds its upper layers once at ingest
+    too."""
+    fp = _corpus_fingerprint(sf_dir)
+    return _disk_memoized(
+        spark,
+        _l1_edge_cache,
+        (sf_dir, fp, k_edges, layer_mod),
+        fp,
+        "l1_idx_",
+        lambda: _l1_graph_build(spark, sf_dir, k_edges, layer_mod),
+    )
+
+
+def sim_ann_hnsw_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 4,
+    k_edges: int = 8,
+    n_queries: int = 5,
+    layer_mod: int = 16,
+    l1_beam: int = 2,
+    l1_hops: int = 3,
+    n_entries: int = 4,
+) -> DataFrame:
+    """HNSW-style HIERARCHICAL graph search — the scale story the flat
+    NSW walk (`sim_ann_graph_topk`) lacks: instead of hash-index entry
+    seeding, routing happens through a COARSE layer (every
+    ``layer_mod``-th vector, its own k-NN graph over the same blocking,
+    memoized on disk like every ingest-time index). Each query walks
+    layer 1 from the single global entry (min layer node), its
+    ``n_entries`` best layer-1 nodes become the layer-0 seeds, and the
+    base-layer walk refines from there. Logarithmic-style routing: at
+    any corpus size the search touches O(l1_hops·l1_beam·k_edges +
+    hops·beam·k_edges) nodes and NEVER consults a corpus-wide index per
+    query — the upper layer replaces the posting probe entirely (real
+    HNSW stacks more layers; two suffice to prove the construction,
+    since every additional layer is the same walk over a smaller
+    graph). Determinism: both walks are pure functions of the graphs,
+    the fixed entry and integer distances with (d2, node) tie-breaks,
+    so the DuckDB oracle replays BOTH layers as unrolled CTEs —
+    hierarchical approximate search, fully hash-matched. Per-hop state
+    pins eagerly (the MATERIALIZED-CTE discipline); recall vs brute
+    force is property-tested on a clustered corpus."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    edges0 = _knn_edges_cached(spark, sf_dir, k_edges).select("src", "dst")
+    edges1 = _l1_edges_cached(spark, sf_dir, k_edges, layer_mod).select(
+        "src", "dst"
+    )
+    nodes = emb.select(
+        "vec_id", quantized_vec(F.col("embedding")).alias("nv")
+    ).localCheckpoint(eager=False)
+    qs = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        quantized_vec(F.col("embedding")).alias("qv"),
+    )
+
+    def rescored(vis):
+        return (
+            vis.join(nodes, vis.node == nodes.vec_id)
+            .join(F.broadcast(qs), "query_id")
+            .select(
+                "query_id",
+                "node",
+                _int_dist2(F.col("qv"), F.col("nv")).alias("d2_units"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_units"), F.asc("node"))
+
+    def walk(visited, edges, n_hops, beam_n):
+        # the eager-pin loop of sim_ann_graph_topk (see its docstring)
+        beam_df = visited
+        for _ in range(n_hops):
+            nbrs = beam_df.join(edges, beam_df.node == edges.src).select(
+                "query_id", F.col("dst").alias("node")
+            )
+            visited = (
+                visited.union(nbrs)
+                .dropDuplicates(["query_id", "node"])
+                .localCheckpoint(eager=True)
+            )
+            beam_df = (
+                rescored(visited)
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= beam_n)
+                .select("query_id", "node")
+            )
+        return visited
+
+    entry1 = emb.filter(F.col("vec_id") % layer_mod == 0).agg(
+        F.min("vec_id").alias("node")
+    )
+    visited1 = walk(
+        qs.select("query_id")
+        .crossJoin(F.broadcast(entry1))
+        .dropDuplicates(["query_id", "node"]),
+        edges1,
+        l1_hops,
+        l1_beam,
+    )
+    seeds0 = (
+        rescored(visited1)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_entries)
+        .select("query_id", "node")
+    )
+    visited0 = walk(
+        seeds0.dropDuplicates(["query_id", "node"]), edges0, hops, beam
+    )
+    return (
+        rescored(visited0)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("node").alias("neighbor_id"), "d2_units")
+    )
+
+
 def sim_knn_graph_incremental(
     spark: SparkSession, sf_dir: str, k_edges: int = 8
 ) -> DataFrame:
@@ -1937,12 +2104,151 @@ def _graph_topk_oracle(
     return "WITH " + ",\n".join(parts)
 
 
+def _hnsw_topk_oracle(
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 4,
+    k_edges: int = 8,
+    n_queries: int = 5,
+    layer_mod: int = 16,
+    l1_beam: int = 2,
+    l1_hops: int = 3,
+    n_entries: int = 4,
+) -> str:
+    """Both layers of the hierarchical walk replayed as unrolled CTEs:
+    the coarse-layer k-NN graph is the SAME candidate blocking with
+    both endpoints restricted to the layer, the layer-1 walk routes
+    from the global layer entry, its top-``n_entries`` seed the
+    unrolled base-layer walk — identical integer arithmetic and
+    tie-breaks to the Spark loops."""
+    parts = [
+        f"""postings AS MATERIALIZED (
+            {_sql_lsh_postings()}
+        ),
+        {_sql_int_kmeans("k_", m=1)},
+        {_sql_ranked_cells("k_")},
+        {_sql_knn_edges(k_edges)},
+        l1cand AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM postings a JOIN postings b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id <> b.vec_id
+                 AND a.vec_id % {layer_mod} = 0
+                 AND b.vec_id % {layer_mod} = 0
+                UNION ALL
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM cellposts a JOIN cellposts b
+                  ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                 AND a.vec_id % {layer_mod} = 0
+                 AND b.vec_id % {layer_mod} = 0
+            )
+        ), l1prim AS MATERIALIZED (
+            SELECT vec_id, cid AS cell FROM k_ranked
+            WHERE rn = 1 AND vec_id % {layer_mod} = 0
+        ), l1hubs AS MATERIALIZED (
+            SELECT cell, MIN(vec_id) AS dst FROM l1prim GROUP BY cell
+        ), l1_edges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (
+                               PARTITION BY src ORDER BY d2, dst) AS rn
+                    FROM (
+                        SELECT c.src, c.dst,
+                               {_sql_int_d2("qa.q", "qb.q", 64)} AS d2
+                        FROM l1cand c
+                        JOIN knnq qa ON qa.vec_id = c.src
+                        JOIN knnq qb ON qb.vec_id = c.dst
+                    )
+                ) WHERE rn <= {k_edges}
+                UNION ALL
+                SELECT p.vec_id AS src, h.dst
+                FROM l1prim p CROSS JOIN l1hubs h
+                WHERE p.vec_id <> h.dst
+            )
+        ),
+        gqueries AS MATERIALIZED (
+            SELECT vec_id AS query_id, q FROM knnq
+            WHERE vec_id < {n_queries}
+        ),
+        l1entry AS MATERIALIZED (
+            SELECT MIN(vec_id) AS node FROM embeddings
+            WHERE vec_id % {layer_mod} = 0
+        ),
+        l1v0 AS MATERIALIZED (
+            SELECT DISTINCT query_id, node
+            FROM gqueries q CROSS JOIN l1entry e
+        ),
+        l1b0 AS MATERIALIZED (SELECT query_id, node FROM l1v0)"""
+    ]
+
+    def rounds(prefix: str, edges: str, n_hops: int, beam_n: int) -> None:
+        for h in range(1, n_hops + 1):
+            parts.append(
+                f"""{prefix}v{h} AS MATERIALIZED (
+            SELECT DISTINCT query_id, node FROM (
+                SELECT query_id, node FROM {prefix}v{h - 1}
+                UNION ALL
+                SELECT b.query_id, e.dst AS node
+                FROM {prefix}b{h - 1} b JOIN {edges} e ON b.node = e.src
+            )
+        ), {prefix}b{h} AS MATERIALIZED (
+            SELECT query_id, node FROM (
+                SELECT v.query_id, v.node,
+                       row_number() OVER (
+                           PARTITION BY v.query_id
+                           ORDER BY {_sql_int_d2("q.q", "n.q", 64)}, v.node
+                       ) AS rn
+                FROM {prefix}v{h} v
+                JOIN knnq n ON n.vec_id = v.node
+                JOIN gqueries q ON q.query_id = v.query_id
+            ) WHERE rn <= {beam_n}
+        )"""
+            )
+
+    rounds("l1", "l1_edges", l1_hops, l1_beam)
+    parts.append(
+        f"""l0v0 AS MATERIALIZED (
+            SELECT query_id, node FROM (
+                SELECT v.query_id, v.node,
+                       row_number() OVER (
+                           PARTITION BY v.query_id
+                           ORDER BY {_sql_int_d2("q.q", "n.q", 64)}, v.node
+                       ) AS rn
+                FROM l1v{l1_hops} v
+                JOIN knnq n ON n.vec_id = v.node
+                JOIN gqueries q ON q.query_id = v.query_id
+            ) WHERE rn <= {n_entries}
+        ), l0b0 AS MATERIALIZED (SELECT query_id, node FROM l0v0)"""
+    )
+    rounds("l0", "knn_edges", hops, beam)
+    parts.append(
+        f"""hfinal AS MATERIALIZED (
+            SELECT v.query_id, v.node AS neighbor_id,
+                   CAST({_sql_int_d2("q.q", "n.q", 64)} AS BIGINT) AS d2_units
+            FROM l0v{hops} v
+            JOIN knnq n ON n.vec_id = v.node
+            JOIN gqueries q ON q.query_id = v.query_id
+            WHERE v.node <> v.query_id
+        )
+        SELECT query_id, neighbor_id, d2_units FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY d2_units, neighbor_id) AS rn
+            FROM hfinal
+        ) WHERE rn <= {k}"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
 QUERIES = {
     "sim_knn_graph": sim_knn_graph,
     "sim_knn_graph_incremental": sim_knn_graph_incremental,
     "sim_knn_graph_upsert": sim_knn_graph_upsert,
     "sim_ann_graph_topk": sim_ann_graph_topk,
     "sim_ann_graph_batch": sim_ann_graph_batch,
+    "sim_ann_hnsw_topk": sim_ann_hnsw_topk,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
     "sim_pq_codes": sim_pq_codes,
@@ -2099,6 +2405,7 @@ ORACLES["sim_knn_graph_incremental"] = _knn_graph_oracle(
 ORACLES["sim_knn_graph_upsert"] = _knn_graph_oracle()
 ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
+ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()
 ORACLES["sim_ann_ivf_topk"] = _ivf_topk_oracle()
 ORACLES["dedup_semantic_clusters"] = _semdedup_oracle()
 ORACLES["sim_pq_codes"] = _pq_codes_oracle()

@@ -971,3 +971,30 @@ def test_upsert_index_equals_rebuild(spark, sf_oracle):
     upsert = {tuple(r) for r in sim_knn_graph_upsert(spark, sf_oracle).collect()}
     full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
     assert upsert == full and upsert
+
+
+def test_hnsw_recall_on_clustered_corpus(spark, tmp_path):
+    """The hierarchical (two-layer) walk must recall a solid share of
+    the true top-10 on data with genuine cluster structure, WITHOUT any
+    hash-index entry seeding — routing happens through the coarse
+    layer. Also pins determinism (two runs identical) and the <= k
+    per-query bound (functions/similarity.py::sim_ann_hnsw_topk)."""
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_ann_hnsw_topk
+
+    sf = str(tmp_path)
+    _write_clustered_corpus(spark, sf)
+    rows1 = sim_ann_hnsw_topk(spark, sf).collect()
+    rows2 = sim_ann_hnsw_topk(spark, sf).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    per_query: dict[int, int] = {}
+    for r in rows1:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert per_query and all(v <= 10 for v in per_query.values())
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_cosine_topk(spark, sf).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows1}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, recall

@@ -48,6 +48,9 @@ BNLJ_BOUNDED = {
     "onto the bounded (vec_id < 5) query set",
     "dq_drift_psi": "1-row reference min/max bounds aggregate + 1-row "
     "segment-totals aggregate crossed onto the n_bins=10 spine",
+    "sim_ann_hnsw_topk": "1-row MIN layer-entry aggregate crossed onto "
+    "the bounded query set; <= n_cells-row hub table crossed onto the "
+    "coarse layer (both execute inside the eager index build)",
 }
 
 
