@@ -73,6 +73,10 @@ HEADLINE: dict[str, str] = {
     # PSI drift gate (one scan + 10-row output)
     "dedup_substring_spans": "count",
     "dq_drift_psi": "collect",
+    # round-8: hierarchical (two-layer) graph search — coarse-layer
+    # routing + base-layer refinement, zero per-query index probes;
+    # FULL_TIMED because both walks' eager pins run at construction
+    "sim_ann_hnsw_topk": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -89,6 +93,7 @@ FULL_TIMED = {
     "graph_pagerank_copart",
     "sim_ann_pq_topk",
     "sim_ann_graph_topk",
+    "sim_ann_hnsw_topk",
 }
 
 # Like-for-like series: the suite GROWS each round (new entries join the

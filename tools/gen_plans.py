@@ -84,14 +84,16 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 8)
 
-Suite wall 41.07 s (r7, 26 queries) -> **~27.2 s (r8, 29 queries;
+Suite wall 41.07 s (r7, 26 queries) -> **~33.5 s (r8, 30 queries;
 round-8 build-time run — the driver's BENCH_r08.json is the artifact of
-record)**: the suite GREW by three queries (`sim_knn_graph_incremental`
-~2.7 s of honest cold ingest work, `dedup_substring_spans` ~1.3 s,
-`dq_drift_psi` ~0.4 s) and still dropped ~14 s, because the round's one
-`weak` row was fixed rather than re-measured. The pinned series:
-`r7_26q` **22.9 s vs 41.1 s (-44%)**, `r6_23q` 14.5 s (vs 15.2 r6 —
-slightly faster than the r6 original), `r5_20q` 7.2 s (flat since r5).
+record)**: the suite GREW by four queries (`sim_knn_graph_incremental`
+~2.7 s of honest cold ingest work, `sim_ann_hnsw_topk` ~3.2 s,
+`dedup_substring_spans` ~1.3 s, `dq_drift_psi` ~0.3 s) and still
+dropped ~7.6 s, because the round's one `weak` row was fixed rather
+than re-measured. The pinned series: `r7_26q` **26.0 s vs 41.1 s
+(-37%)** (22.9 s in a quieter mid-round run — suite-level spread is
+±10%), `r6_23q` 16.8 s (vs 15.2 r6, inside spread), `r5_20q` 7.9 s
+(flat since r5).
 
 - `sim_ann_graph_topk` **17.80 -> ~2.1 s** (construction ~1.9 +
   action ~0.2), hash oracle unchanged. Two fixes, both index/iteration
@@ -120,9 +122,15 @@ slightly faster than the r6 original), `r5_20q` 7.2 s (flat since r5).
   warm). Its multi-batch twin `sim_knn_graph_upsert` (not benched — a
   correctness construct) proves the maintenance algebra by
   hash-matching the one-shot rebuild's oracle.
-- `dedup_substring_spans` ~1.3 s and `dq_drift_psi` ~0.4 s joined the
+- `dedup_substring_spans` ~1.3 s and `dq_drift_psi` ~0.3 s joined the
   headline as the round's LLM-pipeline/data-quality additions (one
   posting shuffle + one window; one scan + 10-row output).
+- `sim_ann_hnsw_topk` ~3.2 s (construction ~3.1 + action ~0.15,
+  FULL_TIMED): the hierarchical two-layer walk — 7 eager pin jobs
+  (3 coarse + 4 base hops) over tiny walk state, routing through the
+  memoized coarse layer with ZERO per-query index probes. ~1 s over the
+  flat walk buys the shape that holds when the posting probe itself
+  would be too big to serve per query; both layers hash-oracled.
 
 ## Bench-drift accounting (round 7)
 
