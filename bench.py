@@ -77,6 +77,10 @@ HEADLINE: dict[str, str] = {
     # routing + base-layer refinement, zero per-query index probes;
     # FULL_TIMED because both walks' eager pins run at construction
     "sim_ann_hnsw_topk": "collect",
+    # round-9: the delete half of index maintenance — tombstone a
+    # vector batch, drop its lists, repair only the affected survivors
+    # from the memoized blocking (never a rebuild)
+    "sim_knn_graph_delete": "count",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators

@@ -907,6 +907,94 @@ def dedup_substring_kept(
     )
 
 
+def dedup_substring_excised(
+    spark: SparkSession, sf_dir: str, w: int = 8
+) -> DataFrame:
+    """Span EXCISION — the actual Lee et al. (2022) training product:
+    join `dedup_substring_spans` back to each document's token array
+    and emit the cleaned remainder (the tokens OUTSIDE every duplicated
+    span), plus the exact excision accounting. Built-ins only: the
+    per-doc span set is collected into one sorted array (spans are
+    disjoint and ≤ n_tokens/w per doc, so the array is bounded), and
+    kept positions are a single JVM-side higher-order filter —
+    ``filter(sequence(...), i -> !exists(spans, x -> s <= i < e))`` —
+    no UDF, no explode of token positions, no second shuffle beyond
+    the spans op's own. Docs with no duplicated span keep everything
+    (left join + empty-array coalesce). Output: (doc_id, n_tokens,
+    n_excised, kept_text); excised ∪ kept partitions every document —
+    property-tested, and n_excised always equals the span-length sum
+    because spans are disjoint by construction."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    tok = d.select("doc_id", words.alias("__words"))
+    sp = (
+        dedup_substring_spans(spark, sf_dir, w=w)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"),
+                        F.col("span_end").alias("e"),
+                    )
+                )
+            ).alias("__sp")
+        )
+    )
+    j = tok.join(sp, "doc_id", "left_outer").withColumn(
+        "__sp",
+        F.coalesce(
+            F.col("__sp"), F.expr("array()").cast("array<struct<s:bigint,e:bigint>>")
+        ),
+    )
+    # sequence(0, -1) would DESCEND for empty docs — guard explicitly
+    kept_pos = F.expr(
+        "CASE WHEN size(__words) = 0 THEN array() "
+        "ELSE filter(sequence(0, size(__words) - 1), "
+        "            i -> NOT exists(__sp, x -> i >= x.s AND i < x.e)) END"
+    )
+    return (
+        j.withColumn("__kp", kept_pos)
+        .select(
+            "doc_id",
+            F.size("__words").cast("long").alias("n_tokens"),
+            (F.size("__words") - F.size("__kp")).cast("long").alias("n_excised"),
+            F.expr(
+                "concat_ws(' ', transform(__kp, i -> __words[CAST(i AS INT)]))"
+            ).alias("kept_text"),
+        )
+    )
+
+
+def _substring_excised_oracle(w: int = 8) -> str:
+    return f"""
+        WITH spans AS ({_substring_spans_oracle(w)}
+        ), sp AS (
+            SELECT doc_id,
+                   list_sort(list(STRUCT_PACK(s := span_start,
+                                              e := span_end))) AS sp
+            FROM spans GROUP BY doc_id
+        ), tok AS (
+            SELECT doc_id,
+                   regexp_extract_all(LOWER(text), '[a-z]+') AS words
+            FROM documents
+        ), kept AS (
+            SELECT t.doc_id, t.words,
+                   [i FOR i IN RANGE(0, LENGTH(t.words))
+                    IF LENGTH(list_filter(COALESCE(s.sp, []),
+                              x -> i >= x.s AND i < x.e)) = 0] AS kp
+            FROM tok t LEFT JOIN sp s USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(LENGTH(words) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(words) - LENGTH(kp) AS BIGINT) AS n_excised,
+               COALESCE(array_to_string(
+                   [words[CAST(i AS BIGINT) + 1] FOR i IN kp], ' '),
+                   '') AS kept_text  -- DuckDB: empty list -> NULL; Spark: ''
+        FROM kept
+    """
+
+
 def _substring_spans_oracle(w: int = 8) -> str:
     return f"""
         WITH toks AS (
@@ -950,6 +1038,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_kept": dedup_substring_kept,
+    "dedup_substring_excised": dedup_substring_excised,
     "pipeline_dedup_kept": pipeline_dedup_kept,
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -1517,6 +1606,7 @@ def _embedding_lsh_oracle() -> str:
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 ORACLES["dedup_substring_spans"] = _substring_spans_oracle()
+ORACLES["dedup_substring_excised"] = _substring_excised_oracle()
 ORACLES["dedup_substring_kept"] = f"""
     WITH spans AS ({_substring_spans_oracle()}),
     dup AS (

@@ -824,26 +824,56 @@ def ivf_ranked_cells(cent_rows: list[tuple[int, list[int]]]):
     1024 = a whole query's budget); the text parses JVM-side in one call
     and constant-folds. array_sort on (d2, cid) structs gives the
     deterministic asc-asc ranking both engines agree on."""
+    cents_arr = _cents_literal(cent_rows)
+
+    def ranked(vec):
+        return F.transform(
+            F.array_sort(_cents_scored(cents_arr, vec)), lambda s: s.cid
+        )
+
+    return ranked
+
+
+def _cents_literal(cent_rows: list[tuple[int, list[int]]]):
+    """The centroid table as ONE inlined array-of-structs literal (see
+    `ivf_ranked_cells` for why one parsed expression beats K·dim
+    F.lit() calls)."""
     structs = ", ".join(
         "named_struct('cid', {}, 'cvec', array({}))".format(
             int(cid), ", ".join(f"CAST({int(x)} AS BIGINT)" for x in vec)
         )
         for cid, vec in cent_rows
     )
-    cents_arr = F.expr(f"array({structs})")
+    return F.expr(f"array({structs})")
 
-    def ranked(vec):
-        qv = quantized_vec(vec)
-        scored = F.transform(
-            cents_arr,
-            lambda c: F.struct(
-                _int_dist2(qv, c.cvec).alias("d2"),
-                c.cid.alias("cid"),
-            ),
-        )
-        return F.transform(F.array_sort(scored), lambda s: s.cid)
 
-    return ranked
+def _cents_scored(cents_arr, vec):
+    """(d2, cid) struct per centroid for a row's vector — the shared
+    scoring core of `ivf_ranked_cells` / `ivf_primary_cell`."""
+    qv = quantized_vec(vec)
+    return F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            _int_dist2(qv, c.cvec).alias("d2"),
+            c.cid.alias("cid"),
+        ),
+    )
+
+
+def ivf_primary_cell(cent_rows: list[tuple[int, list[int]]]):
+    """Column builder: the FIRST (d2, cid) struct of the ranked-cells
+    array — a row's primary quantizer cell together with its exact
+    integer squared distance to that centroid. The medoid-layer
+    selector (`_l1_graph_build`) orders each cell's members by this d2
+    (asc, tie → lowest vec_id); same inlined literal and (d2, cid)
+    tie-break as `ivf_ranked_cells`, so the DuckDB twin (k_ranked
+    rn = 1 joined back to k_cents) reproduces it exactly."""
+    cents_arr = _cents_literal(cent_rows)
+
+    def primary(vec):
+        return F.element_at(F.array_sort(_cents_scored(cents_arr, vec)), 1)
+
+    return primary
 
 
 def sim_ann_ivf_topk(
@@ -1409,6 +1439,7 @@ def knn_graph_edges(
     bits_per_table: int = 8,
     src_pred=None,
     node_pred=None,
+    node_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Directed k-NN graph over the embedding corpus — the index
     structure of graph-based ANN (the HNSW/NSW family, the quality
@@ -1442,6 +1473,11 @@ def knn_graph_edges(
         # in the layer, so the posting tables shrink to the layer before
         # any join runs — the subset graph costs |layer|-scaled work
         post = post.filter(node_pred(F.col("vec_id")))
+    if node_ids is not None:
+        # membership given as a DataFrame (the hybrid medoid ∪ hashed
+        # layer): same both-endpoints restriction, via semi-join — the
+        # layer is tiny, so it broadcasts into the posting scans
+        post = post.join(node_ids, "vec_id", "semi")
     lsh_cand = (
         post.select("tbl", "bucket", F.col("vec_id").alias("src"))
         .join(
@@ -1459,6 +1495,8 @@ def knn_graph_edges(
     )
     if node_pred is not None:
         cellpost = cellpost.filter(node_pred(F.col("vec_id")))
+    if node_ids is not None:
+        cellpost = cellpost.join(node_ids, "vec_id", "semi")
     cell_cand = (
         cellpost.select("cell", F.col("vec_id").alias("src"))
         .join(cellpost.select("cell", F.col("vec_id").alias("dst")), "cell")
@@ -1497,6 +1535,33 @@ _knn_edge_cache: OrderedDict[tuple, str] = OrderedDict()
 # query batch — recomputing the full-corpus postings per search call was
 # ~60% of sim_ann_graph_topk's wall, round-8 profile).
 _lsh_posting_cache: OrderedDict[tuple, str] = OrderedDict()
+# Per-key build serialization for _disk_memoized: two threads missing
+# the cache for the same key must not both run build() and write to the
+# same deterministic path concurrently (round-8 advice). Guarded by
+# _centroid_lock; entries are (lock, refcount) so idle locks are pruned.
+_memo_build_locks: dict[tuple, list] = {}
+# Eviction grace list: an evicted subdir is deleted one eviction
+# GENERATION later, not immediately, so a concurrent reader's lazy
+# DataFrame (which holds only the path) survives the LRU pop that races
+# with its first action (round-8 advice). Bounded by the eviction rate.
+_memo_evict_pending: list[str] = []
+
+
+def _memo_key_lock(key: tuple):
+    with _centroid_lock:
+        ent = _memo_build_locks.get(key)
+        if ent is None:
+            ent = [threading.Lock(), 0]
+            _memo_build_locks[key] = ent
+        ent[1] += 1
+    return ent
+
+
+def _memo_key_unlock(key: tuple, ent) -> None:
+    with _centroid_lock:
+        ent[1] -= 1
+        if ent[1] == 0:
+            _memo_build_locks.pop(key, None)
 
 
 def _disk_memoized(
@@ -1510,32 +1575,61 @@ def _disk_memoized(
     """On-disk parquet memo shared by the ingest-time index artifacts
     (edge list, posting list): per-key subdir under one long-lived
     scratch root, existence-checked reads, eviction deletes exactly its
-    own subdir (round-7 advice)."""
+    own subdir (round-7 advice). Builds are serialized per key and land
+    via write-to-temp + atomic rename, with the cache insert strictly
+    after the rename, so concurrent first-misses neither duplicate the
+    build nor interleave writes at the deterministic path (round-8
+    advice)."""
     import hashlib
     import os
     import shutil
+    import uuid
+
+    def _cached_path():
+        with _centroid_lock:
+            p = cache.get(key)
+        return p if p is not None and os.path.isdir(p) else None
 
     if fp is not None:
-        with _centroid_lock:
-            path = cache.get(key)
-        if path is not None and os.path.isdir(path):
+        path = _cached_path()
+        if path is not None:
             return spark.read.parquet(path)
-    df = build()
     if fp is None:
-        return df
-    from .._scratch import scratch_root
+        return build()
 
-    sub = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-    path = os.path.join(scratch_root(prefix), sub, "data")
-    df.write.mode("overwrite").parquet(path)
-    evicted: list[str] = []
-    with _centroid_lock:
-        cache[key] = path
-        while len(cache) > _CENTROID_CACHE_MAX:
-            evicted.append(os.path.dirname(cache.popitem(last=False)[1]))
-    for d in evicted:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.read.parquet(path)
+    ent = _memo_key_lock(key)
+    try:
+        with ent[0]:  # one builder per key; losers re-check and read
+            path = _cached_path()
+            if path is not None:
+                return spark.read.parquet(path)
+            from .._scratch import scratch_root
+
+            sub = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+            subdir = os.path.join(scratch_root(prefix), sub)
+            tmp = os.path.join(subdir, "tmp-" + uuid.uuid4().hex[:12])
+            final = os.path.join(subdir, "data")
+            build().write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(final):  # stale remnant (e.g. prior crash)
+                shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)  # atomic publish within one filesystem
+            evicted: list[str] = []
+            with _centroid_lock:
+                cache[key] = final
+                popped = []
+                while len(cache) > _CENTROID_CACHE_MAX:
+                    popped.append(os.path.dirname(cache.popitem(last=False)[1]))
+                if popped:
+                    # Delete the PREVIOUS generation's evictees; the
+                    # ones popped just now get one eviction generation
+                    # of grace for any in-flight lazy reader.
+                    evicted = list(_memo_evict_pending)
+                    _memo_evict_pending[:] = popped
+            for d in evicted:
+                shutil.rmtree(d, ignore_errors=True)
+            return spark.read.parquet(final)
+    finally:
+        _memo_key_unlock(key, ent)
 
 
 def _lsh_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,42 +1808,110 @@ def sim_ann_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _l1_edge_cache: OrderedDict[tuple, str] = OrderedDict()
+_l1_node_cache: OrderedDict[tuple, str] = OrderedDict()
+
+
+def _hashed_layer_member(col, layer_mod: int):
+    """Portable layer-membership hash: md5(vec_id) as a 60-bit integer,
+    mod ``layer_mod`` (DuckDB twin: ('0x'||substr(md5(...),1,15))::
+    BIGINT). A RAW vec_id modulus correlates with data regularities —
+    on a corpus laid out as i % n_classes it put every layer node in
+    the even classes and left the odd ones unroutable (measured recall
+    0 for their queries); hashing decorrelates membership from any id
+    pattern, the reason real HNSW assigns layers by RNG."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % layer_mod
+        == 0
+    )
+
+
+def _l1_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, mrn): every vector's primary quantizer cell and
+    its rank among the cell's members by exact integer distance to the
+    centroid (asc, tie → lowest vec_id) — the per-cell medoid ranking
+    the hybrid layer and its hubs are cut from."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    primary = ivf_primary_cell(cents)
+    med = emb.select(
+        "vec_id", primary(F.col("embedding")).alias("pc")
+    ).select(
+        "vec_id",
+        F.col("pc.cid").alias("cell"),
+        F.col("pc.d2").alias("d2c"),
+    )
+    wm = Window.partitionBy("cell").orderBy(F.asc("d2c"), F.asc("vec_id"))
+    return med.withColumn("mrn", F.row_number().over(wm)).select(
+        "vec_id", "cell", "mrn"
+    )
+
+
+def _l1_layer_nodes(
+    spark: SparkSession, sf_dir: str, layer_mod: int, m_per_cell: int
+) -> DataFrame:
+    """HYBRID coarse-layer membership (vec_id): hashed-modulus nodes
+    (size scales ~N/layer_mod, decorrelated from id patterns) ∪ each
+    quantizer cell's top-``m_per_cell`` medoids (guaranteed coverage —
+    every populated region of the space has layer representation even
+    where the hash sample lands nothing, the failure mode that capped
+    recall at 0.52)."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    hashed = emb.select("vec_id").filter(
+        _hashed_layer_member(F.col("vec_id"), layer_mod)
+    )
+    medoids = (
+        _l1_medoids(spark, sf_dir)
+        .filter(F.col("mrn") <= m_per_cell)
+        .select("vec_id")
+    )
+    return hashed.union(medoids).distinct()
 
 
 def _l1_graph_build(
-    spark: SparkSession, sf_dir: str, k_edges: int, layer_mod: int
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int,
+    layer_mod: int,
+    m_per_cell: int,
 ) -> DataFrame:
     """Coarse-layer navigable graph = SHORT-range k-NN links (the same
     candidate blocking, both endpoints in the layer) ∪ LONG-range HUB
     links: every layer node also points at each quantizer cell's hub
-    (the cell's min layer vec_id). Blocked candidates alone only link
-    nearby vectors, which leaves well-separated clusters mutually
-    unreachable and the walk stuck in the entry's cluster (measured
-    recall 0.18 → 0.52 with hubs on the clustered test corpus — at the
-    flat walk's property floor, with zero per-query index probes); the
-    per-cell hubs are the deterministic version of HNSW's long-range
-    links — any cell is reachable from anywhere in one hop, at
-    |layer| × n_cells extra edges. Fully deterministic → oracle-replayable."""
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    (the cell's rank-1 medoid — the layer member nearest the centroid).
+    Blocked candidates alone only link nearby vectors, which leaves
+    well-separated clusters mutually unreachable and the walk stuck in
+    the entry's cluster (measured recall 0.18 → with hubs 0.52 → with
+    the hybrid medoid∪hashed layer 0.82 on the clustered test corpus,
+    still with zero per-query index probes); the per-cell hubs are the
+    deterministic version of HNSW's long-range links — any cell is
+    reachable from anywhere in one hop, at |layer| × n_cells extra
+    edges. Fully deterministic → oracle-replayable."""
+    layer = _l1_layer_nodes(spark, sf_dir, layer_mod, m_per_cell)
     knn = knn_graph_edges(
-        spark, sf_dir, k_edges=k_edges, node_pred=lambda c: c % layer_mod == 0
+        spark, sf_dir, k_edges=k_edges, node_ids=layer
     ).select("src", "dst")
-    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
-    ranked = ivf_ranked_cells(cents)
-    prim = emb.filter(F.col("vec_id") % layer_mod == 0).select(
-        "vec_id", F.element_at(ranked(F.col("embedding")), 1).alias("cell")
+    hubs = (
+        _l1_medoids(spark, sf_dir)
+        .filter(F.col("mrn") == 1)
+        .select(F.col("vec_id").alias("dst"))
     )
-    hubs = prim.groupBy("cell").agg(F.min("vec_id").alias("dst"))
     hub_edges = (
-        prim.select(F.col("vec_id").alias("src"))
-        .crossJoin(F.broadcast(hubs.select("dst")))  # ≤ n_cells rows
+        layer.select(F.col("vec_id").alias("src"))
+        .crossJoin(F.broadcast(hubs))  # ≤ n_cells rows
         .filter(F.col("src") != F.col("dst"))
     )
     return knn.union(hub_edges).dropDuplicates(["src", "dst"])
 
 
 def _l1_edges_cached(
-    spark: SparkSession, sf_dir: str, k_edges: int, layer_mod: int
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int,
+    layer_mod: int,
+    m_per_cell: int,
 ) -> DataFrame:
     """Coarse-layer graph (see `_l1_graph_build`), memoized on disk like
     the base-layer index — HNSW builds its upper layers once at ingest
@@ -1758,10 +1920,27 @@ def _l1_edges_cached(
     return _disk_memoized(
         spark,
         _l1_edge_cache,
-        (sf_dir, fp, k_edges, layer_mod),
+        (sf_dir, fp, k_edges, layer_mod, m_per_cell),
         fp,
         "l1_idx_",
-        lambda: _l1_graph_build(spark, sf_dir, k_edges, layer_mod),
+        lambda: _l1_graph_build(spark, sf_dir, k_edges, layer_mod, m_per_cell),
+    )
+
+
+def _l1_nodes_cached(
+    spark: SparkSession, sf_dir: str, layer_mod: int, m_per_cell: int
+) -> DataFrame:
+    """Hybrid layer membership (see `_l1_layer_nodes`), memoized on disk
+    beside the layer's edge list — the walk needs it for the global
+    entry point (min layer vec_id)."""
+    fp = _corpus_fingerprint(sf_dir)
+    return _disk_memoized(
+        spark,
+        _l1_node_cache,
+        (sf_dir, fp, layer_mod, m_per_cell),
+        fp,
+        "l1_nodes_",
+        lambda: _l1_layer_nodes(spark, sf_dir, layer_mod, m_per_cell),
     )
 
 
@@ -1777,11 +1956,13 @@ def sim_ann_hnsw_topk(
     l1_beam: int = 2,
     l1_hops: int = 3,
     n_entries: int = 4,
+    m_per_cell: int = 4,
 ) -> DataFrame:
     """HNSW-style HIERARCHICAL graph search — the scale story the flat
     NSW walk (`sim_ann_graph_topk`) lacks: instead of hash-index entry
-    seeding, routing happens through a COARSE layer (every
-    ``layer_mod``-th vector, its own k-NN graph over the same blocking,
+    seeding, routing happens through a COARSE layer (the hybrid
+    md5-hashed-modulus ∪ per-cell-medoid membership of
+    `_l1_layer_nodes`, its own k-NN graph over the same blocking,
     memoized on disk like every ingest-time index). Each query walks
     layer 1 from the single global entry (min layer node), its
     ``n_entries`` best layer-1 nodes become the layer-0 seeds, and the
@@ -1799,9 +1980,9 @@ def sim_ann_hnsw_topk(
     force is property-tested on a clustered corpus."""
     emb = load_for_compute(spark, sf_dir, "embeddings")
     edges0 = _knn_edges_cached(spark, sf_dir, k_edges).select("src", "dst")
-    edges1 = _l1_edges_cached(spark, sf_dir, k_edges, layer_mod).select(
-        "src", "dst"
-    )
+    edges1 = _l1_edges_cached(
+        spark, sf_dir, k_edges, layer_mod, m_per_cell
+    ).select("src", "dst")
     nodes = emb.select(
         "vec_id", quantized_vec(F.col("embedding")).alias("nv")
     ).localCheckpoint(eager=False)
@@ -1843,7 +2024,7 @@ def sim_ann_hnsw_topk(
             )
         return visited
 
-    entry1 = emb.filter(F.col("vec_id") % layer_mod == 0).agg(
+    entry1 = _l1_nodes_cached(spark, sf_dir, layer_mod, m_per_cell).agg(
         F.min("vec_id").alias("node")
     )
     visited1 = walk(
@@ -1969,6 +2150,97 @@ def sim_knn_graph_upsert(
             .localCheckpoint(eager=True)
         )
     return state
+
+
+def sim_knn_graph_delete(
+    spark: SparkSession, sf_dir: str, k_edges: int = 8, del_mod: int = 5
+) -> DataFrame:
+    """The DELETE half of the ANN index-maintenance algebra
+    (`sim_knn_graph_upsert` is the insert half): a batch of vectors is
+    tombstoned (vec_id % ``del_mod`` == 0 — the CDC delete-by-PK shape,
+    reference anchor MessageController.java:42-45 /
+    MessageResource.java:43-48) and the standing k-NN index is REPAIRED,
+    never rebuilt:
+
+    1. tombstoned sources' whole edge lists drop (the node is gone);
+    2. the AFFECTED survivors — exactly those whose retained top-k
+       points at a deleted node — are re-ranked from the memoized
+       frozen blocking artifacts (LSH postings ∪ IVF cells, both sides
+       restricted to survivors, src side semi-joined to the affected
+       set), because a deleted entry frees a slot a previously
+       below-k candidate may now fill;
+    3. every other survivor's list is provably already correct:
+       top-k(C(s) ∩ survivors) = top-k(C(s)) whenever top-k(C(s)) ⊆
+       survivors — nothing outside a set's top-k can beat members that
+       all still exist.
+
+    The maintained state therefore EQUALS the one-shot rebuild over the
+    filtered corpus with the index artifacts frozen (production never
+    retrains centroids on delete), and this entry hash-matches that
+    rebuild's oracle — the same lossless-maintenance proof pattern as
+    the upsert half. Cost shape: the repair probes postings for
+    |affected| sources only — O(|deleted| · k-ish fan-in · candidates
+    per vector), never corpus²; at 100 TB a delete batch touches the
+    few thousand lists that referenced it, not the index."""
+    survives = lambda c: c % del_mod != 0  # noqa: E731
+    state = _knn_edges_cached(spark, sf_dir, k_edges)
+    kept = state.filter(survives(F.col("src")))
+    affected = (
+        kept.filter(~survives(F.col("dst")))
+        .select("src")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by 3 joins below
+    )
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    qcorp = emb.select("vec_id", quantized_vec(F.col("embedding")).alias("qv"))
+    aff_ids = affected.withColumnRenamed("src", "vec_id")
+    post = _lsh_postings_cached(spark, sf_dir).filter(
+        survives(F.col("vec_id"))
+    )
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    ranked = ivf_ranked_cells(cents)
+    cellpost = emb.select(
+        "vec_id",
+        F.explode(F.slice(ranked(F.col("embedding")), 1, 2)).alias("cell"),
+    ).filter(survives(F.col("vec_id")))
+    lsh_cand = (
+        post.join(aff_ids, "vec_id", "semi")
+        .select("tbl", "bucket", F.col("vec_id").alias("src"))
+        .join(
+            post.select("tbl", "bucket", F.col("vec_id").alias("dst")),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cell_cand = (
+        cellpost.join(aff_ids, "vec_id", "semi")
+        .select("cell", F.col("vec_id").alias("src"))
+        .join(cellpost.select("cell", F.col("vec_id").alias("dst")), "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    w = Window.partitionBy("src").orderBy(F.asc("d2_units"), F.asc("dst"))
+    repaired = (
+        lsh_cand.union(cell_cand)
+        .dropDuplicates(["src", "dst"])
+        .join(
+            qcorp.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa")),
+            "src",
+        )
+        .join(
+            qcorp.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb")),
+            "dst",
+        )
+        .select(
+            "src", "dst", _int_dist2(F.col("qa"), F.col("qb")).alias("d2_units")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_edges)
+        .select("src", "dst", "d2_units")
+    )
+    unaffected = kept.join(affected, "src", "left_anti")
+    return unaffected.unionByName(repaired)
 
 
 def _sql_knn_edges(k_edges: int = 8, src_where: str = "") -> str:
@@ -2114,13 +2386,15 @@ def _hnsw_topk_oracle(
     l1_beam: int = 2,
     l1_hops: int = 3,
     n_entries: int = 4,
+    m_per_cell: int = 4,
 ) -> str:
     """Both layers of the hierarchical walk replayed as unrolled CTEs:
-    the coarse-layer k-NN graph is the SAME candidate blocking with
-    both endpoints restricted to the layer, the layer-1 walk routes
-    from the global layer entry, its top-``n_entries`` seed the
-    unrolled base-layer walk — identical integer arithmetic and
-    tie-breaks to the Spark loops."""
+    the HYBRID coarse layer (md5-hashed modulus ∪ per-cell medoids,
+    the twin of `_l1_layer_nodes`) gets its own k-NN graph over the
+    SAME candidate blocking with both endpoints restricted to the
+    layer, the layer-1 walk routes from the global layer entry, its
+    top-``n_entries`` seed the unrolled base-layer walk — identical
+    integer arithmetic and tie-breaks to the Spark loops."""
     parts = [
         f"""postings AS MATERIALIZED (
             {_sql_lsh_postings()}
@@ -2128,26 +2402,44 @@ def _hnsw_topk_oracle(
         {_sql_int_kmeans("k_", m=1)},
         {_sql_ranked_cells("k_")},
         {_sql_knn_edges(k_edges)},
-        l1cand AS MATERIALIZED (
+        l1med AS MATERIALIZED (
+            SELECT vec_id, cell, mrn FROM (
+                SELECT s.vec_id, r.cid AS cell,
+                       row_number() OVER (
+                           PARTITION BY r.cid
+                           ORDER BY {_sql_int_d2("s.q", "c.cv", 64)},
+                                    s.vec_id) AS mrn
+                FROM k_corpusq s
+                JOIN k_ranked r ON r.vec_id = s.vec_id AND r.rn = 1
+                JOIN k_cents c ON c.cid = r.cid
+            )
+        ), l1layer AS MATERIALIZED (
+            SELECT DISTINCT vec_id FROM (
+                SELECT vec_id FROM l1med WHERE mrn <= {m_per_cell}
+                UNION ALL
+                SELECT vec_id FROM embeddings
+                WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % {layer_mod} = 0
+            )
+        ), l1cand AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
                 SELECT a.vec_id AS src, b.vec_id AS dst
-                FROM postings a JOIN postings b
+                FROM postings a
+                JOIN postings b
                   ON a.tbl = b.tbl AND a.bucket = b.bucket
                  AND a.vec_id <> b.vec_id
-                 AND a.vec_id % {layer_mod} = 0
-                 AND b.vec_id % {layer_mod} = 0
+                JOIN l1layer la ON la.vec_id = a.vec_id
+                JOIN l1layer lb ON lb.vec_id = b.vec_id
                 UNION ALL
                 SELECT a.vec_id AS src, b.vec_id AS dst
-                FROM cellposts a JOIN cellposts b
+                FROM cellposts a
+                JOIN cellposts b
                   ON a.cell = b.cell AND a.vec_id <> b.vec_id
-                 AND a.vec_id % {layer_mod} = 0
-                 AND b.vec_id % {layer_mod} = 0
+                JOIN l1layer la ON la.vec_id = a.vec_id
+                JOIN l1layer lb ON lb.vec_id = b.vec_id
             )
-        ), l1prim AS MATERIALIZED (
-            SELECT vec_id, cid AS cell FROM k_ranked
-            WHERE rn = 1 AND vec_id % {layer_mod} = 0
         ), l1hubs AS MATERIALIZED (
-            SELECT cell, MIN(vec_id) AS dst FROM l1prim GROUP BY cell
+            SELECT vec_id AS dst FROM l1med WHERE mrn = 1
         ), l1_edges AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM (
@@ -2163,9 +2455,9 @@ def _hnsw_topk_oracle(
                     )
                 ) WHERE rn <= {k_edges}
                 UNION ALL
-                SELECT p.vec_id AS src, h.dst
-                FROM l1prim p CROSS JOIN l1hubs h
-                WHERE p.vec_id <> h.dst
+                SELECT l.vec_id AS src, h.dst
+                FROM l1layer l CROSS JOIN l1hubs h
+                WHERE l.vec_id <> h.dst
             )
         ),
         gqueries AS MATERIALIZED (
@@ -2173,8 +2465,7 @@ def _hnsw_topk_oracle(
             WHERE vec_id < {n_queries}
         ),
         l1entry AS MATERIALIZED (
-            SELECT MIN(vec_id) AS node FROM embeddings
-            WHERE vec_id % {layer_mod} = 0
+            SELECT MIN(vec_id) AS node FROM l1layer
         ),
         l1v0 AS MATERIALIZED (
             SELECT DISTINCT query_id, node
@@ -2246,6 +2537,7 @@ QUERIES = {
     "sim_knn_graph": sim_knn_graph,
     "sim_knn_graph_incremental": sim_knn_graph_incremental,
     "sim_knn_graph_upsert": sim_knn_graph_upsert,
+    "sim_knn_graph_delete": sim_knn_graph_delete,
     "sim_ann_graph_topk": sim_ann_graph_topk,
     "sim_ann_graph_batch": sim_ann_graph_batch,
     "sim_ann_hnsw_topk": sim_ann_hnsw_topk,
@@ -2403,6 +2695,13 @@ ORACLES["sim_knn_graph_incremental"] = _knn_graph_oracle(
 )
 # the maintained state must equal the one-shot rebuild — SAME oracle
 ORACLES["sim_knn_graph_upsert"] = _knn_graph_oracle()
+# The delete-maintenance oracle is the REBUILD on the filtered corpus
+# with frozen index artifacts: centroids/postings computed over the full
+# table (production never retrains on delete), candidate pairs filtered
+# to survivors on BOTH endpoints.
+ORACLES["sim_knn_graph_delete"] = _knn_graph_oracle(
+    src_where="WHERE src % 5 <> 0 AND dst % 5 <> 0"
+)
 ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
 ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()

@@ -252,6 +252,19 @@ def _run_tx_materializer(
     message_changes_df(spark, sf_dir).orderBy("seq").coalesce(4).write.mode(
         "overwrite"
     ).parquet(log_dir)
+    # Enforce the in-order micro-batch contract rather than assume it
+    # (round-8 advice): FileStreamSource orders files by MODIFICATION
+    # time, which is parallel-task completion order — a higher-seq slice
+    # finishing first would feed the live-TTL sink out of order. The
+    # global sort's range partitioning makes part-file NAME order the
+    # seq order (coalesce merges consecutive partitions), so stamping
+    # strictly ascending mtimes in name order pins the source's delivery
+    # order to ascending seq.
+    parts = sorted(f for f in os.listdir(log_dir) if f.startswith("part-"))
+    base = max(os.path.getmtime(os.path.join(log_dir, f)) for f in parts)
+    for i, f in enumerate(parts):
+        t = base + i + 1
+        os.utime(os.path.join(log_dir, f), (t, t))
     stream = (
         spark.readStream.schema(CHANGE_SCHEMA)
         .option("maxFilesPerTrigger", 1)

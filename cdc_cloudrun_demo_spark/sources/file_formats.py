@@ -493,6 +493,53 @@ def source_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the Delta-protocol table: the orders seed is
+    committed from an 8-way RANDOM repartition (every bucket's files
+    span the whole id range — footer stats prune nothing), then
+    `DeltaLogStore.optimize_zorder` rewrites each bucket into 4 z-range
+    files clustered by the Morton interleave of (id, last_seq) — here
+    last_seq carries o_custkey, so the z-key is a genuine 2-D key and a
+    range scan on EITHER column skips most files on parquet footer
+    stats alone. The commit is remove+add with ``dataChange: false``;
+    hash-matching the same closed form as the fragmented seed proves
+    the clustering rewrite is content-invisible end to end. The
+    pruning-ratio improvement (pre vs post, real parquet footers) and
+    the protocol details are pinned in
+    tests/test_streaming.py::test_delta_optimize_zorder. Scale: one
+    tiny min/max broadcast + one repartition on (bucket, z-range) —
+    no global sort; per-file driver work is bookkeeping."""
+    from ..streaming.delta_log import DeltaLogStore
+    from ..streaming.tx_snapshot import bucket_expr
+
+    state_dir = os.path.join(scratch_dir("delta_zorder_"), "table")
+    store = DeltaLogStore(state_dir)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("content"),
+            F.col("o_custkey").cast("long").alias("last_seq"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.lit(False).alias("is_deleted"),
+        )
+        .withColumn("bucket", bucket_expr(store.n_buckets))
+        .repartition(8)  # the fragmentation under repair
+    )
+    store.commit(base, list(range(store.n_buckets)), batch_id=0)
+    store.optimize_zorder(spark)
+    return (
+        store.read(spark)
+        .filter(~F.col("is_deleted"))
+        .groupBy("content")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("last_seq").alias("sum_seq"),
+        )
+    )
+
+
 def source_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over the Delta-protocol store: three commits —
     the orders seed, an LWW update/delete wave (the roundtrip shapes:
@@ -680,6 +727,7 @@ QUERIES = {
     "source_sqldump_writer_roundtrip": source_sqldump_writer_roundtrip,
     "source_delta_roundtrip": source_delta_roundtrip,
     "source_delta_optimize": source_delta_optimize,
+    "source_delta_optimize_zorder": source_delta_optimize_zorder,
     "source_delta_change_feed": source_delta_change_feed,
     "source_sqldump_roundtrip": source_sqldump_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -720,6 +768,12 @@ ORACLES = {
     "source_delta_optimize": """
         SELECT o_orderstatus AS content,
                COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "source_delta_optimize_zorder": """
+        SELECT o_orderstatus AS content,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_seq
         FROM orders GROUP BY o_orderstatus
     """,
     "source_delta_change_feed": """

@@ -428,6 +428,23 @@ class DeltaLogStore:
         versions = self.versions()
         if to_version is None:
             to_version = versions[-1] if versions else from_version
+        # A change at version v is derived by diffing v-1 → v, so the
+        # whole requested range must sit inside the retained log: after
+        # log GC, diffing against a missing v-1 would fabricate
+        # whole-bucket "insert" rows for what were updates/deletes.
+        # Real Delta CDF errors on an unservable range; so do we
+        # (round-8 advice).
+        if versions and from_version < to_version:
+            servable = from_version >= versions[0] or (
+                from_version == 0 and versions[0] == 1
+            )
+            if not servable:
+                raise ValueError(
+                    f"change_feed range ({from_version}, {to_version}] "
+                    f"precedes the oldest retained log version "
+                    f"{versions[0]}; changes before it are not servable "
+                    "after log retention"
+                )
         out: DataFrame | None = None
         for v in versions:
             if not (from_version < v <= to_version):
@@ -452,8 +469,13 @@ class DeltaLogStore:
             new = self.read(spark, v).filter(F.col("bucket").isin(tb))
             if v - 1 in versions:
                 old = self.read(spark, v - 1).filter(F.col("bucket").isin(tb))
-            else:  # diffing against the pre-table void
+            elif v == 1:  # the ONLY legal void diff: the first commit ever
                 old = new.filter(F.lit(False))
+            else:  # defensive: a gap inside the retained log
+                raise ValueError(
+                    f"change_feed cannot derive version {v}: snapshot "
+                    f"{v - 1} is not readable from the retained log"
+                )
             o = old.select(
                 F.col("id").alias("o_id"),
                 F.col("content").alias("o_content"),
@@ -462,12 +484,15 @@ class DeltaLogStore:
             )
             n = new.select("id", "content", "last_seq", "is_deleted")
             j = n.join(o, n.id == o.o_id, "full_outer")
+            # eqNullSafe, not `!=`: a row differing only by NULL-vs-
+            # non-NULL content must read as changed; `!=` yields NULL
+            # there and the filter would drop it (round-8 advice).
             changed = j.filter(
                 F.col("o_id").isNull()
                 | F.col("id").isNull()
-                | (F.col("content") != F.col("o_content"))
-                | (F.col("last_seq") != F.col("o_seq"))
-                | (F.col("is_deleted") != F.col("o_del"))
+                | ~F.col("content").eqNullSafe(F.col("o_content"))
+                | ~F.col("last_seq").eqNullSafe(F.col("o_seq"))
+                | ~F.col("is_deleted").eqNullSafe(F.col("o_del"))
             )
             was_live = F.col("o_id").isNotNull() & ~F.col("o_del")
             is_live = F.col("id").isNotNull() & ~F.col("is_deleted")
@@ -603,6 +628,153 @@ class DeltaLogStore:
         )
         self._publish(delta_v, actions, adds)
         return sum(len(fl) for fl in frag.values())
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        zorder_by: tuple[str, str] = ("id", "last_seq"),
+        files_per_bucket: int = 4,
+    ) -> int:
+        """OPTIMIZE ZORDER: rewrite EVERY bucket's data clustered by the
+        Morton interleave of two integer columns, cut into
+        ``files_per_bucket`` z-range files per bucket — so each
+        rewritten file covers a tight [min,max] of BOTH clustering
+        columns and a range scan on either prunes files from parquet
+        footer stats alone (Delta's OPTIMIZE ZORDER BY). The commit is
+        the same remove+add with ``dataChange: false`` as plain
+        OPTIMIZE — bytes moved, zero rows changed — so snapshot content
+        is bit-identical (hash-proven by `source_delta_optimize_zorder`)
+        and change feeds skip it.
+
+        Plan shape: one tiny global min/max aggregate of the two
+        columns broadcasts back onto a narrow per-row zkey expression
+        (the `layout_zorder_key` discipline — no global sort, no range
+        exchange); file assignment is exact integer division of the
+        zkey span, and one repartition on (bucket, zfile) lands each
+        output file's rows in exactly one task. Returns the number of
+        files the rewrite replaced."""
+        from ..operators.layout import _BITS, _interleave_sql
+
+        prev = self.latest_manifest()
+        if prev is None:
+            return 0
+        old_files = {b: fl for b, fl in prev["buckets"].items() if fl}
+        if not old_files:
+            return 0
+        delta_v = prev["version"]
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.state_dir, f"_staging-{delta_v}-{token}")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged = spark.read.option("basePath", self.state_dir).parquet(
+            *[
+                os.path.join(self.state_dir, f)
+                for fl in old_files.values()
+                for f in fl
+            ]
+        )
+        ca, cb = zorder_by
+        bounds = merged.agg(
+            F.min(ca).alias("a_mn"),
+            F.max(ca).alias("a_mx"),
+            F.min(cb).alias("b_mn"),
+            F.max(cb).alias("b_mx"),
+        )
+        scale = (1 << _BITS) - 1
+        na = (
+            f"CAST(({ca} - a_mn) * {scale} AS BIGINT)"
+            f" div greatest(CAST(a_mx - a_mn AS BIGINT), 1)"
+        )
+        nb = (
+            f"CAST(({cb} - b_mn) * {scale} AS BIGINT)"
+            f" div greatest(CAST(b_mx - b_mn AS BIGINT), 1)"
+        )
+        zkey = F.expr(_interleave_sql(f"({na})", f"({nb})", "fn")).cast("long")
+        zmax = (1 << (2 * _BITS)) - 1
+        zfile = F.expr(
+            f"least({files_per_bucket - 1},"
+            f" CAST(__zkey * {files_per_bucket} AS BIGINT) div {zmax + 1})"
+        )
+        (
+            merged.crossJoin(F.broadcast(bounds))
+            .withColumn("__zkey", zkey)
+            .withColumn("zfile", zfile)
+            .drop("a_mn", "a_mx", "b_mn", "b_mx")
+            .repartition(
+                len(old_files) * files_per_bucket, "bucket", "zfile"
+            )
+            .sortWithinPartitions("bucket", "zfile", "__zkey")
+            .drop("__zkey")  # narrow projection keeps the task-local order
+            .write.mode("overwrite")
+            .partitionBy("bucket", "zfile")
+            .parquet(staging)
+        )
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        adds: list[dict] = []
+        for bdir in sorted(os.listdir(staging)):
+            if not bdir.startswith("bucket="):
+                continue
+            b = bdir.split("=", 1)[1]
+            part_dir = os.path.join(self.state_dir, bdir)
+            os.makedirs(part_dir, exist_ok=True)
+            for zdir in sorted(os.listdir(os.path.join(staging, bdir))):
+                if not zdir.startswith("zfile="):
+                    continue
+                z = int(zdir.split("=", 1)[1])
+                parts = sorted(
+                    f
+                    for f in os.listdir(os.path.join(staging, bdir, zdir))
+                    if f.endswith(".parquet")
+                )
+                for i, f in enumerate(parts):
+                    name = (
+                        f"part-{delta_v:020d}-z{z:03d}-{i:05d}-{token}"
+                        ".snappy.parquet"
+                    )
+                    dst = os.path.join(part_dir, name)
+                    os.replace(os.path.join(staging, bdir, zdir, f), dst)
+                    adds.append(
+                        {
+                            "add": {
+                                "path": f"{bdir}/{name}",
+                                "partitionValues": {"bucket": b},
+                                "size": os.path.getsize(dst),
+                                "modificationTime": now_ms,
+                                "dataChange": False,
+                            }
+                        }
+                    )
+        shutil.rmtree(staging, ignore_errors=True)
+        removes = [
+            {
+                "remove": {
+                    "path": old,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+            for b, fl in sorted(old_files.items())
+            for old in fl
+        ]
+        actions = (
+            removes
+            + adds
+            + [
+                {
+                    "commitInfo": {
+                        "operation": "OPTIMIZE",
+                        "operationParameters": {
+                            "zOrderBy": list(zorder_by),
+                            "rewrittenBuckets": len(old_files),
+                        },
+                        "timestamp": now_ms,
+                    }
+                }
+            ]
+        )
+        self._publish(delta_v, actions, adds)
+        return sum(len(fl) for fl in old_files.values())
 
     def _write_checkpoint(self, delta_v: int) -> None:
         """The spec's checkpoint: one parquet row per live action at

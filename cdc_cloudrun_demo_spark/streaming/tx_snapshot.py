@@ -351,15 +351,43 @@ def tx_snapshot_sink(
                 return
             cur = store.read(spark).filter(F.col("bucket").isin(touched))
             merged = lww_merge(cur.unionByName(batch_df))
+            if tombstone_ttl_seqs is not None:
+                # Enforce the watermark CONTRACT before committing, not
+                # just assume it: ttl promises no update arrives more
+                # than ttl seqs late, and every tombstone at or below
+                # frontier - ttl is already physically gone — a batch
+                # row at or below that horizon could silently resurrect
+                # a deleted key (its suppressing tombstone no longer
+                # exists to win the LWW merge). One bounded 1-row
+                # aggregate yields both ends of the batch's seq range;
+                # a violation fails the stream loudly pre-commit rather
+                # than publishing corrupt state (round-8 advice).
+                agg = batch_df.agg(
+                    F.min("last_seq").alias("mn"), F.max("last_seq").alias("mx")
+                ).collect()[0]
+                mn, mx = agg["mn"], agg["mx"]
+                if (
+                    mn is not None
+                    and frontier["max"] is not None
+                    and mn <= frontier["max"] - tombstone_ttl_seqs
+                ):
+                    raise RuntimeError(
+                        f"tombstone TTL contract violated: batch "
+                        f"{batch_id} contains last_seq={mn} at or below "
+                        f"the compacted horizon "
+                        f"{frontier['max'] - tombstone_ttl_seqs} "
+                        f"(frontier={frontier['max']}, "
+                        f"ttl={tombstone_ttl_seqs}); the source promised "
+                        "no update arrives more than ttl seqs late"
+                    )
             if on_before_commit is not None:
                 on_before_commit(batch_id)
             store.commit(merged, touched, batch_id)
             if tombstone_ttl_seqs is not None:
-                # live retention (docstring): one bounded 1-row aggregate
-                # over the persisted batch advances the seq watermark,
-                # then tombstones behind frontier - ttl are compacted —
-                # an ordinary commit over only the buckets holding one
-                mx = batch_df.agg(F.max("last_seq").alias("m")).collect()[0]["m"]
+                # live retention (docstring): the pre-commit aggregate
+                # advances the seq watermark, then tombstones behind
+                # frontier - ttl are compacted — an ordinary commit over
+                # only the buckets holding one
                 if mx is not None and (
                     frontier["max"] is None or mx > frontier["max"]
                 ):

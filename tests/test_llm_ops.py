@@ -956,6 +956,48 @@ def test_substring_spans_known_corpus(spark, tmp_path, sf_oracle):
             assert s2 > e1, "spans within a doc must be disjoint"
 
 
+def test_substring_excision_partitions_documents(spark, sf_oracle):
+    """Excised spans and kept tokens must PARTITION every document
+    (functions/dedup.py::dedup_substring_excised): n_excised equals the
+    per-doc sum of span lengths exactly (spans are disjoint), kept +
+    excised covers every token, the kept text is the original token
+    stream with span positions removed (order-preserving subsequence),
+    and span-free docs keep everything verbatim."""
+    from cdc_cloudrun_demo_spark.functions.dedup import (
+        dedup_substring_excised,
+        dedup_substring_spans,
+    )
+
+    spans: dict[int, list] = {}
+    for r in dedup_substring_spans(spark, sf_oracle).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    docs = {
+        r["doc_id"]: r
+        for r in dedup_substring_excised(spark, sf_oracle).collect()
+    }
+    import re
+
+    texts = {
+        r["doc_id"]: re.findall(r"[a-z]+", r["text"].lower())
+        for r in spark.read.parquet(f"{sf_oracle}/documents.parquet").collect()
+    }
+    assert docs and any(spans)
+    for doc_id, r in docs.items():
+        span_total = sum(e - s for s, e in spans.get(doc_id, []))
+        assert r["n_excised"] == span_total
+        toks = texts[doc_id]
+        assert r["n_tokens"] == len(toks)
+        excised_pos = {
+            i for s, e in spans.get(doc_id, []) for i in range(s, e)
+        }
+        expect_kept = [t for i, t in enumerate(toks) if i not in excised_pos]
+        got_kept = r["kept_text"].split(" ") if r["kept_text"] else []
+        assert got_kept == expect_kept
+        assert len(got_kept) + len(excised_pos) == len(toks)
+
+
 def test_upsert_index_equals_rebuild(spark, sf_oracle):
     """The maintained ANN index (4 sequential ingests, forward edges +
     back-edge re-ranks, per-src top-k merge) must equal the one-shot
@@ -971,6 +1013,43 @@ def test_upsert_index_equals_rebuild(spark, sf_oracle):
     upsert = {tuple(r) for r in sim_knn_graph_upsert(spark, sf_oracle).collect()}
     full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
     assert upsert == full and upsert
+
+
+def test_delete_maintenance_equals_filtered_rebuild(spark, sf_oracle):
+    """The delete half of the maintenance algebra
+    (functions/similarity.py::sim_knn_graph_delete): after tombstoning
+    vec_id % 5 == 0, (a) no deleted node appears in ANY edge, src or
+    dst; (b) the repaired state EQUALS the one-shot rebuild over the
+    filtered corpus with frozen index artifacts (node_pred) — every
+    repaired list matches the rebuild's and every untouched list was
+    provably already correct; (c) untouched survivors' rows are a
+    subset of the standing full-corpus index (repair never rewrites
+    what it proves unaffected)."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        knn_graph_edges,
+        sim_knn_graph,
+        sim_knn_graph_delete,
+    )
+
+    maintained = sim_knn_graph_delete(spark, sf_oracle).collect()
+    assert maintained
+    for r in maintained:
+        assert r["src"] % 5 != 0 and r["dst"] % 5 != 0
+
+    rebuilt = {
+        tuple(r)
+        for r in knn_graph_edges(
+            spark, sf_oracle, node_pred=lambda c: c % 5 != 0
+        ).collect()
+    }
+    assert {tuple(r) for r in maintained} == rebuilt
+
+    standing = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
+    affected_srcs = {s for (s, d, _) in standing if d % 5 == 0}
+    untouched = {
+        t for t in maintained if t[0] not in affected_srcs
+    }
+    assert untouched <= standing
 
 
 def test_hnsw_recall_on_clustered_corpus(spark, tmp_path):
@@ -997,4 +1076,7 @@ def test_hnsw_recall_on_clustered_corpus(spark, tmp_path):
     }
     approx = {(r["query_id"], r["neighbor_id"]) for r in rows1}
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.5, recall
+    # 0.82 measured with the hybrid medoid∪hashed coarse layer (0.52
+    # before round 9's layer fix); floor pinned at 0.7 per the round-8
+    # verdict.
+    assert recall >= 0.7, recall

@@ -1411,3 +1411,243 @@ def test_live_ttl_lag_blocks_late_resurrection(spark, tmp_path):
         (r["id"], r["content"])
         for r in read_tx_snapshot(spark, state_dir).collect()
     } == {(2, "two-v2")}
+
+
+def test_live_ttl_guard_rejects_out_of_order_batch(spark, tmp_path):
+    """The watermark CONTRACT is enforced, not assumed (round-8 advice):
+    if a micro-batch arrives carrying a seq at or below the
+    already-compacted horizon — i.e. the source broke its "no update
+    more than ttl seqs late" promise — the sink must fail LOUDLY before
+    committing, because the tombstone that should suppress the late row
+    is already physically gone and the merge could silently resurrect a
+    deleted key."""
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import tx_snapshot_sink
+    from datetime import datetime
+
+    log_dir = tmp_path / "log"
+    ts = datetime(2024, 1, 1)
+    # slice A: high seqs, including a delete at 10 → with ttl=0 the
+    # tombstone is compacted the moment it commits (frontier 10)
+    spark.createDataFrame(
+        [(9, "INSERT", 1, "one", ts), (10, "DELETE", 1, None, ts)],
+        CHANGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_000"))
+    # slice B: a LATE batch below the compacted horizon — contract broken
+    spark.createDataFrame(
+        [(1, "UPDATE", 1, "resurrect-me", ts)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_001"))
+    # pin delivery order A → B via mtime (FileStreamSource's order)
+    t0 = os.path.getmtime(str(log_dir / "slice_000"))
+    for i, d in enumerate(["slice_000", "slice_001"]):
+        for f in os.listdir(str(log_dir / d)):
+            os.utime(str(log_dir / d / f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir / "slice_*"))
+    )
+    q = tx_snapshot_sink(
+        materialize_with_state(stream),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        tombstone_ttl_seqs=0,
+    )
+    with pytest.raises(Exception, match="TTL contract violated"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_change_feed_errors_past_retention(spark, tmp_path):
+    """After log retention, a change_feed range needing a snapshot older
+    than the retained log must ERROR (real Delta CDF behavior), never
+    silently diff against the void and fabricate whole-bucket inserts
+    for what were updates/deletes (round-8 advice)."""
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import bucket_expr, lww_merge
+
+    store = DeltaLogStore(str(tmp_path / "table"), n_buckets=2)
+    schema = (
+        "id long, content string, last_seq long,"
+        " updated_at timestamp, is_deleted boolean"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "bucket", bucket_expr(2)
+        )
+
+    store.commit(df([(1, "a", 1, None, False)]), [0, 1], batch_id=0)
+    cur = store.read(spark, 1)
+    store.commit(
+        lww_merge(cur.unionByName(df([(1, "a2", 2, None, False)]))),
+        [0, 1],
+        batch_id=1,
+    )
+    cur = store.read(spark, 2)
+    store.commit(
+        lww_merge(cur.unionByName(df([(2, "b", 3, None, False)]))),
+        [0, 1],
+        batch_id=2,
+    )
+    store.gc(retain_versions=1)  # only v3 readable now
+    assert store.versions() == [3]
+    with pytest.raises(ValueError, match="oldest retained log version"):
+        store.change_feed(spark, from_version=1)
+    with pytest.raises(ValueError, match="oldest retained log version"):
+        store.change_feed(spark, from_version=0)
+    # an empty in-retention range still works
+    assert store.change_feed(spark, from_version=3).count() == 0
+
+
+def test_change_feed_null_content_update(spark, tmp_path):
+    """A row differing only by NULL-vs-non-NULL content must read as an
+    update: the diff uses eqNullSafe, not `!=` (which yields NULL there
+    and silently drops the row — round-8 advice). Pinned with the
+    last_seq held CONSTANT so nothing else can mask the content flip."""
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import bucket_expr
+
+    store = DeltaLogStore(str(tmp_path / "table"), n_buckets=2)
+    schema = (
+        "id long, content string, last_seq long,"
+        " updated_at timestamp, is_deleted boolean"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "bucket", bucket_expr(2)
+        )
+
+    store.commit(df([(1, None, 1, None, False)]), [0, 1], batch_id=0)
+    store.commit(df([(1, "now-set", 1, None, False)]), [0, 1], batch_id=1)
+    feed = {
+        (r["change_type"]): (r["content"])
+        for r in store.change_feed(spark, from_version=1).collect()
+    }
+    assert feed == {"update_preimage": None, "update_postimage": "now-set"}
+
+
+def test_disk_memoized_concurrent_first_miss_builds_once(spark, tmp_path):
+    """Two threads missing the memo for the SAME key must not both run
+    build() and interleave writes at the deterministic path: builds are
+    serialized per key, land via temp + atomic rename, and the cache
+    insert happens only after the publish (round-8 advice)."""
+    import threading
+    from collections import OrderedDict
+
+    from cdc_cloudrun_demo_spark.functions.similarity import _disk_memoized
+
+    cache: OrderedDict = OrderedDict()
+    n_builds = {"n": 0}
+    lock = threading.Lock()
+
+    def build():
+        with lock:
+            n_builds["n"] += 1
+        return spark.range(100).withColumnRenamed("id", "v")
+
+    results, errs = [], []
+
+    def worker():
+        try:
+            df = _disk_memoized(
+                spark, cache, ("k", "fp"), "fp", "test_memo_", build
+            )
+            results.append(sorted(r["v"] for r in df.collect()))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert n_builds["n"] == 1, "concurrent first-misses must share one build"
+    assert all(r == list(range(100)) for r in results) and len(results) == 4
+
+
+def test_delta_optimize_zorder(spark, tmp_path):
+    """OPTIMIZE ZORDER: a randomly-fragmented commit is rewritten into
+    z-range files clustered by the Morton key of (id, last_seq); real
+    parquet FOOTER stats must then prune strictly more files for a
+    range predicate on either clustering column than the fragmented
+    layout could; content is bit-identical, every rewrite action
+    carries dataChange:false, pre-rewrite time travel works, and the
+    change feed emits nothing for the rewrite version."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import bucket_expr
+
+    n = 2048
+    store = DeltaLogStore(str(tmp_path / "table"), n_buckets=4)
+    # second dimension decorrelated from id so the z-key is genuinely 2-D
+    rows = [(i, f"c{i % 7}", (i * 997) % n, None, False) for i in range(n)]
+    base = (
+        spark.createDataFrame(
+            rows,
+            "id long, content string, last_seq long,"
+            " updated_at timestamp, is_deleted boolean",
+        )
+        .withColumn("bucket", bucket_expr(4))
+        .repartition(8)  # random fragmentation: files span the id range
+    )
+    store.commit(base, [0, 1, 2, 3], batch_id=0)
+    m1 = store.latest_manifest()
+    before = {tuple(r) for r in store.read(spark).collect()}
+
+    def pruned_fraction(manifest, col, lo, hi):
+        files = [
+            f for fl in manifest["buckets"].values() for f in fl
+        ]
+        pruned = 0
+        for f in files:
+            md = pq.ParquetFile(str(tmp_path / "table" / f)).metadata
+            idx = md.schema.names.index(col)
+            mn = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if mx < lo or mn > hi:
+                pruned += 1
+        return pruned / len(files), len(files)
+
+    lo, hi = n // 2, n // 2 + n // 10  # a ~10% range probe
+    pre_id, n_pre = pruned_fraction(m1, "id", lo, hi)
+    pre_seq, _ = pruned_fraction(m1, "last_seq", lo, hi)
+
+    removed = store.optimize_zorder(spark)
+    assert removed == sum(len(fl) for fl in m1["buckets"].values())
+    m2 = store.latest_manifest()
+    assert m2["version"] == m1["version"] + 1
+    post_id, n_post = pruned_fraction(m2, "id", lo, hi)
+    post_seq, _ = pruned_fraction(m2, "last_seq", lo, hi)
+    # the fragmented random layout prunes ~nothing; z-range files must
+    # skip most of the table on BOTH clustering dimensions
+    assert post_id > pre_id and post_id >= 0.5, (pre_id, post_id, n_post)
+    assert post_seq > pre_seq and post_seq >= 0.25, (pre_seq, post_seq)
+
+    # content invisibility + protocol flags + time travel + silent CDF
+    assert {tuple(r) for r in store.read(spark).collect()} == before
+    log = open(
+        str(tmp_path / "table" / "_delta_log" / f"{m1['version']:020d}.json")
+    ).read()
+    acts = [_json.loads(line) for line in log.splitlines() if line.strip()]
+    assert acts and all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    ) and all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    assert {
+        tuple(r) for r in store.read(spark, m1["version"]).collect()
+    } == before
+    assert (
+        store.change_feed(spark, from_version=m1["version"]).count() == 0
+    )

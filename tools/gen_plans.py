@@ -84,16 +84,16 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 8)
 
-Suite wall 41.07 s (r7, 26 queries) -> **~33.5 s (r8, 30 queries;
-round-8 build-time run — the driver's BENCH_r08.json is the artifact of
-record)**: the suite GREW by four queries (`sim_knn_graph_incremental`
-~2.7 s of honest cold ingest work, `sim_ann_hnsw_topk` ~3.2 s,
-`dedup_substring_spans` ~1.3 s, `dq_drift_psi` ~0.3 s) and still
-dropped ~7.6 s, because the round's one `weak` row was fixed rather
-than re-measured. The pinned series: `r7_26q` **26.0 s vs 41.1 s
-(-37%)** (22.9 s in a quieter mid-round run — suite-level spread is
-±10%), `r6_23q` 16.8 s (vs 15.2 r6, inside spread), `r5_20q` 7.9 s
-(flat since r5).
+Suite wall 41.07 s (r7, 26 queries) -> **31.13 s (r8, 30 queries;
+the driver's committed BENCH_r08.json — the artifact of record)**:
+the suite GREW by four queries (`sim_knn_graph_incremental` 2.44 s of
+honest cold ingest work, `sim_ann_hnsw_topk` 3.00 s,
+`dedup_substring_spans` 1.32 s, `dq_drift_psi` 0.40 s) and still
+dropped ~10 s, because the round's one `weak` row was fixed rather
+than re-measured. The pinned series per BENCH_r08.json: `r7_26q`
+**23.97 s vs 41.1 s (-42%)**, `r6_23q` 15.15 s (vs 15.2 r6, flat),
+`r5_20q` 7.46 s (flat since r5); suite-level spread is ±10%
+(build-time runs saw 26.0/16.8/7.9 on the same code).
 
 - `sim_ann_graph_topk` **17.80 -> ~2.1 s** (construction ~1.9 +
   action ~0.2), hash oracle unchanged. Two fixes, both index/iteration
@@ -109,23 +109,23 @@ than re-measured. The pinned series: `r7_26q` **26.0 s vs 41.1 s
   list (both memos: per-key subdirs, existence-checked, evict-deletes).
 - **Per-query amortization measured** (r7 verdict item 2): bench.py's
   `batch_ann` section runs the identical walk at |Q|=500 —
-  **~13 ms/query vs ~410 ms/query at |Q|=5 (33x)**, and ~280x below
+  **13.3 ms/query vs 426 ms/query at |Q|=5 (32x)**, and ~270x below
   r7's committed |Q|=5 ratio (3,560 ms/query). The walk's per-hop jobs
   are query-count-independent (all queries ride the same bounded hop
   count; state just gains rows), which is the scheduling-overhead claim
   of the r7 PLANS text, now a number. Result equality between the
   batch walk's first-5 slice and the |Q|=5 walk is property-pinned
   (per-query independence), so the comparison is apples-to-apples.
-- `sim_knn_graph_incremental` ~2.7 s: the ingest path (batch x standing
+- `sim_knn_graph_incremental` 2.44 s: the ingest path (batch x standing
   postings candidates + per-src top-k) — real per-batch work over a
   20k-vector append at sf0.1, priced cold by design (ingest is never
   warm). Its multi-batch twin `sim_knn_graph_upsert` (not benched — a
   correctness construct) proves the maintenance algebra by
   hash-matching the one-shot rebuild's oracle.
-- `dedup_substring_spans` ~1.3 s and `dq_drift_psi` ~0.3 s joined the
+- `dedup_substring_spans` 1.32 s and `dq_drift_psi` 0.40 s joined the
   headline as the round's LLM-pipeline/data-quality additions (one
   posting shuffle + one window; one scan + 10-row output).
-- `sim_ann_hnsw_topk` ~3.2 s (construction ~3.1 + action ~0.15,
+- `sim_ann_hnsw_topk` 3.00 s (construction 2.83 + action 0.17,
   FULL_TIMED): the hierarchical two-layer walk — 7 eager pin jobs
   (3 coarse + 4 base hops) over tiny walk state, routing through the
   memoized coarse layer with ZERO per-query index probes. ~1 s over the
