@@ -574,8 +574,21 @@ def hyperplane_lsh_postings(
     posting-list discipline as dedup_simhash_banded (dedup.py); candidate
     pairing downstream is an equality join on (tbl, bucket), never
     all-pairs."""
-    planes = _lsh_planes(n_tables * bits_per_table, seed)
     emb = load_for_compute(spark, sf_dir, "embeddings")
+    return lsh_postings_for(emb, n_tables, bits_per_table, seed)
+
+
+def lsh_postings_for(
+    emb: DataFrame,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """`hyperplane_lsh_postings` over an arbitrary (vec_id, embedding)
+    frame — the hash is a pure per-row function, so a streaming ingest
+    can index each arriving micro-batch with the SAME planes the
+    standing corpus was indexed with (streaming/ann_ingest.py)."""
+    planes = _lsh_planes(n_tables * bits_per_table, seed)
     tables = F.array(
         *[
             F.struct(
@@ -2152,6 +2165,74 @@ def sim_knn_graph_upsert(
     return state
 
 
+def sim_knn_graph_live(
+    spark: SparkSession, sf_dir: str, k_edges: int = 8, n_batches: int = 4
+) -> DataFrame:
+    """The ANN index maintained by a REAL Structured Streaming run —
+    `sim_knn_graph_upsert`'s algebra as a live sink
+    (streaming/ann_ingest.py): the corpus arrives as a sliced file
+    stream (vec_id % ``n_batches``, delivery order pinned), each
+    micro-batch appends its posting/cell/vector shards to the on-disk
+    index and merges its forward + back edges into the standing edge
+    list by lossless per-src top-k, and each merge publishes via an
+    atomic pointer swap with batch_id replay-skip. The final pointed-at
+    snapshot EQUALS the one-shot rebuild — this entry hash-matches the
+    SAME oracle as `sim_knn_graph` — proving a vector store can ingest
+    continuously and never rebuild. The IVF quantizer is trained once
+    at bootstrap and frozen (the production discipline; here on the
+    corpus so the oracle's artifacts coincide)."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..streaming.ann_ingest import (
+        VEC_SCHEMA,
+        ann_index_sink,
+        read_ann_index,
+    )
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    tmp = scratch_dir("ann_live_")
+    log_dir = os.path.join(tmp, "log")
+    slices = []
+    for b in range(n_batches):
+        d = os.path.join(log_dir, f"slice_{b:03d}")
+        emb.filter(F.col("vec_id") % n_batches == b).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        slices.append(d)
+    # pin delivery order (FileStreamSource orders by mtime — the
+    # in-order-contract discipline of operators/cdc.py)
+    base = max(
+        os.path.getmtime(os.path.join(d, f))
+        for d in slices
+        for f in os.listdir(d)
+    )
+    for i, d in enumerate(slices):
+        for f in os.listdir(d):
+            t = base + i + 1
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(log_dir, "slice_*"))
+    )
+    q = ann_index_sink(
+        stream,
+        os.path.join(tmp, "state"),
+        os.path.join(tmp, "ckpt"),
+        cents,
+        k_edges=k_edges,
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("ANN ingest stream did not finish within 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    return read_ann_index(spark, os.path.join(tmp, "state"))
+
+
 def sim_knn_graph_delete(
     spark: SparkSession, sf_dir: str, k_edges: int = 8, del_mod: int = 5
 ) -> DataFrame:
@@ -2538,6 +2619,7 @@ QUERIES = {
     "sim_knn_graph_incremental": sim_knn_graph_incremental,
     "sim_knn_graph_upsert": sim_knn_graph_upsert,
     "sim_knn_graph_delete": sim_knn_graph_delete,
+    "sim_knn_graph_live": sim_knn_graph_live,
     "sim_ann_graph_topk": sim_ann_graph_topk,
     "sim_ann_graph_batch": sim_ann_graph_batch,
     "sim_ann_hnsw_topk": sim_ann_hnsw_topk,
@@ -2702,6 +2784,9 @@ ORACLES["sim_knn_graph_upsert"] = _knn_graph_oracle()
 ORACLES["sim_knn_graph_delete"] = _knn_graph_oracle(
     src_where="WHERE src % 5 <> 0 AND dst % 5 <> 0"
 )
+# The live-ingest proof: the streaming-maintained state equals the
+# one-shot rebuild, so it shares sim_knn_graph's oracle verbatim.
+ORACLES["sim_knn_graph_live"] = _knn_graph_oracle()
 ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
 ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()

@@ -1015,6 +1015,58 @@ def test_upsert_index_equals_rebuild(spark, sf_oracle):
     assert upsert == full and upsert
 
 
+def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
+    """The streaming-maintained ANN index (streaming/ann_ingest.py) must
+    equal the one-shot rebuild after the last micro-batch — the live
+    twin of the upsert algebra — and a REPLAYED run over the same
+    checkpoint must leave the pointed-at snapshot untouched (batch_id
+    replay-skip)."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_knn_graph,
+        sim_knn_graph_live,
+    )
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import _read_pointer
+
+    live = sim_knn_graph_live(spark, sf_oracle)
+    full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
+    assert {tuple(r) for r in live.collect()} == full and full
+
+    # replay-skip: pointer batch_id monotone, a stale batch never wins
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        VEC_SCHEMA,
+        ann_index_sink,
+        read_ann_index,
+    )
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        load_for_compute,
+    )
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    log_dir = tmp_path / "log"
+    emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding").coalesce(
+        1
+    ).write.parquet(str(log_dir / "slice_000"))
+    state = str(tmp_path / "state")
+    for _ in range(2):  # second run replays the same file
+        q = ann_index_sink(
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*")),
+            state,
+            str(tmp_path / "ckpt"),
+            cents,
+        )
+        assert q.awaitTermination(120)
+    ptr = _read_pointer(state)
+    assert ptr is not None and ptr["batch_id"] == 0
+    assert read_ann_index(spark, state).count() > 0
+    assert not os.path.exists(os.path.join(state, "edges", "v1"))
+
+
 def test_delete_maintenance_equals_filtered_rebuild(spark, sf_oracle):
     """The delete half of the maintenance algebra
     (functions/similarity.py::sim_knn_graph_delete): after tombstoning
