@@ -79,8 +79,11 @@ HEADLINE: dict[str, str] = {
     "sim_ann_hnsw_topk": "collect",
     # round-9: the delete half of index maintenance — tombstone a
     # vector batch, drop its lists, repair only the affected survivors
-    # from the memoized blocking (never a rebuild)
+    # from the memoized blocking (never a rebuild) — and span excision,
+    # the Lee et al. cleaned remainder (spans joined back to the token
+    # arrays, kept text emitted by one JVM higher-order filter)
     "sim_knn_graph_delete": "count",
+    "dedup_substring_excised": "count",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -139,6 +142,21 @@ LEGACY_SUITES = {
         "multimodal_features", "multimodal_frame_sample",
         "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
         "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+    ],
+    # r8 membership = r7 + the incremental-ingest / substring-span /
+    # drift-gate / hierarchical-walk additions
+    "r8_30q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+        "sim_knn_graph_incremental", "dedup_substring_spans",
+        "dq_drift_psi", "sim_ann_hnsw_topk",
     ],
 }
 

@@ -642,7 +642,178 @@ def pipeline_global_shuffle(
     )
 
 
+def pipeline_pack_sequences(
+    spark: SparkSession, sf_dir: str, max_len: int = 512
+) -> DataFrame:
+    """CONCAT-AND-CHUNK sequence packing — how pre-training actually
+    consumes a corpus: documents concatenate in a deterministic global
+    order (doc_id asc) into one token stream that is cut into fixed
+    ``max_len`` training sequences, documents crossing a boundary
+    spanning multiple sequences (GPT-style packing; the alternative
+    first-fit bin packing is inherently sequential and pads). Per
+    document this emits its exact stream placement: starting token
+    offset, first/last sequence id, and how many sequences it touches.
+
+    The global offset is an EXCLUSIVE prefix sum over token counts —
+    computed with the `cdc_keygen` two-phase shape, because a
+    single-ordered window over 100 TB of docs is a one-reducer
+    bottleneck: (1) value-range bucket on doc_id from a broadcast 1-row
+    min/max (a pure function of the id — deterministic across the
+    plan's evaluations, unlike range sampling), (2) per-bucket window
+    prefix sums in parallel, plus a P-row bucket-total table offset via
+    triangular broadcast join. Every quantity is exact integer
+    arithmetic → fully hash-oracled against DuckDB's single-window
+    closed form. Empty docs occupy no stream positions (NULL seq ids,
+    n_seqs 0). Output: (doc_id, n_tokens, offset, first_seq, last_seq,
+    n_seqs). (`text_pack_offsets` is the per-SOURCE sibling — one
+    window keyed on source, parallel across shards, sequential within;
+    this is the GLOBAL single-stream variant that needs no partition
+    column at all, plus per-sequence occupancy in
+    `pipeline_pack_stats` that neither emits.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism // 2, 4)
+    bounds = toks.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    span = F.col("hi") - F.col("lo") + 1
+    pid = F.least(
+        F.lit(n_parts - 1),
+        F.floor(((F.col("doc_id") - F.col("lo")) * n_parts) / span),
+    ).cast("int")
+    ranged = toks.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_tokens", pid.alias("pid")
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    local = ranged.withColumn(
+        "local_off",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    totals = local.groupBy("pid").agg(F.sum("n_tokens").alias("cnt"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("pid_off"))
+    )
+    off = (F.col("pid_off") + F.col("local_off")).cast("long")
+    first_seq = F.when(
+        F.col("n_tokens") > 0, F.floor(F.col("offset") / max_len)
+    ).cast("long")
+    last_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / max_len),
+    ).cast("long")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select("doc_id", "n_tokens", off.alias("offset"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            F.coalesce(
+                last_seq - first_seq + 1, F.lit(0)
+            ).cast("long").alias("n_seqs"),
+        )
+    )
+
+
+def pipeline_pack_stats(
+    spark: SparkSession, sf_dir: str, max_len: int = 512
+) -> DataFrame:
+    """Per-SEQUENCE occupancy of the packed stream — the other side of
+    `pipeline_pack_sequences`: for every fixed-length training sequence,
+    how many documents it contains, how many of those cross a sequence
+    boundary (attention-masking / document-separator accounting), and
+    its exact token fill. Derivation is one explode of each doc's
+    [first_seq, last_seq] range (bounded: a doc adds ≤ n_tokens/max_len
+    + 1 rows) and one groupBy(seq_id); the per-doc overlap with a
+    sequence window is pure integer min/max arithmetic, so the entry is
+    fully hash-oracled. Every sequence but the last fills to exactly
+    ``max_len`` tokens by construction — property-tested, the packing
+    guarantee training depends on."""
+    per_doc = pipeline_pack_sequences(spark, sf_dir, max_len=max_len).filter(
+        F.col("n_tokens") > 0
+    )
+    exp = per_doc.select(
+        "doc_id",
+        "offset",
+        "n_tokens",
+        "n_seqs",
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+            "seq_id"
+        ),
+    )
+    overlap = F.least(
+        F.col("offset") + F.col("n_tokens"), (F.col("seq_id") + 1) * max_len
+    ) - F.greatest(F.col("offset"), F.col("seq_id") * max_len)
+    return exp.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_crossing"),
+        F.sum(overlap).cast("long").alias("fill_tokens"),
+    )
+
+
+def _pack_stats_oracle(max_len: int = 512) -> str:
+    return f"""
+        WITH pack AS ({_pack_sequences_oracle(max_len)}
+        ), exp AS (
+            SELECT doc_id, "offset", n_tokens, n_seqs,
+                   UNNEST(range(first_seq, last_seq + 1)) AS seq_id
+            FROM pack WHERE n_tokens > 0
+        )
+        SELECT seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_crossing,
+               CAST(SUM(LEAST("offset" + n_tokens, (seq_id + 1) * {max_len})
+                        - GREATEST("offset", seq_id * {max_len})) AS BIGINT)
+                   AS fill_tokens
+        FROM exp GROUP BY seq_id
+    """
+
+
+def _pack_sequences_oracle(max_len: int = 512) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(LENGTH(regexp_extract_all(LOWER(text), '[a-z]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ), off AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS o
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, CAST(o AS BIGINT) AS offset,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(o // {max_len} AS BIGINT) END AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN CAST((o + n_tokens - 1) // {max_len} AS BIGINT)
+               END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN CAST((o + n_tokens - 1) // {max_len}
+                              - o // {max_len} + 1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS n_seqs
+        FROM off
+    """
+
+
 QUERIES = {
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_pack_stats": pipeline_pack_stats,
     "pipeline_global_shuffle": pipeline_global_shuffle,
     "pipeline_dataset_card": pipeline_dataset_card,
     "pipeline_epoch_plan": pipeline_epoch_plan,
@@ -936,3 +1107,6 @@ ORACLES["pipeline_domain_mixture"] = """
            CAST(sqrt_unats AS DOUBLE) / CAST(total_unats AS DOUBLE) AS weight
     FROM scored CROSS JOIN total
 """
+
+ORACLES["pipeline_pack_sequences"] = _pack_sequences_oracle()
+ORACLES["pipeline_pack_stats"] = _pack_stats_oracle()

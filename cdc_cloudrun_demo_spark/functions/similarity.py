@@ -2265,6 +2265,21 @@ def sim_knn_graph_delete(
     few thousand lists that referenced it, not the index."""
     survives = lambda c: c % del_mod != 0  # noqa: E731
     state = _knn_edges_cached(spark, sf_dir, k_edges)
+    return _ann_delete_repair(spark, sf_dir, state, k_edges, survives)
+
+
+def _ann_delete_repair(
+    spark: SparkSession,
+    sf_dir: str,
+    state: DataFrame,
+    k_edges: int,
+    survives,
+) -> DataFrame:
+    """The delete-repair core of `sim_knn_graph_delete`, over ANY
+    standing edge state (the memoized ingest index, or a maintained
+    state mid-CRUD-sequence): drop tombstoned sources, re-rank exactly
+    the survivors whose lists referenced a deleted node, keep the rest
+    untouched."""
     kept = state.filter(survives(F.col("src")))
     affected = (
         kept.filter(~survives(F.col("dst")))
@@ -2322,6 +2337,35 @@ def sim_knn_graph_delete(
     )
     unaffected = kept.join(affected, "src", "left_anti")
     return unaffected.unionByName(repaired)
+
+
+def sim_knn_graph_crud(
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int = 8,
+    n_batches: int = 4,
+    del_mod: int = 5,
+) -> DataFrame:
+    """The FULL lifecycle of the ANN index under maintenance — the
+    insert and delete halves COMPOSED, proving the algebra is closed:
+    the corpus arrives as ``n_batches`` sequential ingests maintained
+    by the upsert merge (`sim_knn_graph_upsert`), then a tombstone wave
+    deletes vec_id % ``del_mod`` == 0 and the state is repaired by the
+    delete half (`_ann_delete_repair`) — drop the dead sources'
+    lists, re-rank only the survivors that referenced a dead node from
+    the frozen blocking artifacts. The end state hash-matches the
+    one-shot rebuild over the surviving corpus: a vector store that
+    only ever ingested batches and processed deletes holds EXACTLY the
+    index a from-scratch build would produce, at incremental cost
+    throughout (per-ingest O(|batch|·candidates), per-delete
+    O(|affected|·candidates)). Reference anchor: the reference's whole
+    CRUD surface (MessageController.java:25-45), lifted to index
+    maintenance."""
+    survives = lambda c: c % del_mod != 0  # noqa: E731
+    maintained = sim_knn_graph_upsert(
+        spark, sf_dir, k_edges=k_edges, n_batches=n_batches
+    )
+    return _ann_delete_repair(spark, sf_dir, maintained, k_edges, survives)
 
 
 def _sql_knn_edges(k_edges: int = 8, src_where: str = "") -> str:
@@ -2620,6 +2664,7 @@ QUERIES = {
     "sim_knn_graph_upsert": sim_knn_graph_upsert,
     "sim_knn_graph_delete": sim_knn_graph_delete,
     "sim_knn_graph_live": sim_knn_graph_live,
+    "sim_knn_graph_crud": sim_knn_graph_crud,
     "sim_ann_graph_topk": sim_ann_graph_topk,
     "sim_ann_graph_batch": sim_ann_graph_batch,
     "sim_ann_hnsw_topk": sim_ann_hnsw_topk,
@@ -2787,6 +2832,11 @@ ORACLES["sim_knn_graph_delete"] = _knn_graph_oracle(
 # The live-ingest proof: the streaming-maintained state equals the
 # one-shot rebuild, so it shares sim_knn_graph's oracle verbatim.
 ORACLES["sim_knn_graph_live"] = _knn_graph_oracle()
+# CRUD composition = upsert-maintained then delete-repaired; the end
+# state is the rebuild over survivors (the delete entry's oracle).
+ORACLES["sim_knn_graph_crud"] = _knn_graph_oracle(
+    src_where="WHERE src % 5 <> 0 AND dst % 5 <> 0"
+)
 ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
 ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()

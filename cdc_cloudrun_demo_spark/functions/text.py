@@ -1048,6 +1048,188 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str, top_k: int = 20) -> Da
     )
 
 
+def text_bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """The learned BPE merge table — see `_bpe_train_state` for the
+    trainer; `text_bpe_segment` exposes the other artifact (the final
+    per-word segmentation the same run produces)."""
+    out, _vocab = _bpe_train_state(spark, sf_dir, n_merges)
+    return out
+
+
+def text_bpe_segment(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """The trained tokenizer's OBSERVABLE behavior: every vocabulary
+    word's final BPE segmentation after ``n_merges`` learned merges —
+    (word, freq, toks, n_pieces) with toks the '|'-joined subword
+    pieces. This is the encode table a tokenizer ships (applying it to
+    a corpus is one broadcast join, `text_vocab_encode`'s shape); it is
+    the round-``n_merges`` vocabulary state of `_bpe_train_state`, so
+    the DuckDB oracle replays the identical unrolled rounds and
+    hash-matches every segmentation byte-for-byte."""
+    _out, vocab = _bpe_train_state(spark, sf_dir, n_merges)
+    return vocab.select(
+        "word",
+        "freq",
+        "toks",
+        (F.size(F.split(F.col("toks"), r"\|"))).cast("long").alias("n_pieces"),
+    )
+
+
+def _bpe_train_state(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+):
+    """The full BPE TRAINER — `text_bpe_pair_stats` is one iteration;
+    this runs ``n_merges`` rounds and emits the learned merge table,
+    the actual tokenizer artifact (round, left_sym, right_sym,
+    pair_count). Each round: (1) adjacent-pair counts over the DISTINCT
+    WORD vocabulary weighted by word frequency (the vocab-collapse
+    discipline — per-round cost is bounded by |vocab| × word length,
+    never corpus size), (2) the argmax pair under the total order
+    (count DESC, pair lex ASC) — one TakeOrdered on a tiny table, (3)
+    the merge applied to every word's symbol sequence by a LEFT-TO-RIGHT
+    fold (``aggregate`` over the symbol array: append, or join the last
+    token when it equals `a` and the next symbol is `b` — exact BPE
+    single-pass semantics, so 'aaa' under merge (a,a) becomes
+    [aa, a]), broadcast from the 1-row best. Symbol sequences ride as
+    one '|'-delimited string (the separator cannot occur in [a-z]+
+    tokens), which makes the fold a portable string accumulator both
+    engines evaluate identically — the DuckDB oracle replays every
+    round as unrolled CTEs (list_reduce twin) and hash-matches the
+    whole merge table. Per-round state pins eagerly (the iterative
+    discipline); at 100 TB the vocabulary still fits a few million
+    rows and every round is two small shuffles."""
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    vocab = (
+        words.filter((F.length("word") >= 2) & (F.length("word") <= 20))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.expr("word").substr(i, F.lit(1)),
+                ),
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.col("toks"), r"\|")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        ).filter(F.size(syms) >= 2)
+        counts = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.sum("freq").alias("c"))
+        best = counts.orderBy(
+            F.desc("c"), F.asc("a"), F.asc("b")
+        ).limit(1)
+        row = best.select(
+            F.lit(r).alias("round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        folded = F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                (
+                    (acc == F.col("a"))
+                    | acc.endswith(F.concat(F.lit("|"), F.col("a")))
+                )
+                & (x == F.col("b")),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit("|"), x)),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select("word", "freq", folded.alias("toks"))
+            .localCheckpoint(eager=True)  # iterative pin per round
+        )
+    return out, vocab
+
+
+def _bpe_rounds_ctes(n_merges: int = 8) -> str:
+    """The unrolled BPE training rounds as CTE text — shared by the
+    merge-table and segmentation oracles."""
+    parts = [
+        """v0 AS MATERIALIZED (
+        SELECT word, freq,
+               array_to_string([word[i] FOR i IN RANGE(1, LENGTH(word) + 1)],
+                               '|') AS toks
+        FROM (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+                FROM documents
+            ) WHERE LENGTH(word) BETWEEN 2 AND 20
+            GROUP BY word
+        )
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+        SELECT p.a AS a, p.b AS b, SUM(freq) AS c FROM (
+            SELECT freq, UNNEST([STRUCT_PACK(a := s[i], b := s[i+1])
+                                 FOR i IN RANGE(1, LENGTH(s))]) AS p
+            FROM (SELECT string_split(toks, '|') AS s, freq FROM v{r - 1})
+            WHERE LENGTH(s) >= 2
+        ) GROUP BY p.a, p.b
+    ), best{r} AS MATERIALIZED (
+        SELECT a, b, c FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ), v{r} AS MATERIALIZED (
+        SELECT word, freq, list_reduce(
+            string_split(toks, '|'),
+            (acc, x) -> CASE WHEN (acc = m.a OR suffix(acc, '|' || m.a))
+                              AND x = m.b
+                             THEN acc || x
+                             ELSE acc || '|' || x END
+        ) AS toks
+        FROM v{r - 1} CROSS JOIN best{r} m
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_rounds_ctes(n_merges)}\n        {union}"
+
+
+def _bpe_segment_oracle(n_merges: int = 8) -> str:
+    return f"""WITH {_bpe_rounds_ctes(n_merges)}
+        SELECT word, CAST(freq AS BIGINT) AS freq, toks,
+               CAST(LENGTH(string_split(toks, '|')) AS BIGINT) AS n_pieces
+        FROM v{n_merges}"""
+
+
 TEXT_BPE_PAIR_ORACLE = """
     WITH words AS (
         SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
@@ -1076,6 +1258,8 @@ TEXT_BPE_PAIR_ORACLE = """
 
 QUERIES = {
     "text_bpe_pair_stats": text_bpe_pair_stats,
+    "text_bpe_train": text_bpe_train,
+    "text_bpe_segment": text_bpe_segment,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_spell_variants": text_spell_variants,
     "text_bm25_search": text_bm25_search,
@@ -1125,6 +1309,8 @@ def _lang_id_oracle() -> str:
 
 ORACLES = {
     "text_bpe_pair_stats": TEXT_BPE_PAIR_ORACLE,
+    "text_bpe_train": _bpe_train_oracle(),
+    "text_bpe_segment": _bpe_segment_oracle(),
     "text_boilerplate_strip": """
         WITH words AS (
             SELECT doc_id, w.word, CAST(w.ord - 1 AS BIGINT) AS pos

@@ -1015,6 +1015,56 @@ def test_upsert_index_equals_rebuild(spark, sf_oracle):
     assert upsert == full and upsert
 
 
+def test_pack_sequences_stream_invariants(spark, sf_oracle):
+    """Concat-and-chunk packing (functions/pipeline.py::
+    pipeline_pack_sequences) must lay the corpus out as ONE contiguous
+    token stream: offsets in doc_id order are the exclusive prefix sum
+    of token counts (no gap, no overlap), seq ids follow from integer
+    division, and a document's n_seqs counts exactly the boundaries it
+    crosses."""
+    from cdc_cloudrun_demo_spark.functions.pipeline import (
+        pipeline_pack_sequences,
+    )
+
+    max_len = 512
+    rows = sorted(
+        pipeline_pack_sequences(spark, sf_oracle, max_len=max_len).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows
+    expect_off = 0
+    crossing = 0
+    for r in rows:
+        assert r["offset"] == expect_off, (r["doc_id"], r["offset"], expect_off)
+        expect_off += r["n_tokens"]
+        if r["n_tokens"] == 0:
+            assert r["first_seq"] is None and r["n_seqs"] == 0
+            continue
+        assert r["first_seq"] == r["offset"] // max_len
+        assert r["last_seq"] == (r["offset"] + r["n_tokens"] - 1) // max_len
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        if r["n_seqs"] > 1:
+            crossing += 1
+    # the synthetic corpus is big enough that some docs cross boundaries
+    assert crossing > 0
+
+    # the packing guarantee: every sequence but the last fills to
+    # exactly max_len tokens, and the fills sum to the corpus total
+    from cdc_cloudrun_demo_spark.functions.pipeline import (
+        pipeline_pack_stats,
+    )
+
+    stats = sorted(
+        pipeline_pack_stats(spark, sf_oracle, max_len=max_len).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    total = sum(r["n_tokens"] for r in rows)
+    assert [r["seq_id"] for r in stats] == list(range(len(stats)))
+    assert all(r["fill_tokens"] == max_len for r in stats[:-1])
+    assert sum(r["fill_tokens"] for r in stats) == total
+    assert all(1 <= r["n_crossing"] <= r["n_docs"] for r in stats if r["n_crossing"])
+
+
 def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
     """The streaming-maintained ANN index (streaming/ann_ingest.py) must
     equal the one-shot rebuild after the last micro-batch — the live
@@ -1132,3 +1182,34 @@ def test_hnsw_recall_on_clustered_corpus(spark, tmp_path):
     # before round 9's layer fix); floor pinned at 0.7 per the round-8
     # verdict.
     assert recall >= 0.7, recall
+
+
+def test_bpe_train_known_corpus(spark, tmp_path):
+    """The multi-round BPE trainer on a hand-computable corpus
+    (functions/text.py::text_bpe_train): 'aaab' x3 + 'ab' x5 must learn
+    (a,b)=8 first (beats (a,a)=6), then (a,a)=3 by lexical tie-break
+    over (a,'ab'), then (aa,ab)=3 — and once no adjacent pairs remain,
+    later rounds emit nothing on BOTH engines (the merge table simply
+    ends). Also pins exact left-to-right fold semantics: 'aaa' under
+    merge (a,a) folds to [aa, a], never [a, aa]."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.text import text_bpe_train
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    rows = [
+        (i, " ".join(["aaab"] * 3 + ["ab"] * 5), "en", "web", 0)
+        for i in range(1)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(corpus, "documents.parquet"))
+
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in text_bpe_train(spark, corpus, n_merges=5)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == [(1, "a", "b", 8), (2, "a", "a", 3), (3, "aa", "ab", 3)]

@@ -25,6 +25,14 @@ BNLJ_BOUNDED = {
     "qx_sales_opportunity": "1-row scalar AVG subquery (TPC-H Q22 shape)",
     "sample_mixture": "n_sources-row quota aggregate",
     "cdc_keygen": "1-row bounds aggregate + P-row offset table",
+    "pipeline_pack_sequences": "1-row bounds aggregate + P-row bucket-total "
+    "offset table (the cdc_keygen two-phase prefix-sum shape)",
+    "pipeline_pack_stats": "inherits pipeline_pack_sequences' 1-row bounds "
+    "+ P-row offset broadcasts",
+    "text_bpe_train": "1-row argmax merge pair broadcast per round "
+    "(n_merges rounds, each crossed onto the bounded vocabulary)",
+    "text_bpe_segment": "inherits text_bpe_train's per-round 1-row merge "
+    "broadcasts (same unrolled trainer state)",
     "sim_cosine_topk": "bounded query set (fixed id filter)",
     "sim_mips_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",

@@ -21,7 +21,7 @@ groups = [
  ("ML on sufficient statistics", ml),
  ("Event-time windows (batch twins)", streaming_batch),
  ("Dedup", dedup), ("Similarity search", similarity), ("Text analysis", text),
- ("Export pipeline (PII/sharding/novelty)", pipeline),
+ ("Export pipeline (PII/sharding/novelty/packing)", pipeline),
  ("Data layout (Z-order + Hilbert clustering)", layout),
  ("Graph analytics (PageRank, triangles, degree stats)", graph),
  ("Data quality (constraint suite)", quality),
