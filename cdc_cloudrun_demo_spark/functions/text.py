@@ -449,11 +449,17 @@ def pipeline_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cross-multiplied rationals — e.g. dup_frac ≤ 0.2 becomes
     5·(n−distinct) ≤ n on longs), so no document near a float boundary
     can flip between engines or partitionings. Narrow end to end."""
+    return quality_scored(load_table(spark, sf_dir, "documents"))
+
+
+def quality_scored(docs: DataFrame) -> DataFrame:
+    """The quality scoring+gate core of `pipeline_quality_kept` over an
+    arbitrary documents frame — per-row and narrow, so a streaming gate
+    (`stream_quality_gate_live`) applies the IDENTICAL integer
+    predicates to each micro-batch."""
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
     w = F.col("__words")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", words.alias("__words")
-    )
+    d = docs.select("doc_id", "lang", "source", words.alias("__words"))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 3),
         lambda i: F.concat_ws(

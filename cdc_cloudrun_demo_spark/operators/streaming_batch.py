@@ -619,7 +619,100 @@ STREAM_STATE_STORE_ORACLE = """
 """
 
 
+def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality FILTER running LIVE as an ingest gate — the
+    production shape where documents arrive continuously and each
+    micro-batch is routed at ingest time: a foreachBatch sink applies
+    `pipeline_quality_kept`'s integer predicates (via the shared
+    `quality_scored` core) to every arriving batch and appends kept
+    rows to the CLEAN sink and rejects to the QUARANTINE sink (bad data
+    is never dropped — it is parked with its scores for audit, the
+    Deequ/DLT expectation pattern). Both sinks read back with their
+    route label and must together hash-match the batch pass's closed
+    form — proving the gate is exhaustive (every doc routed exactly
+    once) and the routing agrees with the batch decision on every
+    document. Per batch the scoring is narrow per-row arithmetic and
+    the two appends are the only I/O; no state, no shuffle — the gate
+    scales with ingest rate, not corpus size."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..functions.text import quality_scored
+    from ..sources import file_stream
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = scratch_dir("qgate_")
+    log = os.path.join(root, "log")
+    d.repartition(4).write.parquet(log)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
+    stream = file_stream(spark, log, schema, max_files_per_trigger=1)
+    clean, quar = os.path.join(root, "clean"), os.path.join(root, "quarantine")
+
+    def route(batch_df, batch_id: int) -> None:
+        scored = quality_scored(batch_df).persist()
+        try:
+            scored.filter(F.col("kept")).drop("kept").write.mode("append").parquet(
+                clean
+            )
+            scored.filter(~F.col("kept")).drop("kept").write.mode(
+                "append"
+            ).parquet(quar)
+        finally:
+            scored.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "streaming quality gate did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    kept = spark.read.parquet(clean).withColumn("route", F.lit("clean"))
+    rej = spark.read.parquet(quar).withColumn("route", F.lit("quarantine"))
+    return kept.unionByName(rej)
+
+
+STREAM_QUALITY_GATE_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, lang, source,
+               regexp_extract_all(LOWER(text), '[a-z]+') AS toks
+        FROM documents
+    ), gram_stats AS (
+        SELECT doc_id,
+               COUNT(*) AS n_3grams,
+               COUNT(*) - COUNT(DISTINCT
+                   toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2])
+                 AS n_dup_3grams
+        FROM (
+            SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 2)) AS p
+            FROM docs WHERE len(toks) >= 3
+        ) GROUP BY doc_id
+    ), scored AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(len(d.toks) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(d.toks,
+                    t -> LENGTH(t))), 0) AS BIGINT) AS alpha_chars,
+               CAST(COALESCE(g.n_3grams, 0) AS BIGINT) AS n_3grams,
+               CAST(COALESCE(g.n_dup_3grams, 0) AS BIGINT) AS n_dup_3grams
+        FROM docs d LEFT JOIN gram_stats g ON d.doc_id = g.doc_id
+    )
+    SELECT doc_id, lang, source, n_words, alpha_chars, n_3grams,
+           n_dup_3grams,
+           CASE WHEN n_words >= 10 AND 2 * n_words <= alpha_chars
+                 AND alpha_chars <= 12 * n_words
+                 AND 5 * n_dup_3grams <= n_3grams
+                THEN 'clean' ELSE 'quarantine' END AS route
+    FROM scored
+"""
+
+
 QUERIES = {
+    "stream_quality_gate_live": stream_quality_gate_live,
     "stream_state_store_read": stream_state_store_read,
     "stream_join_outer_live": stream_join_outer_live,
     "stream_join_live": stream_join_live,
@@ -637,6 +730,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_quality_gate_live": STREAM_QUALITY_GATE_ORACLE,
     "stream_state_store_read": STREAM_STATE_STORE_ORACLE,
     # the stream-maintained moments must converge to the batch moments
     # exactly (order-insensitive integer sums), so the live gate equals

@@ -74,6 +74,8 @@ COMMENTARY = {
  "sim_ann_graph_topk": "NSW-style beam search over the memoized on-disk indexes (edge list + LSH posting list, both built once per corpus at ingest). Round-8 rework: `visited` is EAGERLY pinned once per hop (localCheckpoint(eager=True) - the Spark twin of the oracle's MATERIALIZED CTEs), so the final rescore is one depth-1 join over the pinned state instead of re-executing every hop's subtree; `beam` stays lazy because it is consumed exactly once inside the next hop's pin job. The returned plan is therefore a shallow join+window over checkpointed RDD scans - the iterative work already ran, hop-bounded, during construction (FULL_TIMED in bench.py). Walk state is O(|Q| x visited) rows at ANY corpus size; per-query cost collapses at batch |Q| (bench.py batch_ann: ~13 ms/query at |Q|=500 vs ~440 ms/query at |Q|=5 - pure per-stage scheduling amortization, measured not argued).",
  "sim_knn_graph_incremental": "Incremental ANN-index ingest: candidates for the arriving batch (odd vec_ids) come from the memoized posting index probed by the batch's own postings - the src filter pushes through the candidate union into both blocking joins' probe sides, so the heavy self-joins run batch x (corpus + batch), never N x N - then one per-src top-k window. Edges equal the full rebuild's rows for batch sources (property-pinned), so the standing index is APPENDED to, never recomputed; per-ingest cost scales with |batch| x candidates-per-vector regardless of corpus size.",
  "dedup_substring_spans": "Exact-substring dedup (Lee et al. 2022 reformulated map-reduce): the token array materializes once per doc, a narrow transform emits (pos, md5-of-w-token-window) structs, ONE hash shuffle on the gram counts occurrences (map-side partials), duplicated grams join back to their positions, and a per-doc gaps-and-islands window merges [pos, pos+w) intervals. No pair join anywhere - a gram repeated k times costs k posting rows, never k^2, so hot boilerplate cannot go quadratic. The gram table is ~1 row per corpus token position: the same budget as an inverted-index build, embarrassingly scalable.",
+ "sim_knn_graph_delete": "The delete half of ANN-index maintenance: the standing memoized edge list filters out tombstoned sources narrowly; the AFFECTED survivor set (lists referencing a dead dst) is a small distinct + eager pin, semi-joined into the survivor-filtered posting/cell indexes so the repair's blocking joins run |affected| x bucket-mates, never corpus^2; unaffected lists pass through a left-anti join untouched (provably already correct: top-k(C and survivors) = top-k(C) when the whole top-k survives). At 100 TB a delete batch touches the few thousand lists that referenced it - the index is repaired, never rebuilt.",
+ "dedup_substring_excised": "Span excision emits the Lee et al. training product: the per-doc span set collects into ONE bounded sorted array (spans are disjoint, <= n_tokens/w per doc), left-joins back to the token arrays, and the kept positions + kept text are a single JVM higher-order filter/transform chain - no UDF, no explode of token positions, no shuffle beyond the spans op's own posting pass. Cost above the spans op is one |docs-with-spans| join + narrow array work.",
  "dq_drift_psi": "PSI drift gate: one scan of events; the reference segment's (min, max) is a 1-row bounds aggregate broadcast back (vetted BNLJ - the zone-map pattern), bin assignment is a narrow clamped projection, and ONE groupBy(bin) yields both segments' counts via conditional sums; the 10-row spine + totals are 1-row-aggregate crossJoins. Output is n_bins rows at any table size. The single transcendental (ln of the smoothed ratio) uses the micro-nat round-then-floor discipline, so the gate is hash-oracled despite libm.",
 }
 
@@ -82,7 +84,41 @@ print("Generated with `df.explain(\"formatted\")` at sf0.01 (plans are scale-ind
 print("AQE may re-plan exchanges at runtime). What each plan must show — and why it")
 print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
-print("""## Bench-drift accounting (round 8)
+print("""## Bench-drift accounting (round 9)
+
+Suite wall 31.13 s (r8, 30 queries) -> **33.72 s (r9, 32 queries;
+round-9 BUILD-TIME run, committed as docs/bench_r9_buildtime.json —
+the driver's BENCH_r09.json is the artifact of record and supersedes
+these numbers at next regeneration)**: the suite grew by two queries
+(`sim_knn_graph_delete` 3.30 s of honest repair work over the standing
+index, `dedup_substring_excised` 0.10 s) and every carried query is
+flat or faster. The pinned like-for-like series: `r8_30q` **30.32 s vs
+31.13 s (-2.6%)**, `r7_26q` 23.37 s (vs 23.97), `r6_23q` 14.83 s,
+`r5_20q` 7.22 s — no regression anywhere (suite spread is ±10%).
+
+- `sim_ann_hnsw_topk` **3.00 -> 2.63 s** (construction 2.46 + action
+  0.17) — round 9 REPLACED the coarse layer (hybrid md5-hashed modulus
+  ∪ per-cell medoids; the raw vec_id modulus correlated with data
+  regularities and left whole regions unroutable — recall 0.52 -> 0.82
+  on the clustered corpus, floor raised to 0.7) and the new layer's
+  k-NN build is cheaper than the old one: better recall AND ~12%
+  faster, with the oracle reparameterized in lockstep.
+- `sim_knn_graph_delete` 3.30 s: tombstone vec_id % 5 == 0, drop their
+  lists, re-rank only the affected survivors from the survivor-filtered
+  memoized postings — the cost is the repair joins, bounded by
+  |affected| x bucket mates. Its composed sibling `sim_knn_graph_crud`
+  (upsert then delete, equals the rebuild over survivors) and the live
+  streaming ingest `sim_knn_graph_live` are correctness constructs like
+  `sim_knn_graph_upsert` and stay out of the wall-clock headline.
+- `dedup_substring_excised` 0.10 s warm above the spans pass it reuses:
+  one bounded span-array join + a JVM higher-order filter. The packing
+  pair (`pipeline_pack_sequences`/`_stats`) and the BPE trainer
+  (`text_bpe_train`, 8 unrolled rounds) are sub-second at sf0.1 and
+  hash-oracled; none needed a headline slot.
+- `batch_ann` re-measured: **12.7 ms/query at |Q|=500 (33x
+  amortization)** — unchanged within noise after the layer rework.
+
+## Bench-drift accounting (round 8)
 
 Suite wall 41.07 s (r7, 26 queries) -> **31.13 s (r8, 30 queries;
 the driver's committed BENCH_r08.json — the artifact of record)**:
