@@ -651,14 +651,18 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean, quar = os.path.join(root, "clean"), os.path.join(root, "quarantine")
 
     def route(batch_df, batch_id: int) -> None:
+        # per-batch subdirs with overwrite: a crash-replayed batch
+        # rewrites exactly its own shard instead of double-appending —
+        # the idempotence discipline of streaming/ann_ingest.py
         scored = quality_scored(batch_df).persist()
         try:
-            scored.filter(F.col("kept")).drop("kept").write.mode("append").parquet(
-                clean
-            )
+            shard = f"batch={batch_id}"
+            scored.filter(F.col("kept")).drop("kept").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(clean, shard))
             scored.filter(~F.col("kept")).drop("kept").write.mode(
-                "append"
-            ).parquet(quar)
+                "overwrite"
+            ).parquet(os.path.join(quar, shard))
         finally:
             scored.unpersist()
 
@@ -672,8 +676,16 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert finished, "streaming quality gate did not finish in 300s"
     if q.exception() is not None:
         raise q.exception()
-    kept = spark.read.parquet(clean).withColumn("route", F.lit("clean"))
-    rej = spark.read.parquet(quar).withColumn("route", F.lit("quarantine"))
+    kept = (
+        spark.read.parquet(clean)
+        .drop("batch")
+        .withColumn("route", F.lit("clean"))
+    )
+    rej = (
+        spark.read.parquet(quar)
+        .drop("batch")
+        .withColumn("route", F.lit("quarantine"))
+    )
     return kept.unionByName(rej)
 
 

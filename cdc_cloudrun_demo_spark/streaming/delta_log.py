@@ -688,7 +688,12 @@ class DeltaLogStore:
             f"CAST(({cb} - b_mn) * {scale} AS BIGINT)"
             f" div greatest(CAST(b_mx - b_mn AS BIGINT), 1)"
         )
-        zkey = F.expr(_interleave_sql(f"({na})", f"({nb})", "fn")).cast("long")
+        # NULL clustering values land deterministically in z-range 0
+        # (a NULL zkey would otherwise become a corrupt hive partition)
+        zkey = F.coalesce(
+            F.expr(_interleave_sql(f"({na})", f"({nb})", "fn")).cast("long"),
+            F.lit(0),
+        )
         zmax = (1 << (2 * _BITS)) - 1
         zfile = F.expr(
             f"least({files_per_bucket - 1},"
