@@ -1084,6 +1084,83 @@ def text_bpe_segment(
     )
 
 
+def text_bpe_encode_trained(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Train → ship → APPLY: encode every document with the BPE
+    segmentation `text_bpe_train` just learned. The segmentation table
+    (word → '|'-joined pieces) joins onto the corpus's positional token
+    stream — the `text_vocab_encode` broadcast-lookup shape, so the
+    document text never shuffles for the lookup; out-of-vocabulary
+    tokens (outside the trainer's 2..20-length gate) pass through as
+    single pieces, byte-preserving. Per document this emits exact
+    accounting plus the md5 of the full ordered piece stream — hash
+    parity on that digest proves the ENCODED BYTES of every document
+    match DuckDB's replay of the same trained tokenizer, not just the
+    counts. Per-doc reassembly is one groupBy carrying (pos, pieces)
+    structs sorted in-array (bounded by document length). Output:
+    (doc_id, n_tokens, n_pieces, stream_md5)."""
+    _out, vocab = _bpe_train_state(spark, sf_dir, n_merges)
+    seg = vocab.select(
+        "word",
+        F.col("toks").alias("__pieces"),
+        F.size(F.split(F.col("toks"), r"\|")).cast("long").alias("__np"),
+    )
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    tok = d.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    )
+    j = tok.join(seg, "word", "left_outer").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("__pieces"), F.col("word")).alias("piece"),
+        F.coalesce(F.col("__np"), F.lit(1)).cast("long").alias("np"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("np").alias("n_pieces"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "piece"))
+                    ),
+                    lambda s: s.piece,
+                ),
+            )
+        ).alias("stream_md5"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    return f"""WITH {_bpe_rounds_ctes(n_merges)},
+    seg AS MATERIALIZED (
+        SELECT word, toks AS pieces,
+               CAST(LENGTH(string_split(toks, '|')) AS BIGINT) AS np
+        FROM v{n_merges}
+    ), tok AS (
+        SELECT doc_id, t.pos AS pos, t.w AS word FROM (
+            SELECT doc_id,
+                   UNNEST([STRUCT_PACK(pos := i - 1, w := ws[i])
+                           FOR i IN RANGE(1, LENGTH(ws) + 1)]) AS t
+            FROM (SELECT doc_id,
+                         regexp_extract_all(LOWER(text), '[a-z]+') AS ws
+                  FROM documents)
+        )
+    ), enc AS (
+        SELECT tok.doc_id, tok.pos,
+               COALESCE(s.pieces, tok.word) AS piece,
+               COALESCE(s.np, 1) AS np
+        FROM tok LEFT JOIN seg s ON s.word = tok.word
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           md5(string_agg(piece, '|' ORDER BY pos)) AS stream_md5
+    FROM enc GROUP BY doc_id"""
+
+
 def _bpe_train_state(
     spark: SparkSession, sf_dir: str, n_merges: int = 8
 ):
@@ -1171,7 +1248,12 @@ def _bpe_train_state(
             ).otherwise(F.concat(acc, F.lit("|"), x)),
         )
         vocab = (
-            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            # LEFT join on TRUE, not crossJoin: when the corpus runs out
+            # of adjacent pairs `best` is EMPTY, the merge columns come
+            # back NULL, every fold condition evaluates NULL, and the
+            # otherwise-branch reconstructs each word unchanged — the
+            # trainer idles instead of wiping the vocabulary
+            vocab.join(F.broadcast(best.select("a", "b")), F.lit(True), "left")
             .select("word", "freq", folded.alias("toks"))
             .localCheckpoint(eager=True)  # iterative pin per round
         )
@@ -1214,7 +1296,7 @@ def _bpe_rounds_ctes(n_merges: int = 8) -> str:
                              THEN acc || x
                              ELSE acc || '|' || x END
         ) AS toks
-        FROM v{r - 1} CROSS JOIN best{r} m
+        FROM v{r - 1} LEFT JOIN best{r} m ON TRUE
     )"""
         )
     return ",\n    ".join(parts)
@@ -1266,6 +1348,7 @@ QUERIES = {
     "text_bpe_pair_stats": text_bpe_pair_stats,
     "text_bpe_train": text_bpe_train,
     "text_bpe_segment": text_bpe_segment,
+    "text_bpe_encode_trained": text_bpe_encode_trained,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_spell_variants": text_spell_variants,
     "text_bm25_search": text_bm25_search,
@@ -1317,6 +1400,7 @@ ORACLES = {
     "text_bpe_pair_stats": TEXT_BPE_PAIR_ORACLE,
     "text_bpe_train": _bpe_train_oracle(),
     "text_bpe_segment": _bpe_segment_oracle(),
+    "text_bpe_encode_trained": _bpe_encode_oracle(),
     "text_boilerplate_strip": """
         WITH words AS (
             SELECT doc_id, w.word, CAST(w.ord - 1 AS BIGINT) AS pos

@@ -1213,3 +1213,35 @@ def test_bpe_train_known_corpus(spark, tmp_path):
         .collect()
     ]
     assert got == [(1, "a", "b", 8), (2, "a", "a", 3), (3, "aa", "ab", 3)]
+
+    # segmentation survives exhausted rounds (4 and 5 learn nothing and
+    # must IDLE, not wipe the vocab): round 3's (aa,ab) merge fuses
+    # 'aaab' into a single piece, 'ab' fused in round 1
+    from cdc_cloudrun_demo_spark.functions.text import (
+        text_bpe_encode_trained,
+        text_bpe_segment,
+    )
+
+    seg = {
+        r["word"]: (r["toks"], r["n_pieces"])
+        for r in text_bpe_segment(spark, corpus, n_merges=5).collect()
+    }
+    assert seg == {"aaab": ("aaab", 1), "ab": ("ab", 1)}
+
+    corpus2 = str(tmp_path / "corpus2")
+    os.makedirs(corpus2)
+    spark.createDataFrame(
+        [(0, "aaab ab x", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(corpus2, "documents.parquet"))
+    enc = text_bpe_encode_trained(spark, corpus2, n_merges=5).collect()
+    assert len(enc) == 1
+    r = enc[0]
+    # trained on corpus2 alone: vocab {aaab:1, ab:1}, x is length-1 OOV.
+    # round 1 ties (a,a)=2 vs (a,b)=2 -> lex picks (a,a): aaab->aa|a|b;
+    # round 2 (a,b)=2: aa|ab and ab; round 3 (aa,ab)=1 fuses aaab whole.
+    # Encoded stream: aaab | ab | x (x passes through as one piece).
+    assert r["n_tokens"] == 3 and r["n_pieces"] == 1 + 1 + 1
+    import hashlib
+
+    assert r["stream_md5"] == hashlib.md5(b"aaab|ab|x").hexdigest()

@@ -33,6 +33,8 @@ BNLJ_BOUNDED = {
     "(n_merges rounds, each crossed onto the bounded vocabulary)",
     "text_bpe_segment": "inherits text_bpe_train's per-round 1-row merge "
     "broadcasts (same unrolled trainer state)",
+    "text_bpe_encode_trained": "inherits text_bpe_train's per-round 1-row "
+    "merge broadcasts; the segmentation lookup itself is an equi hash join",
     "sim_cosine_topk": "bounded query set (fixed id filter)",
     "sim_mips_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",
