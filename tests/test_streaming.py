@@ -1651,3 +1651,40 @@ def test_delta_optimize_zorder(spark, tmp_path):
     assert (
         store.change_feed(spark, from_version=m1["version"]).count() == 0
     )
+
+
+def test_disk_memoized_eviction_grace(spark):
+    """LRU eviction of the on-disk memo must give evicted subdirs ONE
+    eviction generation of grace before deleting them (a concurrent
+    reader's lazy DataFrame holds only the path — round-8 advice), and
+    every still-cached key must stay readable throughout."""
+    import os
+    from collections import OrderedDict
+
+    from cdc_cloudrun_demo_spark.functions import similarity as S
+
+    cache: OrderedDict = OrderedDict()
+    paths: dict[int, str] = {}
+    old_max = S._CENTROID_CACHE_MAX
+    S._CENTROID_CACHE_MAX = 2
+    try:
+        def put(i: int):
+            df = S._disk_memoized(
+                spark, cache, ("evict", i), "fp", "test_evict_",
+                lambda: spark.range(i, i + 10).withColumnRenamed("id", "v"),
+            )
+            paths[i] = cache[("evict", i)]
+            return df
+
+        put(0); put(1)
+        assert all(os.path.isdir(p) for p in paths.values())
+        put(2)  # evicts key 0 -> pending (grace), NOT deleted yet
+        assert os.path.isdir(paths[0]), "evictee deleted without grace"
+        put(3)  # evicts key 1; key 0's dir (previous generation) goes
+        assert not os.path.isdir(os.path.dirname(paths[0]))
+        assert os.path.isdir(paths[1]), "grace must cover the newest evictee"
+        # cached keys stay readable end to end
+        assert sorted(r["v"] for r in put(3).collect()) == list(range(3, 13))
+        assert sorted(r["v"] for r in put(2).collect()) == list(range(2, 12))
+    finally:
+        S._CENTROID_CACHE_MAX = old_max
