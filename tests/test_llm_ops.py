@@ -1245,3 +1245,96 @@ def test_bpe_train_known_corpus(spark, tmp_path):
     import hashlib
 
     assert r["stream_md5"] == hashlib.md5(b"aaab|ab|x").hexdigest()
+
+
+def test_live_ann_ingest_crash_before_pointer_swap(spark, sf_oracle, tmp_path, monkeypatch):
+    """Durability of the ANN ingest sink's commit protocol
+    (streaming/ann_ingest.py): a crash AFTER the batch's shards are
+    written but BEFORE the pointer swap must leave the previous index
+    snapshot fully readable, and the restarted stream must replay the
+    batch (the pointer never advanced), overwrite its own shards
+    idempotently, and converge to the exact same maintained state an
+    uninterrupted run produces."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        load_for_compute,
+    )
+    from cdc_cloudrun_demo_spark.streaming import ann_ingest as A
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    log_dir = tmp_path / "log"
+    for b in range(2):
+        emb.filter(F.col("vec_id") % 2 == b).filter(F.col("vec_id") < 100).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.parquet(str(log_dir / f"slice_{b:03d}"))
+    import os
+
+    base = max(
+        os.path.getmtime(str(log_dir / d / f))
+        for d in os.listdir(str(log_dir))
+        for f in os.listdir(str(log_dir / d))
+    )
+    for i, d in enumerate(sorted(os.listdir(str(log_dir)))):
+        for f in os.listdir(str(log_dir / d)):
+            os.utime(str(log_dir / d / f), (base + i + 1, base + i + 1))
+
+    state = str(tmp_path / "state")
+
+    def run(ckpt: str):
+        return A.ann_index_sink(
+            spark.readStream.schema(A.VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*")),
+            state,
+            ckpt,
+            cents,
+        )
+
+    # crash injection: the SECOND batch's pointer swap dies mid-commit
+    real_swap = A._swap_pointer
+    calls = {"n": 0}
+
+    def dying_swap(state_dir, meta):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before pointer publish")
+        real_swap(state_dir, meta)
+
+    monkeypatch.setattr(A, "_swap_pointer", dying_swap)
+    q = run(str(tmp_path / "ckpt"))
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(120)
+    assert q.exception() is not None  # the stream died as injected
+    ptr = A._read_pointer(state)
+    assert ptr is not None and ptr["batch_id"] == 0  # batch 1 never published
+    after_crash = {tuple(r) for r in A.read_ann_index(spark, state).collect()}
+    assert after_crash  # the previous snapshot is intact and readable
+
+    # restart with the real swap: batch 1 replays (pointer at 0),
+    # overwrites its own shards, publishes, and the state converges
+    monkeypatch.setattr(A, "_swap_pointer", real_swap)
+    q2 = run(str(tmp_path / "ckpt"))
+    assert q2.awaitTermination(120) and q2.exception() is None
+    assert A._read_pointer(state)["batch_id"] == 1
+
+    # uninterrupted control run over the same slices
+    state2 = str(tmp_path / "state2")
+
+    def run2():
+        return A.ann_index_sink(
+            spark.readStream.schema(A.VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*")),
+            state2,
+            str(tmp_path / "ckpt2"),
+            cents,
+        )
+
+    assert run2().awaitTermination(120)
+    recovered = {tuple(r) for r in A.read_ann_index(spark, state).collect()}
+    control = {tuple(r) for r in A.read_ann_index(spark, state2).collect()}
+    assert recovered == control and recovered
