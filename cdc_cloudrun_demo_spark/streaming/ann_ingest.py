@@ -70,6 +70,7 @@ def ann_index_sink(
     checkpoint_dir: str,
     cent_rows: list[tuple[int, list[int]]],
     k_edges: int = 8,
+    retain_edge_versions: int = 2,
 ):
     """foreachBatch sink maintaining the on-disk ANN graph (module
     docstring). State layout under ``state_dir``:
@@ -79,7 +80,14 @@ def ann_index_sink(
     - ``cell/batch=<id>/``  IVF top-2-cell postings (vec_id, cell)
     - ``edges/v<id>/``      the maintained edge list (src, dst, d2_units)
     - ``_latest``           atomic pointer {batch_id, edges}
-    """
+
+    ``retain_edge_versions``: superseded edge snapshots are vacuumed
+    AFTER each pointer swap, keeping the newest N (the pointed-at one
+    plus grace for readers still holding an older pointer) — without
+    this the per-batch versioned dirs grow without bound, the exact
+    state-growth failure the tombstone-TTL work closed for the CDC
+    sinks. The shard dirs (vecs/post/cell) are the standing index
+    itself, not per-version state, and are never vacuumed."""
     from ..functions.similarity import (
         _int_dist2,
         ivf_ranked_cells,
@@ -174,6 +182,22 @@ def ann_index_sink(
                 .parquet(os.path.join(state_dir, edges_rel))
             )
             _swap_pointer(state_dir, {"batch_id": batch_id, "edges": edges_rel})
+            # vacuum superseded edge snapshots behind the retention
+            # window (strictly after the publish: a crash here leaves
+            # only extra old versions, never a missing current one)
+            import re
+            import shutil
+
+            edir = os.path.join(state_dir, "edges")
+            versions = sorted(
+                int(m.group(1))
+                for m in (
+                    re.fullmatch(r"v(\d+)", d) for d in os.listdir(edir)
+                )
+                if m
+            )
+            for v in versions[: -max(1, retain_edge_versions)]:
+                shutil.rmtree(os.path.join(edir, f"v{v}"), ignore_errors=True)
         finally:
             batch_df.unpersist()
 

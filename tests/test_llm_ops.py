@@ -1082,6 +1082,19 @@ def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
     live = sim_knn_graph_live(spark, sf_oracle)
     full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
     assert {tuple(r) for r in live.collect()} == full and full
+    # retention: superseded edge snapshots are vacuumed behind the
+    # window (default 2) — the 4-batch run must NOT leave 4 versioned
+    # dirs, and the pointed-at newest (v3) must survive
+    import glob as _glob
+    import tempfile
+
+    edirs = _glob.glob(
+        os.path.join(tempfile.gettempdir(), "ann_live_*", "state", "edges")
+    )
+    assert edirs, "live-ingest scratch state not found"
+    for edir in edirs:
+        vs = sorted(os.listdir(edir))
+        assert len(vs) <= 2 and "v3" in vs, vs
 
     # replay-skip: pointer batch_id monotone, a stale batch never wins
     from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
