@@ -62,12 +62,16 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both Spark `div` and DuckDB `//` return NULL on /0 — the guard
     # makes the normalized value 0 (a degenerate-but-defined key) instead
     # of NULLing every zkey; the oracle applies the same guard.
+    # widen BEFORE the multiply: (col - mn) on a 32-bit column times the
+    # scale overflows INT silently under non-ANSI arithmetic for spans
+    # above ~32k, scrambling z-keys with no error (round-9 advice);
+    # DuckDB auto-promotes, so the oracle needs no twin change
     a = (
-        f"CAST((l_orderkey - o_mn) * {scale} AS BIGINT)"
+        f"CAST(l_orderkey - o_mn AS BIGINT) * {scale}"
         f" div greatest(CAST(o_mx - o_mn AS BIGINT), 1)"
     )
     b = (
-        f"CAST((l_partkey - p_mn) * {scale} AS BIGINT)"
+        f"CAST(l_partkey - p_mn AS BIGINT) * {scale}"
         f" div greatest(CAST(p_mx - p_mn AS BIGINT), 1)"
     )
     return with_bounds.select(
@@ -150,12 +154,12 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bounds = li.crossJoin(F.broadcast(bounds)).select(
         "l_orderkey",
         "l_partkey",
-        F.expr(
-            f"CAST((l_orderkey - o_mn) * {scale} AS BIGINT)"
+        F.expr(  # widen before multiply — overflow guard, round-9 advice
+            f"CAST(l_orderkey - o_mn AS BIGINT) * {scale}"
             f" div greatest(CAST(o_mx - o_mn AS BIGINT), 1)"
         ).alias("hx"),
         F.expr(
-            f"CAST((l_partkey - p_mn) * {scale} AS BIGINT)"
+            f"CAST(l_partkey - p_mn AS BIGINT) * {scale}"
             f" div greatest(CAST(p_mx - p_mn AS BIGINT), 1)"
         ).alias("hy"),
     )
@@ -283,7 +287,7 @@ def layout_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for layout, key in (("natural", "l_orderkey"), ("zorder", "zkey")):
         bounds = zdf.agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
         file_id = F.expr(
-            f"least({_NFILES - 1}, CAST(({key} - mn) * {_NFILES} AS BIGINT)"
+            f"least({_NFILES - 1}, CAST({key} - mn AS BIGINT) * {_NFILES}"
             f" div greatest(CAST(mx - mn AS BIGINT), 1))"
         )
         zones = (

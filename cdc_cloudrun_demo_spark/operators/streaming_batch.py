@@ -676,13 +676,24 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert finished, "streaming quality gate did not finish in 300s"
     if q.exception() is not None:
         raise q.exception()
+    # Explicit schema on the read-back: if every document in a run
+    # routes to one side, the other sink holds only batch=N subdirs
+    # with no part files (Spark writes nothing for all-empty
+    # partitions) and schema INFERENCE would fail with 'unable to
+    # infer schema' — input-dependent breakage (round-9 advice).
+    gate_schema = (
+        "doc_id long, lang string, source string, n_words long, "
+        "alpha_chars long, n_3grams long, n_dup_3grams long, batch int"
+    )
     kept = (
-        spark.read.parquet(clean)
+        spark.read.schema(gate_schema)
+        .parquet(clean)
         .drop("batch")
         .withColumn("route", F.lit("clean"))
     )
     rej = (
-        spark.read.parquet(quar)
+        spark.read.schema(gate_schema)
+        .parquet(quar)
         .drop("batch")
         .withColumn("route", F.lit("quarantine"))
     )

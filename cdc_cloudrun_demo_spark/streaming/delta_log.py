@@ -426,8 +426,25 @@ class DeltaLogStore:
         cost is O(touched-bucket rows), never the table; the version
         loop is bounded by the retained log."""
         versions = self.versions()
+        latest = versions[-1] if versions else 0
+        # Out-of-range versions ERROR instead of yielding an empty feed:
+        # a caller polling with a too-new from_version would otherwise
+        # get output indistinguishable from a quiescent table (real
+        # Delta CDF errors on versions beyond the latest commit —
+        # round-9 advice). from_version == latest is the legal
+        # caught-up poll and yields empty.
+        if from_version > latest:
+            raise ValueError(
+                f"change_feed from_version {from_version} is beyond the "
+                f"latest committed version {latest}"
+            )
         if to_version is None:
             to_version = versions[-1] if versions else from_version
+        elif to_version > latest:
+            raise ValueError(
+                f"change_feed to_version {to_version} is beyond the "
+                f"latest committed version {latest}"
+            )
         # A change at version v is derived by diffing v-1 → v, so the
         # whole requested range must sit inside the retained log: after
         # log GC, diffing against a missing v-1 would fabricate
@@ -680,12 +697,16 @@ class DeltaLogStore:
             F.max(cb).alias("b_mx"),
         )
         scale = (1 << _BITS) - 1
+        # widen BEFORE the multiply: zorder_by accepts arbitrary column
+        # pairs, and a 32-bit INT with a span above ~32k would overflow
+        # the non-ANSI multiply silently and scramble z-keys (round-9
+        # advice); the store's own (id, last_seq) are longs either way
         na = (
-            f"CAST(({ca} - a_mn) * {scale} AS BIGINT)"
+            f"CAST({ca} - a_mn AS BIGINT) * {scale}"
             f" div greatest(CAST(a_mx - a_mn AS BIGINT), 1)"
         )
         nb = (
-            f"CAST(({cb} - b_mn) * {scale} AS BIGINT)"
+            f"CAST({cb} - b_mn AS BIGINT) * {scale}"
             f" div greatest(CAST(b_mx - b_mn AS BIGINT), 1)"
         )
         # NULL clustering values land deterministically in z-range 0

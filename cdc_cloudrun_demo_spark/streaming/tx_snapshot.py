@@ -218,6 +218,34 @@ class TxSnapshotStore:
         return removed
 
 
+def _frontier_sidecar(state_dir: str) -> str:
+    return os.path.join(state_dir, "_seq_frontier.json")
+
+
+def _read_frontier(state_dir: str) -> int | None:
+    """The durably recorded max committed ``last_seq`` (None before the
+    first TTL-mode commit)."""
+    try:
+        with open(_frontier_sidecar(state_dir)) as fh:
+            return json.load(fh)["max"]
+    except FileNotFoundError:
+        return None
+
+
+def _write_frontier(state_dir: str, value: int) -> None:
+    """Persist the seq watermark atomically (tmp + rename). Ordering
+    contract with the sink: written AFTER the commit and BEFORE the
+    compaction it licenses — a crash between commit and sidecar leaves a
+    stale (lower) frontier whose compaction never ran (safe), and a
+    crash between sidecar and compaction leaves a guard that is merely
+    stricter than the disk state (still just the source's own lateness
+    contract)."""
+    tmp = _frontier_sidecar(state_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"max": value}, fh)
+    os.replace(tmp, _frontier_sidecar(state_dir))
+
+
 def open_store(state_dir: str, n_buckets: int = N_STATE_BUCKETS):
     """Store for an existing (or new) state dir, backend auto-detected:
     a ``_delta_log`` directory marks a Delta-protocol table
@@ -342,6 +370,34 @@ def tx_snapshot_sink(
             # (STATE_STORE_COMMIT_VALIDATION_FAILED on an early return).
             batch_df.count()
             return
+        if (
+            tombstone_ttl_seqs is not None
+            and frontier["max"] is None
+            and prev is not None
+        ):
+            # Rehydrate the seq watermark from DURABLE state on the
+            # first batch after a (re)start: the frontier is closure
+            # state and resets to None, but the tombstone compaction it
+            # guards against is on disk — without this, a late batch at
+            # or below the already-compacted horizon would slip past the
+            # contract check in exactly the crash-recovery window where
+            # late/replayed data is most likely (round-9 advice). The
+            # frontier sidecar is written after every commit; a
+            # max(last_seq) over the snapshot alone would NOT suffice —
+            # when the compacted tombstone itself held the max seq, the
+            # surviving rows under-state the horizon. The data max still
+            # serves as a floor for state dirs predating the sidecar.
+            data_max = store.read(spark).agg(
+                F.max("last_seq")
+            ).collect()[0][0]
+            frontier["max"] = max(
+                (
+                    v
+                    for v in (_read_frontier(state_dir), data_max)
+                    if v is not None
+                ),
+                default=None,
+            )
         batch_df = batch_df.withColumn("bucket", bucket_of).persist()
         try:
             touched = [
@@ -393,6 +449,9 @@ def tx_snapshot_sink(
                 ):
                     frontier["max"] = mx
                 if frontier["max"] is not None:
+                    # durable BEFORE the compaction it licenses — the
+                    # restart rehydration above depends on this ordering
+                    _write_frontier(state_dir, frontier["max"])
                     compact_tombstones(
                         store, spark, frontier["max"] - tombstone_ttl_seqs
                     )

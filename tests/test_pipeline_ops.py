@@ -400,3 +400,27 @@ def test_hilbert_sql_is_bijective_adjacent_and_matches_python(spark):
     assert len({d for d, _, _ in order}) == 256  # bijection
     for (d1, x1, y1), (d2, x2, y2) in zip(order, order[1:]):
         assert d2 == d1 + 1 and abs(x1 - x2) + abs(y1 - y2) == 1, (d1, d2)
+
+
+def test_zorder_key_survives_wide_int_spans(spark, tmp_path):
+    """The z-key normalization must widen to BIGINT BEFORE multiplying
+    by the 16-bit scale (round-9 advice): on a 32-bit INT column with a
+    span above ~32k, (col - mn) * 65535 overflows INT silently under
+    non-ANSI arithmetic and scrambles z-keys with no error. Corners pin
+    the exact values: (mn, mn) -> 0 and (mx, mx) -> 2^32 - 1."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.layout import layout_zorder_key
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, 0), (70000, 70000), (35000, 12345)],
+        "l_orderkey int, l_partkey int",  # 32-bit on purpose
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    rows = {
+        r["l_orderkey"]: r["zkey"]
+        for r in layout_zorder_key(spark, sf).collect()
+    }
+    assert all(v >= 0 for v in rows.values()), rows
+    assert rows[0] == 0
+    assert rows[70000] == (1 << 32) - 1

@@ -1688,3 +1688,107 @@ def test_disk_memoized_eviction_grace(spark):
         assert sorted(r["v"] for r in put(2).collect()) == list(range(2, 12))
     finally:
         S._CENTROID_CACHE_MAX = old_max
+
+
+def test_live_ttl_guard_survives_restart(spark, tmp_path):
+    """The tombstone-TTL contract guard must survive a sink RESTART
+    (round-9 advice): the frontier is closure state and resets to None
+    on every restart, but the compaction it protects against is durable
+    on disk — so the first batch after a restart must rehydrate the seq
+    watermark from the committed snapshot, and a late batch at or below
+    the already-compacted horizon must still fail loudly instead of
+    silently resurrecting a deleted key in exactly the crash-recovery
+    window where late data is most likely."""
+    from datetime import datetime
+
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import tx_snapshot_sink
+
+    log_dir = tmp_path / "log"
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime(2024, 1, 1)
+
+    def run_stream():
+        # a FRESH sink per call: new closure, frontier reset to None —
+        # the restart shape under test
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*"))
+        )
+        q = tx_snapshot_sink(
+            materialize_with_state(stream), state_dir, ckpt,
+            tombstone_ttl_seqs=0,
+        )
+        finished = q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+        assert finished
+
+    # run 1: delete at seq 10; ttl=0 compacts the tombstone immediately
+    spark.createDataFrame(
+        [(9, "INSERT", 1, "one", ts), (10, "DELETE", 1, None, ts)],
+        CHANGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_000"))
+    run_stream()
+
+    # run 2 (RESTARTED sink, frontier None): a late batch below the
+    # compacted horizon — without rehydration this would commit and
+    # resurrect key 1
+    spark.createDataFrame(
+        [(1, "UPDATE", 1, "resurrect-me", ts)], CHANGE_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(log_dir / "slice_001"))
+    with pytest.raises(Exception, match="TTL contract violated"):
+        run_stream()
+
+
+def test_change_feed_errors_beyond_latest(spark, tmp_path):
+    """change_feed must ERROR on versions beyond the latest commit (real
+    Delta CDF behavior) instead of yielding an empty feed a polling
+    caller cannot distinguish from a quiescent table (round-9 advice).
+    from_version == latest stays legal: the caught-up poll."""
+    from cdc_cloudrun_demo_spark.streaming.delta_log import DeltaLogStore
+    from cdc_cloudrun_demo_spark.streaming.tx_snapshot import bucket_expr
+
+    store = DeltaLogStore(str(tmp_path / "table"), n_buckets=2)
+    schema = (
+        "id long, content string, last_seq long,"
+        " updated_at timestamp, is_deleted boolean"
+    )
+    df = spark.createDataFrame([(1, "a", 1, None, False)], schema).withColumn(
+        "bucket", bucket_expr(2)
+    )
+    store.commit(df, [0, 1], batch_id=0)
+    assert store.versions() == [1]
+    assert store.change_feed(spark, from_version=1).count() == 0  # caught up
+    with pytest.raises(ValueError, match="beyond the latest"):
+        store.change_feed(spark, from_version=2)
+    with pytest.raises(ValueError, match="beyond the latest"):
+        store.change_feed(spark, from_version=0, to_version=5)
+
+
+def test_quality_gate_live_survives_one_sided_run(spark, tmp_path):
+    """A run where EVERY document routes to one side must not break the
+    read-back (round-9 advice): the untouched sink holds only batch=N
+    subdirs with no part files, and schema inference would fail with
+    'unable to infer schema' — the gate reads both sinks with an
+    explicit schema instead."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_quality_gate_live,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # all docs pass every quality predicate: 12 distinct 4-letter words
+    text = " ".join(f"word{chr(97 + i)}" for i in range(12))
+    spark.createDataFrame(
+        [(i, text, "en", "web", len(text)) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = stream_quality_gate_live(spark, sf)
+    routes = {r["route"] for r in out.select("route").distinct().collect()}
+    assert routes == {"clean"}
+    assert out.count() == 6
