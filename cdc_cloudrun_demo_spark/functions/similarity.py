@@ -2368,6 +2368,90 @@ def sim_knn_graph_crud(
     return _ann_delete_repair(spark, sf_dir, maintained, k_edges, survives)
 
 
+def sim_knn_graph_crud_live(
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int = 8,
+    n_batches: int = 4,
+    del_mod: int = 5,
+) -> DataFrame:
+    """The FULL CRUD lifecycle of the ANN index maintained by a REAL
+    Structured Streaming run — `sim_knn_graph_crud`'s composed algebra
+    as a live sink (streaming/ann_ingest.py, ``with_ops=True``): the
+    corpus arrives as ``n_batches`` insert micro-batches (op='I',
+    vec_id % ``n_batches`` slicing, delivery order pinned) followed by a
+    tombstone micro-batch (op='D' for vec_id % ``del_mod`` == 0 — the
+    CDC delete-by-PK shape, reference anchor
+    MessageController.java:42-45). Each insert batch merges its forward
+    + back edges into only the TOUCHED edge buckets; the delete batch
+    tombstones the dead ids, drops their lists, and re-ranks exactly the
+    survivors whose top-k referenced a dead node from the
+    survivor-filtered on-disk artifacts (`_ann_delete_repair`'s
+    losslessness argument, executed inside the sink). The final
+    pointed-at snapshot EQUALS the one-shot rebuild over the surviving
+    corpus with frozen index artifacts — this entry hash-matches
+    `sim_knn_graph_crud`'s oracle verbatim — proving a vector store can
+    ingest AND delete continuously and never rebuild. Per-batch cost is
+    O(|batch| + |affected|) candidate work and touched-bucket I/O,
+    never O(N)."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..streaming.ann_ingest import (
+        CRUD_SCHEMA,
+        ann_index_sink,
+        read_ann_index,
+    )
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    tmp = scratch_dir("ann_crud_live_")
+    log_dir = os.path.join(tmp, "log")
+    slices = []
+    for b in range(n_batches):
+        d = os.path.join(log_dir, f"slice_{b:03d}")
+        emb.filter(F.col("vec_id") % n_batches == b).select(
+            "vec_id", "embedding", F.lit("I").alias("op")
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        slices.append(d)
+    d = os.path.join(log_dir, f"slice_{n_batches:03d}")
+    emb.filter(F.col("vec_id") % del_mod == 0).select(
+        "vec_id", "embedding", F.lit("D").alias("op")
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    slices.append(d)
+    # pin delivery order (FileStreamSource orders by mtime — the
+    # in-order-contract discipline of operators/cdc.py)
+    base = max(
+        os.path.getmtime(os.path.join(d, f))
+        for d in slices
+        for f in os.listdir(d)
+    )
+    for i, d in enumerate(slices):
+        for f in os.listdir(d):
+            t = base + i + 1
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(CRUD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(log_dir, "slice_*"))
+    )
+    q = ann_index_sink(
+        stream,
+        os.path.join(tmp, "state"),
+        os.path.join(tmp, "ckpt"),
+        cents,
+        k_edges=k_edges,
+        with_ops=True,
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("ANN CRUD stream did not finish within 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    return read_ann_index(spark, os.path.join(tmp, "state"))
+
+
 def _sql_knn_edges(k_edges: int = 8, src_where: str = "") -> str:
     """CTE text for the k-NN graph — the oracle twin of
     `knn_graph_edges`. Requires ``postings`` (the portable LSH posting
@@ -2665,6 +2749,7 @@ QUERIES = {
     "sim_knn_graph_delete": sim_knn_graph_delete,
     "sim_knn_graph_live": sim_knn_graph_live,
     "sim_knn_graph_crud": sim_knn_graph_crud,
+    "sim_knn_graph_crud_live": sim_knn_graph_crud_live,
     "sim_ann_graph_topk": sim_ann_graph_topk,
     "sim_ann_graph_batch": sim_ann_graph_batch,
     "sim_ann_hnsw_topk": sim_ann_hnsw_topk,
@@ -2835,6 +2920,11 @@ ORACLES["sim_knn_graph_live"] = _knn_graph_oracle()
 # CRUD composition = upsert-maintained then delete-repaired; the end
 # state is the rebuild over survivors (the delete entry's oracle).
 ORACLES["sim_knn_graph_crud"] = _knn_graph_oracle(
+    src_where="WHERE src % 5 <> 0 AND dst % 5 <> 0"
+)
+# The live CRUD proof: the streaming-maintained state under inserts AND
+# deletes equals the rebuild over survivors — the crud oracle verbatim.
+ORACLES["sim_knn_graph_crud_live"] = _knn_graph_oracle(
     src_where="WHERE src % 5 <> 0 AND dst % 5 <> 0"
 )
 ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()

@@ -19,30 +19,57 @@ the batch max(batch(s), batch(d)) and the merge is order-independent,
 the maintained state after the last batch EQUALS the one-shot rebuild —
 `sim_knn_graph_live` hash-matches the rebuild's DuckDB oracle.
 
-Commit protocol: each batch's edge list lands in a fresh versioned dir
-and a `_latest` pointer file swaps in atomically (write-temp + rename),
-with batch_id replay-skip — the manifest-pointer discipline of
-streaming/tx_snapshot.py reduced to one pointer. A crash between shard
-write and pointer swap leaves the previous index fully readable; the
-replayed batch overwrites its own shards and re-merges.
+Deletes ride the same stream: rows carrying ``op='D'`` tombstone their
+vec_ids — the dead ids land in a ``dead/`` shard (anti-joined out of
+every artifact read), dead sources' edge lists drop, and exactly the
+survivors whose retained top-k referenced a dead node are re-ranked
+from the survivor-filtered artifacts (`_ann_delete_repair`'s
+losslessness argument: top-k(C ∩ S) = top-k(C) whenever top-k(C) ⊆ S).
+`sim_knn_graph_crud_live` hash-matches the rebuild-over-survivors
+oracle. Reference anchor: the reference's full CRUD surface
+(MessageController.java:25-45), lifted to index maintenance.
 
-Scale shape: per batch the candidate joins are |batch| × posting-mates
-(never corpus²), the merge is one window over standing ∪ new edge rows,
-and reads serve from the pointed-at snapshot while the next batch
-builds. Reference anchor: the reference ingests rows one INSERT at a
-time (MessageController.java:30-40); this is the index-maintaining
-streaming analog."""
+**Edge state is BUCKETED by src and only touched buckets are ever
+rewritten** (the CDF touched-buckets discipline,
+streaming/delta_log.py). The standing edge list lives under
+``edges/v<batch>/b=<bucket>/``; the pointer is a per-bucket manifest.
+Per batch, the merge reads ONLY the buckets holding a touched src
+(touched = sources gaining or losing candidates this batch), splits
+them into untouched srcs (carried verbatim — an anti-join, never
+re-ranked) and touched srcs (re-windowed against the new candidates),
+and rewrites only those buckets; every other bucket's manifest entry —
+and its files — carry over byte-identical. Per-batch cost is therefore
+O(|touched srcs| + touched-bucket rows), NEVER O(N·k): the round-9
+full-edge-list rewrite was the one 100 TB scale-killer and this closes
+it.
+
+Commit protocol: each batch's touched buckets land in a fresh versioned
+dir, the bucket manifest is staged to ``manifests/`` and a ``_latest``
+pointer file swaps in atomically (write-temp + rename), with batch_id
+replay-skip — the manifest-pointer discipline of
+streaming/tx_snapshot.py. A crash between shard write and pointer swap
+leaves the previous index fully readable; the replayed batch overwrites
+its own shards and re-merges. Superseded edge versions are vacuumed
+behind a retention window of manifests (floor 2: the pointed-at one
+plus one generation of grace for readers that resolved the previous
+pointer — round-9 advice pinned retain=1 as unsafe with concurrent
+readers).
+"""
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 VEC_SCHEMA = "vec_id long, embedding array<float>"
+CRUD_SCHEMA = "vec_id long, embedding array<float>, op string"
+EDGE_SCHEMA = "src long, dst long, d2_units long"
 
 
 def _pointer_path(state_dir: str) -> str:
@@ -64,6 +91,59 @@ def _swap_pointer(state_dir: str, meta: dict) -> None:
     os.replace(tmp, _pointer_path(state_dir))  # atomic publish
 
 
+def _stage_manifest(state_dir: str, meta: dict) -> None:
+    """Durable copy of each published manifest — the vacuum's retention
+    record (which edge versions older readers may still hold)."""
+    mdir = os.path.join(state_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".m{meta['batch_id']:09d}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(mdir, f"m{meta['batch_id']:09d}.json"))
+
+
+def _vacuum_edges(state_dir: str, retain_manifests: int) -> None:
+    """Delete edge version dirs referenced by NONE of the newest
+    ``retain_manifests`` manifests, then the expired manifests. Floor 2:
+    the pointed-at manifest plus one generation of reader grace
+    (read_ann_index returns a lazy DataFrame holding only paths — a
+    reader that resolved the pointer just before a swap must find its
+    files on first action). Runs strictly AFTER the pointer publish: a
+    crash here leaves only extra old versions, never a missing current
+    one."""
+    retain = max(2, retain_manifests)
+    mdir = os.path.join(state_dir, "manifests")
+    if not os.path.isdir(mdir):
+        return
+    names = sorted(
+        f for f in os.listdir(mdir) if re.fullmatch(r"m\d+\.json", f)
+    )
+    live_versions: set[str] = set()
+    for f in names[-retain:]:
+        with open(os.path.join(mdir, f)) as fh:
+            meta = json.load(fh)
+        for rel in meta["buckets"].values():
+            # rel = edges/v<id>/b=<bucket>
+            live_versions.add(rel.split(os.sep)[1])
+    edir = os.path.join(state_dir, "edges")
+    if os.path.isdir(edir):
+        for d in os.listdir(edir):
+            if re.fullmatch(r"v\d+", d) and d not in live_versions:
+                shutil.rmtree(os.path.join(edir, d), ignore_errors=True)
+    for f in names[:-retain]:
+        os.remove(os.path.join(mdir, f))
+
+
+def _read_state_shards(
+    spark: SparkSession, state_dir: str, name: str, schema: str
+) -> DataFrame:
+    """Union of a shard family's per-batch subdirs, explicit schema (an
+    all-empty family must read as 0 rows, not an inference error)."""
+    return spark.read.schema(schema).parquet(
+        os.path.join(state_dir, name, "batch=*")
+    )
+
+
 def ann_index_sink(
     vec_stream: DataFrame,
     state_dir: str,
@@ -71,6 +151,8 @@ def ann_index_sink(
     cent_rows: list[tuple[int, list[int]]],
     k_edges: int = 8,
     retain_edge_versions: int = 2,
+    n_edge_buckets: int = 16,
+    with_ops: bool = False,
 ):
     """foreachBatch sink maintaining the on-disk ANN graph (module
     docstring). State layout under ``state_dir``:
@@ -78,16 +160,24 @@ def ann_index_sink(
     - ``vecs/batch=<id>/``  quantized vectors (vec_id, qv)
     - ``post/batch=<id>/``  LSH postings (tbl, bucket, vec_id)
     - ``cell/batch=<id>/``  IVF top-2-cell postings (vec_id, cell)
-    - ``edges/v<id>/``      the maintained edge list (src, dst, d2_units)
-    - ``_latest``           atomic pointer {batch_id, edges}
+    - ``dead/batch=<id>/``  tombstoned vec_ids (with_ops streams only)
+    - ``edges/v<id>/b=<bucket>/``  touched edge buckets written by batch id
+    - ``manifests/m<id>.json``  per-batch bucket manifest (vacuum record)
+    - ``_latest``           atomic pointer {batch_id, buckets: {bucket: path}}
 
-    ``retain_edge_versions``: superseded edge snapshots are vacuumed
-    AFTER each pointer swap, keeping the newest N (the pointed-at one
-    plus grace for readers still holding an older pointer) — without
-    this the per-batch versioned dirs grow without bound, the exact
-    state-growth failure the tombstone-TTL work closed for the CDC
-    sinks. The shard dirs (vecs/post/cell) are the standing index
-    itself, not per-version state, and are never vacuumed."""
+    ``retain_edge_versions``: superseded edge versions are vacuumed
+    AFTER each pointer swap, keeping the versions referenced by the
+    newest max(2, N) manifests — the pointed-at one plus reader grace;
+    values below 2 are clamped (retain=1 would delete the files under a
+    reader that resolved the pointer just before the swap — round-9
+    advice). The shard dirs (vecs/post/cell/dead) are the standing
+    index itself, not per-version state, and are never vacuumed here
+    (`compact_ann_index` bin-packs them offline).
+
+    ``with_ops``: the stream carries an ``op`` column ('I' insert /
+    'D' delete, the CDC shape); deletes tombstone their vec_ids and
+    repair exactly the affected survivors' lists. Without it the stream
+    is insert-only (vec_id, embedding)."""
     from ..functions.similarity import (
         _int_dist2,
         ivf_ranked_cells,
@@ -98,6 +188,7 @@ def ann_index_sink(
     spark = vec_stream.sparkSession
     ranked = ivf_ranked_cells(cent_rows)
     w = Window.partitionBy("src").orderBy(F.asc("d2_units"), F.asc("dst"))
+    bkt = lambda c: F.pmod(F.col(c), F.lit(n_edge_buckets))  # noqa: E731
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = _read_pointer(state_dir)
@@ -109,26 +200,51 @@ def ann_index_sink(
             if batch_df.isEmpty():
                 return
             shard = f"batch={batch_id}"
-            bq = batch_df.select(
+            if with_ops:
+                ins = batch_df.filter(F.col("op") != "D").drop("op")
+                dels = batch_df.filter(F.col("op") == "D").select("vec_id")
+            else:
+                ins = batch_df
+                dels = None
+            # -- shard writes: the arriving vectors join the standing
+            # index artifacts (idempotent per-batch overwrite)
+            bq = ins.select(
                 "vec_id", quantized_vec(F.col("embedding")).alias("qv")
             )
-            bpost = lsh_postings_for(batch_df).select("tbl", "bucket", "vec_id")
-            bcell = batch_df.select(
+            bpost = lsh_postings_for(ins).select("tbl", "bucket", "vec_id")
+            bcell = ins.select(
                 "vec_id",
                 F.explode(F.slice(ranked(F.col("embedding")), 1, 2)).alias(
                     "cell"
                 ),
             )
-            for name, df in (("vecs", bq), ("post", bpost), ("cell", bcell)):
+            to_write = [("vecs", bq), ("post", bpost), ("cell", bcell)]
+            if with_ops:
+                to_write.append(("dead", dels))
+            for name, df in to_write:
                 df.write.mode("overwrite").parquet(
                     os.path.join(state_dir, name, shard)
                 )
-            # seen ∪ batch — the shard just written is included
-            post = spark.read.parquet(os.path.join(state_dir, "post"))
-            cell = spark.read.parquet(os.path.join(state_dir, "cell"))
-            vecs = spark.read.parquet(os.path.join(state_dir, "vecs"))
-            bp = spark.read.parquet(os.path.join(state_dir, "post", shard))
-            bc = spark.read.parquet(os.path.join(state_dir, "cell", shard))
+            # -- artifact reads: seen ∪ batch, minus every tombstone
+            # ever recorded (dead ids never serve as candidates again)
+            post = _read_state_shards(
+                spark, state_dir, "post", "tbl int, bucket long, vec_id long"
+            )
+            cell = _read_state_shards(
+                spark, state_dir, "cell", "vec_id long, cell int"
+            )
+            vecs = _read_state_shards(
+                spark, state_dir, "vecs", "vec_id long, qv array<long>"
+            )
+            if with_ops:
+                dead = _read_state_shards(
+                    spark, state_dir, "dead", "vec_id long"
+                )
+                post = post.join(dead, "vec_id", "left_anti")
+                cell = cell.join(dead, "vec_id", "left_anti")
+                vecs = vecs.join(dead, "vec_id", "left_anti")
+            bp = post.join(bq.select("vec_id"), "vec_id", "semi")
+            bc = cell.join(bq.select("vec_id"), "vec_id", "semi")
 
             def pairs(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
                 return (
@@ -146,10 +262,33 @@ def ann_index_sink(
                 .union(pairs(post, bp, pk))
                 .union(pairs(bc, cell, ck))
                 .union(pairs(cell, bc, ck))
-                .dropDuplicates(["src", "dst"])
             )
+            if with_ops:
+                # repair candidates: survivors whose standing top-k
+                # referenced a node this batch tombstoned — their lists
+                # re-rank against the survivor-filtered artifacts
+                # (`_ann_delete_repair`, functions/similarity.py)
+                standing = _read_manifest_edges(spark, state_dir, prev)
+                batch_dead = dels
+                affected = (
+                    standing.join(
+                        batch_dead.withColumnRenamed("vec_id", "dst"),
+                        "dst",
+                        "semi",
+                    )
+                    .select("src")
+                    .join(dead.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+                    .distinct()
+                )
+                aff_ids = affected.withColumnRenamed("src", "vec_id")
+                ap = post.join(aff_ids, "vec_id", "semi")
+                ac = cell.join(aff_ids, "vec_id", "semi")
+                cand = cand.union(pairs(ap, post, pk)).union(
+                    pairs(ac, cell, ck)
+                )
             scored = (
-                cand.join(
+                cand.dropDuplicates(["src", "dst"])
+                .join(
                     vecs.select(
                         F.col("vec_id").alias("src"), F.col("qv").alias("qa")
                     ),
@@ -166,38 +305,89 @@ def ann_index_sink(
                     "dst",
                     _int_dist2(F.col("qa"), F.col("qb")).alias("d2_units"),
                 )
+                .persist()
             )
-            merged = scored
-            if prev is not None:
-                old = spark.read.parquet(
-                    os.path.join(state_dir, prev["edges"])
+            try:
+                # -- touched-bucket-only merge: srcs gaining candidates
+                # (scored) or losing edges (dead srcs / dead dsts) name
+                # the buckets this batch rewrites; every other bucket's
+                # files carry over untouched.
+                touched_src = scored.select("src").distinct()
+                if with_ops:
+                    touched_src = touched_src.unionByName(
+                        affected
+                    ).distinct()
+                write_set = touched_src.select(
+                    bkt("src").cast("int").alias("b")
+                ).distinct()
+                if with_ops and not dels.isEmpty():
+                    # a bucket holding ONLY dead srcs still needs its
+                    # rewrite (their lists must drop from the state)
+                    write_set = write_set.unionByName(
+                        dels.select(bkt("vec_id").cast("int").alias("b"))
+                    ).distinct()
+                touched_buckets = sorted(
+                    r["b"] for r in write_set.collect()
+                )  # <= n_edge_buckets ints — bounded metadata
+                prev_buckets: dict[str, str] = (
+                    dict(prev["buckets"]) if prev is not None else {}
                 )
-                merged = old.unionByName(scored).dropDuplicates(["src", "dst"])
-            edges_rel = os.path.join("edges", f"v{batch_id}")
-            (
-                merged.withColumn("rnk", F.row_number().over(w))
-                .filter(F.col("rnk") <= k_edges)
-                .select("src", "dst", "d2_units")
-                .write.mode("overwrite")
-                .parquet(os.path.join(state_dir, edges_rel))
-            )
-            _swap_pointer(state_dir, {"batch_id": batch_id, "edges": edges_rel})
-            # vacuum superseded edge snapshots behind the retention
-            # window (strictly after the publish: a crash here leaves
-            # only extra old versions, never a missing current one)
-            import re
-            import shutil
-
-            edir = os.path.join(state_dir, "edges")
-            versions = sorted(
-                int(m.group(1))
-                for m in (
-                    re.fullmatch(r"v(\d+)", d) for d in os.listdir(edir)
+                old_paths = [
+                    os.path.join(state_dir, prev_buckets[str(b)])
+                    for b in touched_buckets
+                    if str(b) in prev_buckets
+                ]
+                old_tb = (
+                    spark.read.schema(EDGE_SCHEMA).parquet(*old_paths)
+                    if old_paths
+                    else spark.createDataFrame([], EDGE_SCHEMA)
                 )
-                if m
-            )
-            for v in versions[: -max(1, retain_edge_versions)]:
-                shutil.rmtree(os.path.join(edir, f"v{v}"), ignore_errors=True)
+                if with_ops:
+                    # dead srcs' lists drop; edges pointing AT a dead
+                    # node drop too (their srcs are exactly `affected`,
+                    # whose lists re-rank from the repair candidates)
+                    old_tb = old_tb.join(
+                        dead.withColumnRenamed("vec_id", "src"),
+                        "src",
+                        "left_anti",
+                    ).join(
+                        dead.withColumnRenamed("vec_id", "dst"),
+                        "dst",
+                        "left_anti",
+                    )
+                untouched_rows = old_tb.join(touched_src, "src", "left_anti")
+                merged = (
+                    old_tb.join(touched_src, "src", "semi")
+                    .unionByName(scored)
+                    .dropDuplicates(["src", "dst"])
+                    .withColumn("rnk", F.row_number().over(w))
+                    .filter(F.col("rnk") <= k_edges)
+                    .select("src", "dst", "d2_units")
+                )
+                edges_rel = os.path.join("edges", f"v{batch_id}")
+                (
+                    untouched_rows.unionByName(merged)
+                    .withColumn("b", bkt("src").cast("int"))
+                    .repartition("b")
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(os.path.join(state_dir, edges_rel))
+                )
+                new_buckets = dict(prev_buckets)
+                for b in touched_buckets:
+                    bdir = os.path.join(edges_rel, f"b={b}")
+                    if os.path.isdir(os.path.join(state_dir, bdir)):
+                        new_buckets[str(b)] = bdir
+                    else:
+                        # every src in the bucket died and nothing new
+                        # arrived — the bucket is now empty
+                        new_buckets.pop(str(b), None)
+                meta = {"batch_id": batch_id, "buckets": new_buckets}
+                _stage_manifest(state_dir, meta)
+                _swap_pointer(state_dir, meta)
+                _vacuum_edges(state_dir, retain_edge_versions)
+            finally:
+                scored.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -210,12 +400,19 @@ def ann_index_sink(
     )
 
 
+def _read_manifest_edges(
+    spark: SparkSession, state_dir: str, ptr: dict | None
+) -> DataFrame:
+    if ptr is None or not ptr["buckets"]:
+        return spark.createDataFrame([], EDGE_SCHEMA)
+    return spark.read.schema(EDGE_SCHEMA).parquet(
+        *[os.path.join(state_dir, rel) for rel in ptr["buckets"].values()]
+    )
+
+
 def read_ann_index(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained edge list at the pointed-at snapshot — what every
-    search (`sim_ann_graph_topk`'s walk) would read."""
-    ptr = _read_pointer(state_dir)
-    if ptr is None:
-        return spark.createDataFrame(
-            [], "src long, dst long, d2_units long"
-        )
-    return spark.read.parquet(os.path.join(state_dir, ptr["edges"]))
+    search (`sim_ann_graph_topk`'s walk) would read. Resolves the bucket
+    manifest once; the returned DataFrame holds exactly that snapshot's
+    file set (concurrent batches never tear the view)."""
+    return _read_manifest_edges(spark, state_dir, _read_pointer(state_dir))

@@ -1082,19 +1082,37 @@ def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
     live = sim_knn_graph_live(spark, sf_oracle)
     full = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
     assert {tuple(r) for r in live.collect()} == full and full
-    # retention: superseded edge snapshots are vacuumed behind the
-    # window (default 2) — the 4-batch run must NOT leave 4 versioned
-    # dirs, and the pointed-at newest (v3) must survive
+    # retention: edge versions referenced by NONE of the newest 2 bucket
+    # manifests are vacuumed — after the 4-batch run every surviving
+    # v-dir must be reachable from a retained manifest, the batch-3
+    # generation must exist, and every pointed-at bucket path must
+    # resolve
     import glob as _glob
+    import json as _json
     import tempfile
 
-    edirs = _glob.glob(
-        os.path.join(tempfile.gettempdir(), "ann_live_*", "state", "edges")
-    )
-    assert edirs, "live-ingest scratch state not found"
-    for edir in edirs:
-        vs = sorted(os.listdir(edir))
-        assert len(vs) <= 2 and "v3" in vs, vs
+    sdirs = [
+        d
+        for d in _glob.glob(
+            os.path.join(tempfile.gettempdir(), "ann_live_*", "state")
+        )
+        # stale scratch from older runs/layouts has no manifests dir
+        if os.path.isdir(os.path.join(d, "manifests"))
+    ]
+    assert sdirs, "live-ingest scratch state not found"
+    for sdir in sdirs:
+        mdir = os.path.join(sdir, "manifests")
+        retained = sorted(os.listdir(mdir))
+        assert len(retained) <= 2, retained
+        live_versions = set()
+        for mf in retained:
+            with open(os.path.join(mdir, mf)) as fh:
+                for rel in _json.load(fh)["buckets"].values():
+                    assert os.path.isdir(os.path.join(sdir, rel)), rel
+                    live_versions.add(rel.split(os.sep)[1])
+        vs = sorted(os.listdir(os.path.join(sdir, "edges")))
+        assert set(vs) <= live_versions, (vs, live_versions)
+        assert "v3" in vs, vs
 
     # replay-skip: pointer batch_id monotone, a stale batch never wins
     from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
@@ -1351,3 +1369,267 @@ def test_live_ann_ingest_crash_before_pointer_swap(spark, sf_oracle, tmp_path, m
     recovered = {tuple(r) for r in A.read_ann_index(spark, state).collect()}
     control = {tuple(r) for r in A.read_ann_index(spark, state2).collect()}
     assert recovered == control and recovered
+
+
+def test_live_ann_untouched_buckets_carry_verbatim(spark, tmp_path):
+    """The live ANN sink's merge is touched-bucket-only (round-9
+    verdict item 1): a micro-batch whose arrivals collide with one
+    cluster must leave every edge bucket holding only other clusters'
+    sources COMPLETELY untouched — same manifest path, same files, same
+    bytes — because the merge anti-joins the standing state down to
+    touched srcs and rewrites only their buckets. The previous design
+    re-windowed and rewrote the FULL edge list every batch: O(N·k) per
+    micro-batch, the one 100 TB scale-killer of round 9."""
+    import hashlib
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        load_for_compute,
+    )
+    from cdc_cloudrun_demo_spark.streaming import ann_ingest as A
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _write_clustered_corpus(spark, sf)
+    emb = load_for_compute(spark, sf, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf)
+    log_dir = tmp_path / "log"
+    emb.select("vec_id", "embedding").coalesce(1).write.parquet(
+        str(log_dir / "slice_000")
+    )
+    state = str(tmp_path / "state")
+
+    def run():
+        q = A.ann_index_sink(
+            spark.readStream.schema(A.VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*")),
+            state,
+            str(tmp_path / "ckpt"),
+            cents,
+        )
+        assert q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+
+    run()
+    ptr1 = A._read_pointer(state)
+    assert ptr1 is not None and ptr1["batch_id"] == 0
+
+    def bucket_files(rel: str) -> dict[str, tuple[int, float, str]]:
+        d = os.path.join(state, rel)
+        out = {}
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            if not f.endswith(".parquet"):
+                continue
+            st = os.stat(p)
+            out[f] = (
+                st.st_size,
+                st.st_mtime,
+                hashlib.md5(open(p, "rb").read()).hexdigest(),
+            )
+        return out
+
+    before = {b: bucket_files(rel) for b, rel in ptr1["buckets"].items()}
+
+    # batch 1: ONE arrival, an exact duplicate of vec 0 (same embedding,
+    # new id) — its posting blocks are exactly vec 0's, so only cluster
+    # 0's neighborhoods can gain candidates
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1000).cast("long").alias("vec_id"), "embedding"
+    )
+    dup.coalesce(1).write.parquet(str(log_dir / "slice_001"))
+    run()
+    ptr2 = A._read_pointer(state)
+    assert ptr2["batch_id"] == 1
+
+    untouched = [
+        b for b, rel in ptr1["buckets"].items() if ptr2["buckets"].get(b) == rel
+    ]
+    touched = [b for b in ptr2["buckets"] if b not in untouched]
+    # the single-arrival batch must NOT have rewritten the whole index
+    assert untouched, (ptr1["buckets"], ptr2["buckets"])
+    assert touched, "the arrival's own bucket must be rewritten"
+    for b in untouched:
+        assert bucket_files(ptr1["buckets"][b]) == before[b], (
+            f"untouched bucket {b} was rewritten"
+        )
+
+
+def test_live_ann_crud_equals_filtered_rebuild(spark, sf_oracle):
+    """The live CRUD twin (similarity.py::sim_knn_graph_crud_live): a
+    real streaming run of 4 insert batches + 1 tombstone batch must (a)
+    contain no deleted node on either edge endpoint, and (b) EQUAL the
+    one-shot rebuild over the surviving corpus with frozen artifacts —
+    the same oracle as the batch crud composition."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        knn_graph_edges,
+        sim_knn_graph_crud_live,
+    )
+
+    maintained = sim_knn_graph_crud_live(spark, sf_oracle).collect()
+    assert maintained
+    for r in maintained:
+        assert r["src"] % 5 != 0 and r["dst"] % 5 != 0
+    rebuilt = {
+        tuple(r)
+        for r in knn_graph_edges(
+            spark, sf_oracle, node_pred=lambda c: c % 5 != 0
+        ).collect()
+    }
+    assert {tuple(r) for r in maintained} == rebuilt
+
+
+def test_live_ann_crud_interleaved_deletes(spark, sf_oracle, tmp_path):
+    """Deletes INTERLEAVED with inserts (not only a final wave): ingest
+    half the corpus, tombstone part of it, ingest the rest — the
+    maintained state must still equal the rebuild over the survivors,
+    because the delete repair runs against whatever has arrived and
+    later arrivals' candidates anti-join the accumulated tombstones."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        knn_graph_edges,
+        load_for_compute,
+    )
+    from cdc_cloudrun_demo_spark.streaming import ann_ingest as A
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    log_dir = tmp_path / "log"
+    batches = [
+        emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding", F.lit("I").alias("op")
+        ),
+        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 5 == 0))
+        .select("vec_id", "embedding", F.lit("D").alias("op")),
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", F.lit("I").alias("op")
+        ),
+        emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 5 == 0))
+        .select("vec_id", "embedding", F.lit("D").alias("op")),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(log_dir / f"slice_{i:03d}"))
+    base = max(
+        os.path.getmtime(str(log_dir / d / f))
+        for d in os.listdir(str(log_dir))
+        for f in os.listdir(str(log_dir / d))
+    )
+    for i, d in enumerate(sorted(os.listdir(str(log_dir)))):
+        for f in os.listdir(str(log_dir / d)):
+            os.utime(str(log_dir / d / f), (base + i + 1, base + i + 1))
+    q = A.ann_index_sink(
+        spark.readStream.schema(A.CRUD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir / "slice_*")),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        cents,
+        with_ops=True,
+    )
+    assert q.awaitTermination(240)
+    if q.exception() is not None:
+        raise q.exception()
+    maintained = {
+        tuple(r)
+        for r in A.read_ann_index(spark, str(tmp_path / "state")).collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in knn_graph_edges(
+            spark, sf_oracle, node_pred=lambda c: c % 5 != 0
+        ).collect()
+    }
+    assert maintained == rebuilt and maintained
+
+
+def test_live_ann_crud_crash_at_delete_batch(spark, sf_oracle, tmp_path, monkeypatch):
+    """Crash injection at the DELETE batch's pointer swap: the previous
+    (pre-delete) snapshot must stay fully readable, and the restarted
+    stream must replay the tombstone batch idempotently and converge to
+    the rebuild over survivors."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        knn_graph_edges,
+        load_for_compute,
+    )
+    from cdc_cloudrun_demo_spark.streaming import ann_ingest as A
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    cents = kmeans_centroid_rows(
+        spark,
+        load_for_compute(spark, sf_oracle, "embeddings"),
+        16,
+        corpus_key=sf_oracle,
+    )
+    log_dir = tmp_path / "log"
+    emb.select("vec_id", "embedding", F.lit("I").alias("op")).coalesce(
+        1
+    ).write.parquet(str(log_dir / "slice_000"))
+    emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "embedding", F.lit("D").alias("op")
+    ).coalesce(1).write.parquet(str(log_dir / "slice_001"))
+    base = max(
+        os.path.getmtime(str(log_dir / d / f))
+        for d in os.listdir(str(log_dir))
+        for f in os.listdir(str(log_dir / d))
+    )
+    for i, d in enumerate(sorted(os.listdir(str(log_dir)))):
+        for f in os.listdir(str(log_dir / d)):
+            os.utime(str(log_dir / d / f), (base + i + 1, base + i + 1))
+    state = str(tmp_path / "state")
+
+    def run(ckpt: str):
+        return A.ann_index_sink(
+            spark.readStream.schema(A.CRUD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*")),
+            state,
+            ckpt,
+            cents,
+            with_ops=True,
+        )
+
+    real_swap = A._swap_pointer
+    calls = {"n": 0}
+
+    def dying_swap(state_dir, meta):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the DELETE batch's publish
+            raise RuntimeError("injected crash before pointer publish")
+        real_swap(state_dir, meta)
+
+    monkeypatch.setattr(A, "_swap_pointer", dying_swap)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = run(str(tmp_path / "ckpt"))
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    ptr = A._read_pointer(state)
+    assert ptr is not None and ptr["batch_id"] == 0
+    pre_delete = {tuple(r) for r in A.read_ann_index(spark, state).collect()}
+    assert pre_delete and any(s % 5 == 0 for (s, d, _) in pre_delete)
+
+    monkeypatch.setattr(A, "_swap_pointer", real_swap)
+    q2 = run(str(tmp_path / "ckpt"))
+    assert q2.awaitTermination(180) and q2.exception() is None
+    assert A._read_pointer(state)["batch_id"] == 1
+    maintained = {tuple(r) for r in A.read_ann_index(spark, state).collect()}
+    rebuilt = {
+        tuple(r)
+        for r in knn_graph_edges(
+            spark,
+            sf_oracle,
+            node_pred=lambda c: (c % 5 != 0) & (c < 100),
+        ).collect()
+    }
+    assert maintained == rebuilt and maintained

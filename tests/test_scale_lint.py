@@ -105,10 +105,15 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "plans/__init__.py": (1, "plan-audit tooling, not an operator path"),
         "streaming/cdc_stream.py": (1, "<= n_buckets ints of touched-bucket ids"),
         "streaming/tx_snapshot.py": (
-            3,
+            4,
             "<= n_buckets ints of touched-bucket ids (sink merge + "
-            "tombstone compaction) and a 1-row MAX(last_seq) watermark "
-            "aggregate (live TTL)",
+            "tombstone compaction) and two 1-row MAX(last_seq) watermark "
+            "aggregates (live TTL advance + restart rehydration)",
+        ),
+        "streaming/ann_ingest.py": (
+            1,
+            "<= n_edge_buckets ints of touched-edge-bucket ids (the "
+            "touched-bucket-only merge's write set)",
         ),
         "operators/cdc.py": (
             1,
