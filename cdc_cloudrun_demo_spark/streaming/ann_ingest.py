@@ -134,14 +134,160 @@ def _vacuum_edges(state_dir: str, retain_manifests: int) -> None:
         os.remove(os.path.join(mdir, f))
 
 
+_SHARDS_PTR = "_shards"
+
+# shard-family schemas: reads are always explicit — a family whose dirs
+# hold no part files (all-empty batch writes) must read as 0 rows, not
+# a schema-inference error
+_FAMILY_SCHEMAS = {
+    "vecs": "vec_id long, qv array<long>",
+    "post": "tbl int, bucket long, vec_id long",
+    "cell": "vec_id long, cell int",
+    "dead": "vec_id long",
+}
+
+
+def _read_shards_manifest(state_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(state_dir, _SHARDS_PTR)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _shard_paths(state_dir: str, name: str) -> list[str]:
+    """The directories composing a shard family's current state: the
+    newest compacted generation (if any) plus every per-batch subdir it
+    does not cover. Resolution is one pointer read — the same
+    composition every concurrent reader sees."""
+    import glob as _glob
+
+    base = os.path.join(state_dir, name)
+    batch_dirs = sorted(_glob.glob(os.path.join(base, "batch=*")))
+    man = _read_shards_manifest(state_dir)
+    if man is None or name not in man["families"]:
+        return batch_dirs
+    covers = man["covers_through_batch"]
+    newer = [
+        d for d in batch_dirs if int(d.rsplit("=", 1)[1]) > covers
+    ]
+    return [os.path.join(state_dir, man["families"][name])] + newer
+
+
 def _read_state_shards(
     spark: SparkSession, state_dir: str, name: str, schema: str
 ) -> DataFrame:
-    """Union of a shard family's per-batch subdirs, explicit schema (an
-    all-empty family must read as 0 rows, not an inference error)."""
-    return spark.read.schema(schema).parquet(
-        os.path.join(state_dir, name, "batch=*")
-    )
+    """A shard family's current state (compacted generation ∪ uncovered
+    per-batch subdirs), explicit schema (an all-empty family must read
+    as 0 rows, not an inference error)."""
+    paths = _shard_paths(state_dir, name)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    retain_generations: int = 2,
+) -> dict:
+    """Bin-pack the ANN index's shard families (``vecs``/``post``/
+    ``cell``/``dead``) — the small-files maintenance the Delta OPTIMIZE
+    work (streaming/delta_log.py) does for the CDC sink, ported to the
+    streaming index state: a long-running ingest leaves one subdir per
+    micro-batch per family, re-read on EVERY batch's candidate joins,
+    and thousands of tiny parquet footers eventually dominate the scan.
+
+    Protocol (the pointer/retention discipline throughout this module):
+    each family's current composition is read and rewritten into a
+    fresh ``<family>/gen-<g>/`` with file count sized by bytes (never
+    fewer rows, never different rows — pure layout), then one
+    ``_shards`` pointer swaps in atomically naming the new generation
+    and the highest batch id it covers. The sink resolves reads through
+    the pointer, so batches arriving AFTER the compaction covers-through
+    point keep their subdirs until the next compaction folds them in; a
+    reader that resolved the pointer just before the swap still finds
+    the previous generation (retained for ``retain_generations``).
+    Content is untouched — tombstoned ids stay in ``dead`` and stay
+    anti-joined at read time, so a replayed or concurrent batch sees
+    identical state before and after.
+
+    Single-writer contract with the ingest sink (run compaction from
+    the maintenance path, not concurrently with a foreachBatch commit),
+    same as Delta OPTIMIZE vs a streaming writer.
+
+    Returns {family: {files_before, files_after}} for the audit."""
+    import glob as _glob
+
+    man = _read_shards_manifest(state_dir)
+    prev_gen = man["gen"] if man else 0
+    gen = prev_gen + 1
+    families = {}
+    covers = -1
+    for name in ("vecs", "post", "cell", "dead"):
+        base = os.path.join(state_dir, name)
+        if not os.path.isdir(base):
+            continue
+        for d in _glob.glob(os.path.join(base, "batch=*")):
+            covers = max(covers, int(d.rsplit("=", 1)[1]))
+        families[name] = base
+    if covers < 0 and man is None:
+        return {}
+    report: dict[str, dict[str, int]] = {}
+    new_families: dict[str, str] = {}
+    for name in families:
+        paths = _shard_paths(state_dir, name)
+        if not paths:
+            continue
+        files = [
+            os.path.join(d, f)
+            for d in paths
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
+        rel = os.path.join(name, f"gen-{gen}")
+        out = os.path.join(state_dir, rel)
+        shutil.rmtree(out, ignore_errors=True)  # leftovers from a crash
+        df = spark.read.schema(_FAMILY_SCHEMAS[name]).parquet(*paths)
+        df.coalesce(int(n_out)).write.mode("overwrite").parquet(out)
+        n_after = len(
+            [f for f in os.listdir(out) if f.endswith(".parquet")]
+        )
+        report[name] = {"files_before": len(files), "files_after": n_after}
+        new_families[name] = rel
+    meta = {"gen": gen, "covers_through_batch": covers, "families": new_families}
+    tmp = os.path.join(state_dir, _SHARDS_PTR + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(state_dir, _SHARDS_PTR))  # atomic publish
+    # vacuum strictly after the publish: superseded generations beyond
+    # the retention window, and every batch subdir the new generation
+    # covers (its rows now live in gen-<g>; covered dirs older than the
+    # RETAINED oldest generation are unreachable from any retained
+    # composition)
+    retain = max(1, retain_generations)
+    floor_gen = gen - retain + 1
+    # the previous composition (what a reader resolving just before the
+    # swap holds): gen-<prev> + dirs above its covers-through, or — on
+    # the FIRST compaction — the raw batch dirs themselves
+    prev_covers = man["covers_through_batch"] if man is not None else None
+    for name in families:
+        base = os.path.join(state_dir, name)
+        for d in os.listdir(base):
+            if d.startswith("gen-") and int(d.split("-", 1)[1]) < floor_gen:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            elif d.startswith("batch=") and int(d.split("=", 1)[1]) <= covers:
+                if retain >= 2 and (
+                    prev_covers is None
+                    or int(d.split("=", 1)[1]) > prev_covers
+                ):
+                    # reachable from the retained previous composition
+                    continue
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return report
 
 
 def ann_index_sink(
@@ -228,17 +374,17 @@ def ann_index_sink(
             # -- artifact reads: seen ∪ batch, minus every tombstone
             # ever recorded (dead ids never serve as candidates again)
             post = _read_state_shards(
-                spark, state_dir, "post", "tbl int, bucket long, vec_id long"
+                spark, state_dir, "post", _FAMILY_SCHEMAS["post"]
             )
             cell = _read_state_shards(
-                spark, state_dir, "cell", "vec_id long, cell int"
+                spark, state_dir, "cell", _FAMILY_SCHEMAS["cell"]
             )
             vecs = _read_state_shards(
-                spark, state_dir, "vecs", "vec_id long, qv array<long>"
+                spark, state_dir, "vecs", _FAMILY_SCHEMAS["vecs"]
             )
             if with_ops:
                 dead = _read_state_shards(
-                    spark, state_dir, "dead", "vec_id long"
+                    spark, state_dir, "dead", _FAMILY_SCHEMAS["dead"]
                 )
                 post = post.join(dead, "vec_id", "left_anti")
                 cell = cell.join(dead, "vec_id", "left_anti")

@@ -130,3 +130,42 @@ def test_two_spark_sessions_concurrent_oracle_green(spark, sf_oracle):
         n2, r2, _ = f2.result(timeout=300)
     assert r1.ok, f"{n1} diverged across sessions: {r1.detail}"
     assert r2.ok, f"{n2} diverged across sessions: {r2.detail}"
+
+
+def test_cds_option_selection(monkeypatch, tmp_path):
+    """The AppCDS flag machinery (session.py): archive present -> map it
+    read-only; absent -> schedule a dump at exit under OUR empty conf
+    dir; a user-managed SPARK_CONF_DIR -> no CDS at all (the dump flag
+    would fatally abort JVM launch on a non-empty classpath directory).
+    Promotion takes the newest per-pid dump, atomically, and drops the
+    rest. Pure-python — no JVM launched."""
+    import os
+
+    import cdc_cloudrun_demo_spark.session as S
+
+    cds_dir = str(tmp_path / "cds")
+    monkeypatch.setattr(S, "_CDS_DIR", cds_dir)
+    monkeypatch.delenv("SPARK_CONF_DIR", raising=False)
+
+    # fresh env: dump flag, conf dir redirected to the empty cache dir
+    opt = S._cds_java_options()
+    assert opt is not None and "-XX:ArchiveClassesAtExit=" in opt
+    assert os.environ["SPARK_CONF_DIR"] == os.path.join(cds_dir, "empty_conf")
+    assert os.listdir(os.environ["SPARK_CONF_DIR"]) == []
+
+    # a completed dump is promoted and then mapped
+    dump = os.path.join(cds_dir, "dump-12345.jsa")
+    older = os.path.join(cds_dir, "dump-11111.jsa")
+    for i, p in enumerate((older, dump)):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+        os.utime(p, (1000 + i, 1000 + i))
+    opt = S._cds_java_options()
+    assert opt is not None and "-XX:SharedArchiveFile=" in opt
+    assert "-Xshare:auto" in opt  # never a hard requirement
+    assert os.path.exists(S._cds_archive_path())
+    assert not os.path.exists(dump) and not os.path.exists(older)
+
+    # user-managed conf dir: CDS must step aside entirely
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path / "user_conf"))
+    assert S._cds_java_options() is None

@@ -1633,3 +1633,116 @@ def test_live_ann_crud_crash_at_delete_batch(spark, sf_oracle, tmp_path, monkeyp
         ).collect()
     }
     assert maintained == rebuilt and maintained
+
+
+def test_ann_shard_compaction_preserves_state_and_shrinks_files(
+    spark, sf_oracle, tmp_path
+):
+    """compact_ann_index (streaming/ann_ingest.py): after N micro-batches
+    the shard families hold one subdir per batch; compaction must (a)
+    leave every family's ROWS exactly identical, (b) provably shrink the
+    file count, (c) leave the sink fully functional — a batch ingested
+    AFTER compaction reads the compacted composition and the final index
+    still equals the one-shot rebuild — and (d) a second compaction
+    vacuums the batch dirs the retained previous generation no longer
+    needs."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        load_for_compute,
+        sim_knn_graph,
+    )
+    from cdc_cloudrun_demo_spark.streaming import ann_ingest as A
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    log_dir = tmp_path / "log"
+    # 3 pre-compaction batches (vec_id % 4 in 0..2), 1 post-compaction
+    for b in range(3):
+        emb.filter(F.col("vec_id") % 4 == b).select(
+            "vec_id", "embedding"
+        ).repartition(4).write.parquet(str(log_dir / f"slice_{b:03d}"))
+    base = max(
+        os.path.getmtime(str(log_dir / d / f))
+        for d in os.listdir(str(log_dir))
+        for f in os.listdir(str(log_dir / d))
+    )
+    for i, d in enumerate(sorted(os.listdir(str(log_dir)))):
+        for f in os.listdir(str(log_dir / d)):
+            os.utime(str(log_dir / d / f), (base + i + 1, base + i + 1))
+    state = str(tmp_path / "state")
+
+    def run():
+        q = A.ann_index_sink(
+            spark.readStream.schema(A.VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(log_dir / "slice_*")),
+            state,
+            str(tmp_path / "ckpt"),
+            cents,
+        )
+        assert q.awaitTermination(240)
+        if q.exception() is not None:
+            raise q.exception()
+
+    run()
+
+    def family_rows(name):
+        return sorted(
+            map(
+                tuple,
+                A._read_state_shards(
+                    spark, state, name, A._FAMILY_SCHEMAS[name]
+                ).collect(),
+            )
+        )
+
+    def family_files(name):
+        return [
+            os.path.join(d, f)
+            for d in A._shard_paths(state, name)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    before = {n: family_rows(n) for n in ("vecs", "post", "cell")}
+    files_before = {n: len(family_files(n)) for n in before}
+    assert all(v >= 3 for v in files_before.values()), files_before
+
+    report = A.compact_ann_index(spark, state, retain_generations=2)
+    after = {n: family_rows(n) for n in before}
+    assert after == before  # identical rows, pure layout change
+    for n in before:
+        assert report[n]["files_after"] < report[n]["files_before"], report
+        assert len(family_files(n)) == report[n]["files_after"]
+        # first compaction retains the batch dirs (the previous
+        # composition a concurrent reader may still hold)
+        assert any("batch=" in d for d in os.listdir(os.path.join(state, n)))
+
+    # the sink keeps working on the compacted composition
+    emb.filter(F.col("vec_id") % 4 == 3).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.parquet(str(log_dir / "slice_003"))
+    run()
+    maintained = {
+        tuple(r) for r in A.read_ann_index(spark, state).collect()
+    }
+    rebuilt = {tuple(r) for r in sim_knn_graph(spark, sf_oracle).collect()}
+    assert maintained == rebuilt and maintained
+
+    # a second compaction folds batch 3 in and vacuums what the retained
+    # previous generation covers (batches 0-2)
+    A.compact_ann_index(spark, state, retain_generations=2)
+    assert {n: family_rows(n) for n in before} != before  # batch 3 folded in
+    for n in before:
+        leftover = [
+            d
+            for d in os.listdir(os.path.join(state, n))
+            if d.startswith("batch=") and int(d.split("=")[1]) <= 2
+        ]
+        assert not leftover, leftover
+    maintained2 = {
+        tuple(r) for r in A.read_ann_index(spark, state).collect()
+    }
+    assert maintained2 == rebuilt
