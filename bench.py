@@ -84,6 +84,13 @@ HEADLINE: dict[str, str] = {
     # arrays, kept text emitted by one JVM higher-order filter)
     "sim_knn_graph_delete": "count",
     "dedup_substring_excised": "count",
+    # round-10: metadata-filtered ANN search — the production retrieval
+    # query (top-k among quality-kept English docs), filter pushed into
+    # the inverted lists before the probe join. The live streaming
+    # sinks (sim_knn_graph_*_live, stream_*_gate_live) stay out of the
+    # bench: their wall time is dominated by deliberately-serialized
+    # micro-batch harness setup, not engine throughput.
+    "sim_ann_filtered_topk": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -157,6 +164,21 @@ LEGACY_SUITES = {
         "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
         "sim_knn_graph_incremental", "dedup_substring_spans",
         "dq_drift_psi", "sim_ann_hnsw_topk",
+    ],
+    # r9 membership = r8 + the delete-repair and span-excision entries
+    "r9_32q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+        "sim_knn_graph_incremental", "dedup_substring_spans",
+        "dq_drift_psi", "sim_ann_hnsw_topk",
+        "sim_knn_graph_delete", "dedup_substring_excised",
     ],
 }
 

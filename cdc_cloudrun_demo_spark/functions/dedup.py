@@ -662,16 +662,13 @@ _MH_PERMS = 16
 _MH_BANDS = 4  # 4 bands x 4 rows over the 16 permutations
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable 16-permutation MinHash signature per document: perm p's
-    hash is the md5-60-bit integer of 'p:'||shingle (the same portable
-    discipline as the SimHash sketch), and the signature component is
-    the MIN over the doc's distinct 3-gram shingles. min() is
-    duplicate-insensitive, so no distinct pass is needed before the
-    aggregate; one tokenization pass, one groupBy(doc_id) shuffle
-    carrying 16 longs per doc."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _token_trigrams(d).select("doc_id", "shingle")
+def minhash_signatures_for(docs: DataFrame) -> DataFrame:
+    """`minhash_signatures` over an ARBITRARY documents frame — the
+    hashing is a pure per-row/per-doc function, so a streaming gate
+    (`stream_neardup_gate_live`) signs each arriving micro-batch with
+    the SAME portable permutations the standing corpus was signed
+    with."""
+    sh = _token_trigrams(docs).select("doc_id", "shingle")
     return sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -683,6 +680,39 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(_MH_PERMS)
         ]
     )
+
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded MinHash postings for an arbitrary
+    documents frame — `dedup_minhash_banded`'s banding as a reusable
+    posting builder (4 bands x 4 rows over 16 portable permutations)."""
+    mins = minhash_signatures_for(docs)
+    r = _MH_PERMS // _MH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"m{b * r + i}").cast("string") for i in range(r)]
+                ).alias("sig"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    return mins.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-permutation MinHash signature per document: perm p's
+    hash is the md5-60-bit integer of 'p:'||shingle (the same portable
+    discipline as the SimHash sketch), and the signature component is
+    the MIN over the doc's distinct 3-gram shingles. min() is
+    duplicate-insensitive, so no distinct pass is needed before the
+    aggregate; one tokenization pass, one groupBy(doc_id) shuffle
+    carrying 16 longs per doc."""
+    return minhash_signatures_for(load_table(spark, sf_dir, "documents"))
 
 
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -949,6 +949,124 @@ def sim_ann_ivf_topk(
     )
 
 
+def sim_ann_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """METADATA-FILTERED ANN search — the first production retrieval
+    query: top-k *among documents WHERE lang='en' AND quality kept*,
+    not top-k-then-filter. The predicate (the integer quality gate of
+    `pipeline_quality_kept` composed with a language filter; vec_id ↔
+    doc_id) is applied to the INVERTED LISTS before any candidate join:
+    the probe join only ever sees allowed vectors, so per-query cost is
+    proportional to the allowed share of the probed cells — filtering
+    after search would instead return < k results whenever the top-k
+    was dominated by filtered-out neighbors, and would pay full-corpus
+    candidate scoring for them. Queries stay unfiltered (any caller may
+    search the filtered corpus). Index artifacts stay frozen on the
+    FULL corpus (centroids don't retrain per predicate — one index
+    serves every filter, the production discipline shared with the
+    delete-repair path). Fully hash-oracled: the DuckDB twin retrains
+    the identical integer k-means, applies the identical quality+lang
+    predicate to the assignment table, and re-derives probing, exact
+    cosine and the (desc, id) top-k."""
+    from .text import pipeline_quality_kept
+
+    allowed = (
+        pipeline_quality_kept(spark, sf_dir)
+        .filter(F.col("kept") & (F.col("lang") == "en"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cent_rows = kmeans_centroid_rows(spark, emb, n_clusters, corpus_key=sf_dir)
+    ranked_cids = ivf_ranked_cells(cent_rows)
+    corpus = (
+        emb.join(allowed, "vec_id", "semi")  # pushed BEFORE the probe join
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            ranked_cids(F.col("embedding"))[0].alias("cid"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(
+            F.slice(ranked_cids(F.col("embedding")), 1, n_probe)
+        ).alias("cid"),
+    )
+    cos = dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    cand = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def _filtered_topk_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """sim_ann_filtered_topk re-derived in SQL: the IVF oracle with the
+    quality+lang predicate applied to the assignment table BEFORE the
+    probe join — the same push-down the Spark plan does."""
+    from .text import ORACLES as TEXT_ORACLES
+
+    qk = TEXT_ORACLES["pipeline_quality_kept"]
+    return f"""
+        WITH {_sql_int_kmeans("k_", m=1)},
+        {_sql_ranked_cells("k_")},
+        allowed AS MATERIALIZED (
+            SELECT doc_id AS vec_id FROM ({qk})
+            WHERE kept AND lang = 'en'
+        ),
+        asgn AS MATERIALIZED (
+            SELECT r.vec_id, r.cid FROM k_ranked r
+            JOIN allowed a ON a.vec_id = r.vec_id
+            WHERE r.rn = 1
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid FROM k_ranked
+            WHERE vec_id < 5 AND rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id
+            FROM qprobe q JOIN asgn a USING (cid)
+            WHERE a.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND({_sql_cosine("qe.embedding", "ne.embedding")}, 6)
+                     AS cos_sim
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
 def _pq_codebooks(
     spark: SparkSession,
     emb: DataFrame,
@@ -2763,6 +2881,7 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_mips_topk": sim_mips_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
+    "sim_ann_filtered_topk": sim_ann_filtered_topk,
     "sim_embedding_stats": sim_embedding_stats,
 }
 
@@ -2931,6 +3050,7 @@ ORACLES["sim_ann_graph_topk"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
 ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()
 ORACLES["sim_ann_ivf_topk"] = _ivf_topk_oracle()
+ORACLES["sim_ann_filtered_topk"] = _filtered_topk_oracle()
 ORACLES["dedup_semantic_clusters"] = _semdedup_oracle()
 ORACLES["sim_pq_codes"] = _pq_codes_oracle()
 ORACLES["sim_ann_pq_topk"] = _pq_topk_oracle()

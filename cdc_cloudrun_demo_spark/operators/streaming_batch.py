@@ -700,6 +700,185 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionByName(rej)
 
 
+def stream_neardup_gate_live(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """NEAR-duplicate dedup running LIVE as an ingest gate — the
+    training-data production shape where near-dup filtering happens at
+    ingest, not in batch sweeps: documents arrive as a sliced file
+    stream, each micro-batch is MinHash-signed with the SAME portable
+    permutations as the standing corpus (`minhash_bands_for`,
+    functions/dedup.py), and an arrival is QUARANTINED when any of its
+    4 band signatures collides with (a) the standing posting state —
+    every band of every PREVIOUS arrival, maintained as per-batch
+    posting shards, the streaming/ann_ingest.py state pattern — or (b)
+    an earlier batch-mate (smaller doc_id within the micro-batch).
+    First arrival wins; later near-dups park in QUARANTINE with the
+    colliding evidence available for audit (the quality gate's two-sink
+    shape). State grows by |batch| band rows per batch and the
+    collision probe is one equality join on (band, sig) — O(collisions)
+    per batch, never corpus².
+
+    Replay idempotence: both the routed outputs and the posting shard
+    are per-batch-subdir overwrites.
+
+    The oracle: arrival order is a pure function of doc_id (slice =
+    doc_id % n_slices replayed in order, doc_id ascending within a
+    batch), so "collides with an earlier arrival" is expressible as a
+    closed-form SQL predicate over the SAME banded candidate pairs the
+    batch `dedup_minhash_banded` entry derives — the kept set
+    hash-matches that closed form replayed in slices."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..functions.dedup import minhash_bands_for
+    from ..sources import file_stream
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = scratch_dir("ndgate_")
+    log = os.path.join(root, "log")
+    for s in range(n_slices):
+        d.filter(F.col("doc_id") % n_slices == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(log, f"slice_{s:03d}"))
+    # pin delivery order (FileStreamSource orders by mtime)
+    slices = [os.path.join(log, f"slice_{s:03d}") for s in range(n_slices)]
+    base = max(
+        os.path.getmtime(os.path.join(sd, f))
+        for sd in slices
+        for f in os.listdir(sd)
+    )
+    for i, sd in enumerate(slices):
+        for f in os.listdir(sd):
+            os.utime(os.path.join(sd, f), (base + i + 1, base + i + 1))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
+    stream = file_stream(
+        spark, os.path.join(log, "slice_*"), schema, max_files_per_trigger=1
+    )
+    clean = os.path.join(root, "clean")
+    quar = os.path.join(root, "quarantine")
+    post = os.path.join(root, "post")
+    band_schema = "doc_id long, band int, sig string"
+
+    def route(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            bands = minhash_bands_for(batch_df).persist()
+            try:
+                standing = (
+                    spark.read.schema(band_schema).parquet(
+                        os.path.join(post, "batch=*")
+                    )
+                    if os.path.isdir(post)
+                    else spark.createDataFrame([], band_schema)
+                )
+                # collide with ANY earlier arrival: standing postings, or
+                # a smaller-id batch-mate on the same (band, sig)
+                hit_standing = bands.join(
+                    standing.select("band", "sig").distinct(), ["band", "sig"], "semi"
+                ).select("doc_id")
+                mates = bands.select(
+                    "band", "sig", F.col("doc_id").alias("earlier")
+                )
+                hit_batch = (
+                    bands.join(mates, ["band", "sig"])
+                    .filter(F.col("earlier") < F.col("doc_id"))
+                    .select("doc_id")
+                )
+                dup_ids = hit_standing.union(hit_batch).distinct()
+                shard = f"batch={batch_id}"
+                routed = batch_df.join(
+                    dup_ids.withColumn("__dup", F.lit(True)), "doc_id", "left"
+                )
+                routed.filter(F.col("__dup").isNull()).select(
+                    "doc_id", "lang", "source"
+                ).write.mode("overwrite").parquet(os.path.join(clean, shard))
+                routed.filter(F.col("__dup").isNotNull()).select(
+                    "doc_id", "lang", "source"
+                ).write.mode("overwrite").parquet(os.path.join(quar, shard))
+                # EVERY arrival's bands join the standing state — "earlier
+                # arrival" includes quarantined docs (a dup of a dup is
+                # still a dup), matching the closed form's any-smaller rule
+                bands.write.mode("overwrite").parquet(os.path.join(post, shard))
+            finally:
+                bands.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "streaming near-dup gate did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    out_schema = "doc_id long, lang string, source string, batch int"
+    kept = (
+        spark.read.schema(out_schema)
+        .parquet(clean)
+        .drop("batch")
+        .withColumn("route", F.lit("clean"))
+    )
+    rej = (
+        spark.read.schema(out_schema)
+        .parquet(quar)
+        .drop("batch")
+        .withColumn("route", F.lit("quarantine"))
+    )
+    return kept.unionByName(rej)
+
+
+def _neardup_gate_oracle(n_slices: int = 4) -> str:
+    """stream_neardup_gate_live's closed form: the SAME portable MinHash
+    banding as dedup_minhash_banded's oracle, with 'duplicate' =
+    shares a band signature with any EARLIER ARRIVAL — arrival rank is
+    the pure function (doc_id % n_slices, doc_id) the slice replay
+    realizes."""
+    perms = 16
+    r = 4
+    mins_cols = ",\n               ".join(
+        f"MIN(('0x' || substr(md5('{p}:' || shingle), 1, 15))::BIGINT) AS m{p}"
+        for p in range(perms)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM mins".format(
+            b=b,
+            sig=" || '-' || ".join(
+                f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r)
+            ),
+        )
+        for b in range(4)
+    )
+    from ..functions.dedup import _SQL_TRIGRAMS
+
+    return f"""
+        WITH shingles AS ({_SQL_TRIGRAMS}),
+        mins AS (
+            SELECT doc_id,
+               {mins_cols}
+            FROM shingles GROUP BY doc_id
+        ), bands AS (
+            {band_rows}
+        ), dup AS (
+            SELECT DISTINCT a.doc_id
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id <> b.doc_id
+            WHERE (b.doc_id % {n_slices}) * 1099511627776 + b.doc_id
+                < (a.doc_id % {n_slices}) * 1099511627776 + a.doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source,
+               CASE WHEN dup.doc_id IS NULL THEN 'clean'
+                    ELSE 'quarantine' END AS route
+        FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    """
+
+
 STREAM_QUALITY_GATE_ORACLE = """
     WITH docs AS (
         SELECT doc_id, lang, source,
@@ -736,6 +915,7 @@ STREAM_QUALITY_GATE_ORACLE = """
 
 QUERIES = {
     "stream_quality_gate_live": stream_quality_gate_live,
+    "stream_neardup_gate_live": stream_neardup_gate_live,
     "stream_state_store_read": stream_state_store_read,
     "stream_join_outer_live": stream_join_outer_live,
     "stream_join_live": stream_join_live,
@@ -754,6 +934,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_quality_gate_live": STREAM_QUALITY_GATE_ORACLE,
+    "stream_neardup_gate_live": _neardup_gate_oracle(),
     "stream_state_store_read": STREAM_STATE_STORE_ORACLE,
     # the stream-maintained moments must converge to the batch moments
     # exactly (order-insensitive integer sums), so the live gate equals

@@ -1746,3 +1746,77 @@ def test_ann_shard_compaction_preserves_state_and_shrinks_files(
         tuple(r) for r in A.read_ann_index(spark, state).collect()
     }
     assert maintained2 == rebuilt
+
+
+def test_filtered_ann_results_within_filter_and_match_bruteforce(
+    spark, sf_oracle
+):
+    """sim_ann_filtered_topk: (a) every result is in the filter set
+    (lang='en' AND quality kept) — the search never leaks a filtered-out
+    neighbor; (b) per query the result EQUALS an independent numpy
+    brute-force top-k over (allowed ∩ the query's probed cells), i.e.
+    the filter genuinely restricted the candidate space rather than
+    post-filtering a full-corpus result; (c) deterministic across
+    runs."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        ivf_ranked_cells,
+        kmeans_centroid_rows,
+        load_for_compute,
+        sim_ann_filtered_topk,
+    )
+    from cdc_cloudrun_demo_spark.functions.text import pipeline_quality_kept
+
+    rows1 = sim_ann_filtered_topk(spark, sf_oracle).collect()
+    rows2 = sim_ann_filtered_topk(spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2)) and rows1
+
+    allowed = {
+        r["doc_id"]
+        for r in pipeline_quality_kept(spark, sf_oracle)
+        .filter(F.col("kept") & (F.col("lang") == "en"))
+        .collect()
+    }
+    assert allowed and all(r["neighbor_id"] in allowed for r in rows1)
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_oracle)
+    ranked = ivf_ranked_cells(cents)
+    cells = {
+        r["vec_id"]: r["cells"]
+        for r in emb.select(
+            "vec_id", ranked(F.col("embedding")).alias("cells")
+        ).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    got: dict[int, list[int]] = {}
+    for r in rows1:
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in range(5):
+        probed = set(cells[q][:4])
+        cand = [
+            v
+            for v in vecs
+            if v != q and v in allowed and cells[v][0] in probed
+        ]
+        qv = vecs[q]
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(
+                            np.dot(qv, vecs[v])
+                            / (np.linalg.norm(qv) * np.linalg.norm(vecs[v]))
+                        ),
+                        6,
+                    ),
+                    v,
+                )
+                for v in cand
+            ),
+        )[:10]
+        assert got.get(q, []) == [v for (_, v) in scored], q

@@ -1792,3 +1792,41 @@ def test_quality_gate_live_survives_one_sided_run(spark, tmp_path):
     routes = {r["route"] for r in out.select("route").distinct().collect()}
     assert routes == {"clean"}
     assert out.count() == 6
+
+
+def test_neardup_gate_live_matches_batch_closed_form(spark, sf_oracle):
+    """The live near-dup gate (operators/streaming_batch.py::
+    stream_neardup_gate_live) must agree with the batch MinHash-banded
+    closed form replayed in slices: a doc is quarantined exactly when
+    one of dedup_minhash_banded's candidate pairs links it to an
+    EARLIER ARRIVAL (slice = doc_id % 4 replayed in order, ascending
+    doc_id within a batch). Also pins that the first arrival of every
+    colliding pair stays CLEAN — dedup never loses content, it parks
+    the later copy."""
+    from cdc_cloudrun_demo_spark.functions.dedup import dedup_minhash_banded
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_neardup_gate_live,
+    )
+
+    gate = {
+        r["doc_id"]: r["route"]
+        for r in stream_neardup_gate_live(spark, sf_oracle).collect()
+    }
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_banded(spark, sf_oracle).collect()
+    ]
+
+    def rank(d: int) -> tuple[int, int]:
+        return (d % 4, d)
+
+    expected_dup = set()
+    for a, b in pairs:
+        expected_dup.add(max(a, b, key=rank))
+    assert expected_dup, "test is vacuous: no banded near-dups in corpus"
+    got_dup = {d for d, r in gate.items() if r == "quarantine"}
+    assert got_dup == expected_dup
+    # every colliding pair's earliest arrival is clean unless itself a
+    # later arrival of ANOTHER pair
+    firsts = {min(a, b, key=rank) for a, b in pairs} - expected_dup
+    assert firsts and all(gate[d] == "clean" for d in firsts)

@@ -76,6 +76,7 @@ COMMENTARY = {
  "dedup_substring_spans": "Exact-substring dedup (Lee et al. 2022 reformulated map-reduce): the token array materializes once per doc, a narrow transform emits (pos, md5-of-w-token-window) structs, ONE hash shuffle on the gram counts occurrences (map-side partials), duplicated grams join back to their positions, and a per-doc gaps-and-islands window merges [pos, pos+w) intervals. No pair join anywhere - a gram repeated k times costs k posting rows, never k^2, so hot boilerplate cannot go quadratic. The gram table is ~1 row per corpus token position: the same budget as an inverted-index build, embarrassingly scalable.",
  "sim_knn_graph_delete": "The delete half of ANN-index maintenance: the standing memoized edge list filters out tombstoned sources narrowly; the AFFECTED survivor set (lists referencing a dead dst) is a small distinct + eager pin, semi-joined into the survivor-filtered posting/cell indexes so the repair's blocking joins run |affected| x bucket-mates, never corpus^2; unaffected lists pass through a left-anti join untouched (provably already correct: top-k(C and survivors) = top-k(C) when the whole top-k survives). At 100 TB a delete batch touches the few thousand lists that referenced it - the index is repaired, never rebuilt.",
  "dedup_substring_excised": "Span excision emits the Lee et al. training product: the per-doc span set collects into ONE bounded sorted array (spans are disjoint, <= n_tokens/w per doc), left-joins back to the token arrays, and the kept positions + kept text are a single JVM higher-order filter/transform chain - no UDF, no explode of token positions, no shuffle beyond the spans op's own posting pass. Cost above the spans op is one |docs-with-spans| join + narrow array work.",
+ "sim_ann_filtered_topk": "Metadata-filtered ANN (the production retrieval query): the quality+lang predicate is evaluated scan-side over documents (narrow integer scoring, no shuffle) and SEMI-JOINED into the corpus BEFORE the probe join, so the inverted lists the probe sees are already filtered - candidate volume scales with the allowed share of the probed cells, and a restrictive filter makes the query CHEAPER, not silently smaller-than-k. Cell assignment stays the inlined-literal integer argmin (zero exchanges); the probe is a BroadcastHashJoin against the bounded query set; the only shuffle is the final per-query top-k window. At 100 TB the allowed-id set rides the semi-join's runtime filter into the corpus scan.",
  "dq_drift_psi": "PSI drift gate: one scan of events; the reference segment's (min, max) is a 1-row bounds aggregate broadcast back (vetted BNLJ - the zone-map pattern), bin assignment is a narrow clamped projection, and ONE groupBy(bin) yields both segments' counts via conditional sums; the 10-row spine + totals are 1-row-aggregate crossJoins. Output is n_bins rows at any table size. The single transcendental (ln of the smoothed ratio) uses the micro-nat round-then-floor discipline, so the gate is hash-oracled despite libm.",
 }
 
