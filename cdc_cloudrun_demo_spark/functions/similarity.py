@@ -2351,6 +2351,84 @@ def sim_knn_graph_live(
     return read_ann_index(spark, os.path.join(tmp, "state"))
 
 
+def sim_knn_graph_live_compacted(
+    spark: SparkSession, sf_dir: str, k_edges: int = 8, n_batches: int = 4
+) -> DataFrame:
+    """`sim_knn_graph_live` with a SHARD COMPACTION mid-stream — the
+    full maintenance lifecycle a long-running ingest actually exercises:
+    half the slices ingest (one per-batch shard subdir per family per
+    batch), `compact_ann_index` bin-packs vecs/post/cell into a fresh
+    generation behind the atomic ``_shards`` covers-through pointer,
+    and the REMAINING slices ingest against the compacted composition
+    (their candidate joins read generation + newer-batch dirs through
+    one pointer resolution). The final pointed-at snapshot still EQUALS
+    the one-shot rebuild — this entry hash-matches `sim_knn_graph`'s
+    oracle verbatim, proving compaction is pure layout: no row lost,
+    none duplicated, and the sink's reads are composition-agnostic.
+    (File-count shrinkage and vacuum retention are pinned separately in
+    tests/test_llm_ops.py::test_ann_shard_compaction_*.)"""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..streaming.ann_ingest import (
+        VEC_SCHEMA,
+        ann_index_sink,
+        compact_ann_index,
+        read_ann_index,
+    )
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
+    tmp = scratch_dir("ann_live_cpt_")
+    log_dir = os.path.join(tmp, "log")
+    state = os.path.join(tmp, "state")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def write_slices(batch_ids: list[int]) -> None:
+        dirs = []
+        for b in batch_ids:
+            d = os.path.join(log_dir, f"slice_{b:03d}")
+            emb.filter(F.col("vec_id") % n_batches == b).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            dirs.append(d)
+        # pin delivery order within the group (mtime ascending by slice)
+        base = max(
+            os.path.getmtime(os.path.join(d, f))
+            for d in dirs
+            for f in os.listdir(d)
+        )
+        for i, d in enumerate(dirs):
+            for f in os.listdir(d):
+                t = base + i + 1
+                os.utime(os.path.join(d, f), (t, t))
+
+    def run_available() -> None:
+        q = ann_index_sink(
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(log_dir, "slice_*")),
+            state,
+            ckpt,
+            cents,
+            k_edges=k_edges,
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError("ANN ingest stream did not finish within 300s")
+        if q.exception() is not None:
+            raise q.exception()
+
+    half = max(1, n_batches // 2)
+    write_slices(list(range(half)))
+    run_available()
+    compact_ann_index(spark, state)  # pure layout, mid-lifecycle
+    write_slices(list(range(half, n_batches)))
+    run_available()
+    return read_ann_index(spark, state)
+
+
 def sim_knn_graph_delete(
     spark: SparkSession, sf_dir: str, k_edges: int = 8, del_mod: int = 5
 ) -> DataFrame:
@@ -2866,6 +2944,7 @@ QUERIES = {
     "sim_knn_graph_upsert": sim_knn_graph_upsert,
     "sim_knn_graph_delete": sim_knn_graph_delete,
     "sim_knn_graph_live": sim_knn_graph_live,
+    "sim_knn_graph_live_compacted": sim_knn_graph_live_compacted,
     "sim_knn_graph_crud": sim_knn_graph_crud,
     "sim_knn_graph_crud_live": sim_knn_graph_crud_live,
     "sim_ann_graph_topk": sim_ann_graph_topk,
@@ -3036,6 +3115,9 @@ ORACLES["sim_knn_graph_delete"] = _knn_graph_oracle(
 # The live-ingest proof: the streaming-maintained state equals the
 # one-shot rebuild, so it shares sim_knn_graph's oracle verbatim.
 ORACLES["sim_knn_graph_live"] = _knn_graph_oracle()
+# compaction is pure layout: the mid-stream-compacted ingest equals the
+# same rebuild
+ORACLES["sim_knn_graph_live_compacted"] = _knn_graph_oracle()
 # CRUD composition = upsert-maintained then delete-repaired; the end
 # state is the rebuild over survivors (the delete entry's oracle).
 ORACLES["sim_knn_graph_crud"] = _knn_graph_oracle(

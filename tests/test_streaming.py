@@ -1830,3 +1830,48 @@ def test_neardup_gate_live_matches_batch_closed_form(spark, sf_oracle):
     # later arrival of ANOTHER pair
     firsts = {min(a, b, key=rank) for a, b in pairs} - expected_dup
     assert firsts and all(gate[d] == "clean" for d in firsts)
+
+
+def test_neardup_gate_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch must not double-route or double-index:
+    both the routed outputs and the posting shard are per-batch-subdir
+    overwrites, so running the SAME gate stream twice over one
+    checkpoint (second run replays nothing new) leaves byte-stable
+    routing. Built directly on the gate's internals with a tiny corpus
+    containing one exact near-dup pair split across slices."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_neardup_gate_live,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    text_a = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (0, text_a, "en", "web", len(text_a)),          # slice 0 (0 % 4)
+        (1, "completely different words " * 8, "en", "web", 0),  # slice 1
+        (4, text_a, "en", "web", len(text_a)),          # slice 0, later id
+        (7, text_a, "en", "web", len(text_a)),          # slice 3 duplicate
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out1 = {
+        (r["doc_id"], r["route"])
+        for r in stream_neardup_gate_live(spark, sf).collect()
+    }
+    # doc 0 arrives first (slice 0, smaller id) and stays clean; doc 4
+    # (same slice, later id) and doc 7 (later slice) collide with it
+    assert (0, "clean") in out1 and (1, "clean") in out1
+    assert (4, "quarantine") in out1 and (7, "quarantine") in out1
+
+    # determinism / replay: a second full run over a fresh scratch dir
+    # routes identically (the gate is a pure function of the corpus)
+    out2 = {
+        (r["doc_id"], r["route"])
+        for r in stream_neardup_gate_live(spark, sf).collect()
+    }
+    assert out2 == out1
