@@ -607,3 +607,27 @@ def test_cbo_stats_driven_join_reorder(spark, sf_smoke):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
         for n in (big, mid, small):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_filtered_ann_pushes_filter_before_probe(spark, sf_smoke):
+    """sim_ann_filtered_topk's plan contract (the round-10 production
+    retrieval query): the metadata predicate restricts the corpus via a
+    SEMI join BEFORE the probe join (never top-k-then-filter), the
+    probe against the bounded query set broadcasts, and no cartesian /
+    nested-loop join appears anywhere. Also pins the heavy-compute
+    loader: the quality scoring must NOT sit in a 1-task scan stage —
+    the lineage-broken load shows up as an RDD scan below the
+    predicate."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_ann_filtered_topk,
+    )
+
+    df = sim_ann_filtered_topk(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan  # the filter joins the corpus pre-probe
+    assert uses_broadcast_join(df), plan  # the probe side broadcasts
+    # the quality predicate evaluates above the lineage break (an RDD
+    # scan), not fused into the parquet scan task
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
