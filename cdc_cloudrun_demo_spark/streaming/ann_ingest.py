@@ -70,6 +70,10 @@ from pyspark.sql.window import Window
 VEC_SCHEMA = "vec_id long, embedding array<float>"
 CRUD_SCHEMA = "vec_id long, embedding array<float>, op string"
 EDGE_SCHEMA = "src long, dst long, d2_units long"
+# the REVERSE adjacency (who points AT me) — dst-bucketed, maintained
+# only by with_ops sinks so a delete batch finds its affected survivors
+# by reading the dead ids' buckets instead of scanning the index
+REDGE_SCHEMA = "dst long, src long"
 
 
 def _pointer_path(state_dir: str) -> str:
@@ -118,18 +122,22 @@ def _vacuum_edges(state_dir: str, retain_manifests: int) -> None:
     names = sorted(
         f for f in os.listdir(mdir) if re.fullmatch(r"m\d+\.json", f)
     )
-    live_versions: set[str] = set()
+    live_versions: dict[str, set[str]] = {"edges": set(), "redges": set()}
     for f in names[-retain:]:
         with open(os.path.join(mdir, f)) as fh:
             meta = json.load(fh)
-        for rel in meta["buckets"].values():
-            # rel = edges/v<id>/b=<bucket>
-            live_versions.add(rel.split(os.sep)[1])
-    edir = os.path.join(state_dir, "edges")
-    if os.path.isdir(edir):
-        for d in os.listdir(edir):
-            if re.fullmatch(r"v\d+", d) and d not in live_versions:
-                shutil.rmtree(os.path.join(edir, d), ignore_errors=True)
+        for rel in list(meta["buckets"].values()) + list(
+            meta.get("rbuckets", {}).values()
+        ):
+            # rel = <root>/v<id>/b=<bucket>
+            root, ver = rel.split(os.sep)[:2]
+            live_versions.setdefault(root, set()).add(ver)
+    for root, live in live_versions.items():
+        rdir = os.path.join(state_dir, root)
+        if os.path.isdir(rdir):
+            for d in os.listdir(rdir):
+                if re.fullmatch(r"v\d+", d) and d not in live:
+                    shutil.rmtree(os.path.join(rdir, d), ignore_errors=True)
     for f in names[:-retain]:
         os.remove(os.path.join(mdir, f))
 
@@ -308,8 +316,12 @@ def ann_index_sink(
     - ``cell/batch=<id>/``  IVF top-2-cell postings (vec_id, cell)
     - ``dead/batch=<id>/``  tombstoned vec_ids (with_ops streams only)
     - ``edges/v<id>/b=<bucket>/``  touched edge buckets written by batch id
+    - ``redges/v<id>/b=<bucket>/``  dst-bucketed REVERSE adjacency
+      (with_ops only): a delete batch finds its affected survivors by
+      reading the dead ids' buckets instead of scanning the index;
+      maintained with the same touched-bucket discipline on the dst side
     - ``manifests/m<id>.json``  per-batch bucket manifest (vacuum record)
-    - ``_latest``           atomic pointer {batch_id, buckets: {bucket: path}}
+    - ``_latest``           atomic pointer {batch_id, buckets, rbuckets}
 
     ``retain_edge_versions``: superseded edge versions are vacuumed
     AFTER each pointer swap, keeping the versions referenced by the
@@ -422,12 +434,36 @@ def ann_index_sink(
                 # repair candidates: survivors whose standing top-k
                 # referenced a node this batch tombstoned — their lists
                 # re-rank against the survivor-filtered artifacts
-                # (`_ann_delete_repair`, functions/similarity.py)
-                standing = _read_manifest_edges(spark, state_dir, prev)
-                batch_dead = dels
+                # (`_ann_delete_repair`, functions/similarity.py).
+                # FINDING them reads only the dead ids' buckets of the
+                # dst-bucketed REVERSE index — without it every delete
+                # batch would scan the full forward edge list (which is
+                # src-bucketed, so a dead-dst lookup can't prune): the
+                # per-batch read is O(dead-bucket rows), never O(N·k).
+                prev_rbuckets: dict[str, str] = (
+                    dict(prev.get("rbuckets", {})) if prev is not None else {}
+                )
+                dead_bkts = sorted(
+                    r["b"]
+                    for r in dels.select(
+                        bkt("vec_id").cast("int").alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )  # <= n_edge_buckets ints — bounded metadata
+                rpaths = [
+                    os.path.join(state_dir, prev_rbuckets[str(b)])
+                    for b in dead_bkts
+                    if str(b) in prev_rbuckets
+                ]
+                rev_tb = (
+                    spark.read.schema(REDGE_SCHEMA).parquet(*rpaths)
+                    if rpaths
+                    else spark.createDataFrame([], REDGE_SCHEMA)
+                )
                 affected = (
-                    standing.join(
-                        batch_dead.withColumnRenamed("vec_id", "dst"),
+                    rev_tb.join(
+                        dels.withColumnRenamed("vec_id", "dst"),
                         "dst",
                         "semi",
                     )
@@ -492,11 +528,12 @@ def ann_index_sink(
                     for b in touched_buckets
                     if str(b) in prev_buckets
                 ]
-                old_tb = (
+                old_tb_raw = (
                     spark.read.schema(EDGE_SCHEMA).parquet(*old_paths)
                     if old_paths
                     else spark.createDataFrame([], EDGE_SCHEMA)
                 )
+                old_tb = old_tb_raw
                 if with_ops:
                     # dead srcs' lists drop; edges pointing AT a dead
                     # node drop too (their srcs are exactly `affected`,
@@ -519,6 +556,8 @@ def ann_index_sink(
                     .filter(F.col("rnk") <= k_edges)
                     .select("src", "dst", "d2_units")
                 )
+                if with_ops:
+                    merged = merged.persist()  # forward write + reverse mirror
                 edges_rel = os.path.join("edges", f"v{batch_id}")
                 (
                     untouched_rows.unionByName(merged)
@@ -538,6 +577,61 @@ def ann_index_sink(
                         # arrived — the bucket is now empty
                         new_buckets.pop(str(b), None)
                 meta = {"batch_id": batch_id, "buckets": new_buckets}
+                if with_ops:
+                    # -- reverse-index maintenance, same touched-bucket
+                    # discipline on the DST side: the srcs whose lists
+                    # changed (re-ranked ∪ dead) name exactly the old
+                    # reverse rows that must drop, and `merged` holds
+                    # every row that must appear — their dst buckets
+                    # are the write set; every other reverse bucket's
+                    # files carry over untouched.
+                    rev_touched_src = touched_src.unionByName(
+                        dels.withColumnRenamed("vec_id", "src")
+                    ).distinct()
+                    changed_old = old_tb_raw.join(
+                        rev_touched_src, "src", "semi"
+                    )
+                    touched_dst = sorted(
+                        r["b"]
+                        for r in changed_old.select(
+                            bkt("dst").cast("int").alias("b")
+                        )
+                        .unionByName(
+                            merged.select(bkt("dst").cast("int").alias("b"))
+                        )
+                        .distinct()
+                        .collect()
+                    )  # <= n_edge_buckets ints — bounded metadata
+                    old_rpaths = [
+                        os.path.join(state_dir, prev_rbuckets[str(b)])
+                        for b in touched_dst
+                        if str(b) in prev_rbuckets
+                    ]
+                    old_rev = (
+                        spark.read.schema(REDGE_SCHEMA).parquet(*old_rpaths)
+                        if old_rpaths
+                        else spark.createDataFrame([], REDGE_SCHEMA)
+                    )
+                    new_rev = old_rev.join(
+                        rev_touched_src, "src", "left_anti"
+                    ).unionByName(merged.select("dst", "src"))
+                    redges_rel = os.path.join("redges", f"v{batch_id}")
+                    (
+                        new_rev.withColumn("b", bkt("dst").cast("int"))
+                        .repartition("b")
+                        .write.mode("overwrite")
+                        .partitionBy("b")
+                        .parquet(os.path.join(state_dir, redges_rel))
+                    )
+                    new_rbuckets = dict(prev_rbuckets)
+                    for b in touched_dst:
+                        bdir = os.path.join(redges_rel, f"b={b}")
+                        if os.path.isdir(os.path.join(state_dir, bdir)):
+                            new_rbuckets[str(b)] = bdir
+                        else:
+                            new_rbuckets.pop(str(b), None)
+                    meta["rbuckets"] = new_rbuckets
+                    merged.unpersist()
                 _stage_manifest(state_dir, meta)
                 _swap_pointer(state_dir, meta)
                 _vacuum_edges(state_dir, retain_edge_versions)

@@ -1820,3 +1820,81 @@ def test_filtered_ann_results_within_filter_and_match_bruteforce(
             ),
         )[:10]
         assert got.get(q, []) == [v for (_, v) in scored], q
+
+
+def test_live_ann_reverse_index_mirrors_forward(spark, sf_oracle, tmp_path):
+    """The dst-bucketed reverse index a with_ops sink maintains (so a
+    delete batch reads only the dead ids' buckets to find affected
+    survivors) must be EXACTLY the forward edge list mirrored after
+    every kind of batch — inserts, interleaved deletes, repairs."""
+    import json
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        load_for_compute,
+    )
+    from cdc_cloudrun_demo_spark.streaming import ann_ingest as A
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    cents = kmeans_centroid_rows(
+        spark,
+        load_for_compute(spark, sf_oracle, "embeddings"),
+        16,
+        corpus_key=sf_oracle,
+    )
+    log_dir = tmp_path / "log"
+    batches = [
+        emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding", F.lit("I").alias("op")
+        ),
+        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 5 == 0))
+        .select("vec_id", "embedding", F.lit("D").alias("op")),
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", F.lit("I").alias("op")
+        ),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(log_dir / f"slice_{i:03d}"))
+    base = max(
+        os.path.getmtime(str(log_dir / d / f))
+        for d in os.listdir(str(log_dir))
+        for f in os.listdir(str(log_dir / d))
+    )
+    for i, d in enumerate(sorted(os.listdir(str(log_dir)))):
+        for f in os.listdir(str(log_dir / d)):
+            os.utime(str(log_dir / d / f), (base + i + 1, base + i + 1))
+    state = str(tmp_path / "state")
+    q = A.ann_index_sink(
+        spark.readStream.schema(A.CRUD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir / "slice_*")),
+        state,
+        str(tmp_path / "ckpt"),
+        cents,
+        with_ops=True,
+    )
+    assert q.awaitTermination(240)
+    if q.exception() is not None:
+        raise q.exception()
+
+    forward = {
+        (r["src"], r["dst"])
+        for r in A.read_ann_index(spark, state).collect()
+    }
+    ptr = A._read_pointer(state)
+    assert ptr.get("rbuckets"), ptr
+    rev = {
+        (r["src"], r["dst"])
+        for r in spark.read.schema(A.REDGE_SCHEMA)
+        .parquet(*[os.path.join(state, p) for p in ptr["rbuckets"].values()])
+        .collect()
+    }
+    assert rev == forward and forward
+    # retention record: every manifest carries the rbuckets map too
+    mdir = os.path.join(state, "manifests")
+    newest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, newest)) as fh:
+        assert "rbuckets" in json.load(fh)

@@ -111,9 +111,10 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "aggregates (live TTL advance + restart rehydration)",
         ),
         "streaming/ann_ingest.py": (
-            1,
-            "<= n_edge_buckets ints of touched-edge-bucket ids (the "
-            "touched-bucket-only merge's write set)",
+            3,
+            "<= n_edge_buckets ints each: the touched-bucket merge's "
+            "write set, the delete batch's dead-id reverse buckets, and "
+            "the reverse index's touched dst buckets",
         ),
         "operators/cdc.py": (
             1,
