@@ -91,6 +91,13 @@ HEADLINE: dict[str, str] = {
     # bench: their wall time is dominated by deliberately-serialized
     # micro-batch harness setup, not engine throughput.
     "sim_ann_filtered_topk": "collect",
+    # round-10: binary-quantized ANN (two-BIGINT sign sketches, Hamming
+    # scan + bounded exact rerank — the 32x-compression scan path) and
+    # the recall@k evaluation operator (IVF vs exact truth on the query
+    # sample — the monitoring query a retrieval pipeline runs after
+    # every index maintenance cycle)
+    "sim_ann_binary_topk": "collect",
+    "sim_ann_recall_eval": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -179,6 +186,23 @@ LEGACY_SUITES = {
         "sim_knn_graph_incremental", "dedup_substring_spans",
         "dq_drift_psi", "sim_ann_hnsw_topk",
         "sim_knn_graph_delete", "dedup_substring_excised",
+    ],
+    # r10 first-half membership = r9 + the metadata-filtered ANN entry
+    # (pinned before the round's binary/recall additions joined)
+    "r10_33q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+        "sim_knn_graph_incremental", "dedup_substring_spans",
+        "dq_drift_psi", "sim_ann_hnsw_topk",
+        "sim_knn_graph_delete", "dedup_substring_excised",
+        "sim_ann_filtered_topk",
     ],
 }
 

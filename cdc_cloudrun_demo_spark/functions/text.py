@@ -1142,6 +1142,71 @@ def text_bpe_encode_trained(
     )
 
 
+def text_bpe_fertility(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Tokenizer FERTILITY by language — the acceptance metric a
+    tokenizer ships or dies on (pieces per word, and how many characters
+    each piece carries): languages the merges under-serve show high
+    fertility, which inflates training cost and context usage for that
+    language. Computed from the SAME trained segmentation as
+    `text_bpe_encode_trained` (train → apply → measure, one artifact),
+    but aggregating straight to |langs| rows: the corpus-sized work is
+    one token explode + one broadcast-lookup join against the bounded
+    vocab table; the divisions happen on exact integer sums per
+    language, so the rounded ratios are engine-stable. Output: (lang,
+    n_words, n_pieces, n_chars, fertility, chars_per_piece)."""
+    _out, vocab = _bpe_train_state(spark, sf_dir, n_merges)
+    seg = vocab.select(
+        "word",
+        F.size(F.split(F.col("toks"), r"\|")).cast("long").alias("__np"),
+    )
+    d = load_for_compute(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    tok = d.select("lang", F.explode(words).alias("word"))
+    j = tok.join(seg, "word", "left_outer").select(
+        "lang",
+        F.coalesce("__np", F.lit(1)).cast("long").alias("np"),
+        F.length("word").cast("long").alias("nch"),
+    )
+    n_words = F.count(F.lit(1))
+    n_pieces = F.sum("np")
+    n_chars = F.sum("nch")
+    return j.groupBy("lang").agg(
+        n_words.alias("n_words"),
+        n_pieces.alias("n_pieces"),
+        n_chars.alias("n_chars"),
+        F.round(n_pieces.cast("double") / n_words.cast("double"), 6).alias(
+            "fertility"
+        ),
+        F.round(n_chars.cast("double") / n_pieces.cast("double"), 6).alias(
+            "chars_per_piece"
+        ),
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 8) -> str:
+    return f"""WITH {_bpe_rounds_ctes(n_merges)},
+    seg AS MATERIALIZED (
+        SELECT word, CAST(LENGTH(string_split(toks, '|')) AS BIGINT) AS np
+        FROM v{n_merges}
+    ), tok AS (
+        SELECT lang, UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+        FROM documents
+    ), enc AS (
+        SELECT tok.lang, COALESCE(s.np, 1) AS np, LENGTH(tok.word) AS nch
+        FROM tok LEFT JOIN seg s ON s.word = tok.word
+    )
+    SELECT lang, COUNT(*) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           CAST(SUM(nch) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(np) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS fertility,
+           ROUND(CAST(SUM(nch) AS DOUBLE) / CAST(SUM(np) AS DOUBLE), 6)
+               AS chars_per_piece
+    FROM enc GROUP BY lang"""
+
+
 def _bpe_encode_oracle(n_merges: int = 8) -> str:
     return f"""WITH {_bpe_rounds_ctes(n_merges)},
     seg AS MATERIALIZED (
@@ -1357,6 +1422,7 @@ QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_segment": text_bpe_segment,
     "text_bpe_encode_trained": text_bpe_encode_trained,
+    "text_bpe_fertility": text_bpe_fertility,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_spell_variants": text_spell_variants,
     "text_bm25_search": text_bm25_search,
@@ -1408,6 +1474,7 @@ ORACLES = {
     "text_bpe_pair_stats": TEXT_BPE_PAIR_ORACLE,
     "text_bpe_train": _bpe_train_oracle(),
     "text_bpe_segment": _bpe_segment_oracle(),
+    "text_bpe_fertility": _bpe_fertility_oracle(),
     "text_bpe_encode_trained": _bpe_encode_oracle(),
     "text_boilerplate_strip": """
         WITH words AS (

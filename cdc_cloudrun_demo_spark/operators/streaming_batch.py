@@ -701,7 +701,10 @@ def stream_quality_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_neardup_gate_live(
-    spark: SparkSession, sf_dir: str, n_slices: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    compact_after_batch: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate dedup running LIVE as an ingest gate — the
     training-data production shape where near-dup filtering happens at
@@ -720,7 +723,14 @@ def stream_neardup_gate_live(
     per batch, never corpus².
 
     Replay idempotence: both the routed outputs and the posting shard
-    are per-batch-subdir overwrites.
+    are per-batch-subdir overwrites. The posting state resolves through
+    the SAME shard manifest as the ANN index families
+    (`streaming/ann_ingest.py::_read_state_shards`), so a long-running
+    gate bin-packs its per-batch posting shards with `compact_ann_index`
+    — ``compact_after_batch`` triggers that compaction mid-stream (the
+    registry's `stream_neardup_gate_live_compacted` proves arrivals
+    after the compaction still collide against the full standing
+    state).
 
     The oracle: arrival order is a pure function of doc_id (slice =
     doc_id % n_slices replayed in order, doc_id ascending within a
@@ -733,6 +743,7 @@ def stream_neardup_gate_live(
     from .._scratch import scratch_dir
     from ..functions.dedup import minhash_bands_for
     from ..sources import file_stream
+    from ..streaming.ann_ingest import _read_state_shards, compact_ann_index
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
@@ -767,13 +778,11 @@ def stream_neardup_gate_live(
         try:
             bands = minhash_bands_for(batch_df).persist()
             try:
-                standing = (
-                    spark.read.schema(band_schema).parquet(
-                        os.path.join(post, "batch=*")
-                    )
-                    if os.path.isdir(post)
-                    else spark.createDataFrame([], band_schema)
-                )
+                # resolved through the shard manifest: the compacted
+                # generation (if any) plus every batch subdir it does
+                # not cover — so a long-running gate can bin-pack its
+                # posting state mid-stream without a correctness seam
+                standing = _read_state_shards(spark, root, "post", band_schema)
                 # collide with ANY earlier arrival: standing postings, or
                 # a smaller-id batch-mate on the same (band, sig)
                 hit_standing = bands.join(
@@ -802,6 +811,15 @@ def stream_neardup_gate_live(
                 # arrival" includes quarantined docs (a dup of a dup is
                 # still a dup), matching the closed form's any-smaller rule
                 bands.write.mode("overwrite").parquet(os.path.join(post, shard))
+                if compact_after_batch is not None and batch_id == compact_after_batch:
+                    # single-writer contract holds: we ARE the only
+                    # writer, between commits of our own stream
+                    compact_ann_index(
+                        spark,
+                        root,
+                        families=("post",),
+                        schemas={"post": band_schema},
+                    )
             finally:
                 bands.unpersist()
         finally:
@@ -832,6 +850,166 @@ def stream_neardup_gate_live(
     )
     return kept.unionByName(rej)
 
+
+def stream_contamination_gate_live(
+    spark: SparkSession, sf_dir: str, split_mod: int = 50
+) -> DataFrame:
+    """Benchmark DECONTAMINATION running LIVE as an ingest gate — the
+    third member of the live-gate family (quality, near-dup, and now
+    eval-leak): the held-out benchmark's distinct word-5-gram set is
+    computed ONCE at gate startup and pinned (a benchmark suite is
+    static and tiny — it broadcasts; the production shape), then every
+    arriving micro-batch of TRAINING documents is scored against it and
+    routed — documents sharing ANY 5-gram with the benchmark park in
+    QUARANTINE with their overlap counts for audit (training on them
+    would leak eval answers), the rest append to CLEAN. Per batch the
+    work is one narrow gram explode and one broadcast semi-join — no
+    state, no shuffle keyed on the corpus, so the gate scales with
+    ingest rate at ANY corpus size, exactly like `text_contamination`'s
+    batch shape. Exhaustive routing (every doc exactly once, including
+    docs too short to have a 5-gram — clean by definition) and
+    score-agreement with the batch closed form are what the hash oracle
+    proves. Replay idempotence via per-batch-subdir overwrites."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..functions.text import _distinct_5grams
+    from ..sources import file_stream
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % split_mod == 0
+    # the benchmark gram set: frozen once, reused by every micro-batch
+    # (eager pin — recomputing the eval explode per batch would re-scan
+    # the benchmark k times for no reason)
+    bench = (
+        _distinct_5grams(d.filter(is_eval))
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    root = scratch_dir("cgate_")
+    log = os.path.join(root, "log")
+    d.filter(~is_eval).repartition(4).write.parquet(log)
+    stream = file_stream(
+        spark, log, "doc_id long, text string", max_files_per_trigger=1
+    )
+    clean, quar = os.path.join(root, "clean"), os.path.join(root, "quarantine")
+
+    def route(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            g = _distinct_5grams(batch_df)
+            tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+            hit = (
+                g.join(F.broadcast(bench), "gram", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_overlap"))
+            )
+            scored = (
+                batch_df.select("doc_id")
+                .join(tot, "doc_id", "left")
+                .join(hit, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+                    F.coalesce("n_overlap", F.lit(0).cast("long")).alias(
+                        "n_overlap"
+                    ),
+                )
+                .persist()
+            )
+            try:
+                shard = f"batch={batch_id}"
+                scored.filter(F.col("n_overlap") == 0).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(clean, shard))
+                scored.filter(F.col("n_overlap") > 0).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(quar, shard))
+            finally:
+                scored.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "streaming contamination gate did not finish in 300s"
+    if q.exception() is not None:
+        raise q.exception()
+    # explicit read-back schema: a fully-clean run leaves the quarantine
+    # dir with empty batch=N subdirs and inference would fail
+    out_schema = "doc_id long, n_grams long, n_overlap long, batch int"
+    kept = (
+        spark.read.schema(out_schema)
+        .parquet(clean)
+        .drop("batch")
+        .withColumn("route", F.lit("clean"))
+    )
+    rej = (
+        spark.read.schema(out_schema)
+        .parquet(quar)
+        .drop("batch")
+        .withColumn("route", F.lit("quarantine"))
+    )
+    return kept.unionByName(rej)
+
+
+def _contamination_gate_oracle(split_mod: int = 50) -> str:
+    """stream_contamination_gate_live's closed form: the routing is
+    stateless (fixed benchmark gram set), so the live result equals the
+    batch predicate over all training documents regardless of slicing."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z]+') AS toks
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 4)) AS p
+            FROM docs WHERE len(toks) >= 5
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] || ' '
+                           || toks[p+3] || ' ' || toks[p+4] AS gram
+            FROM pos
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {split_mod} = 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM grams
+            WHERE doc_id % {split_mod} <> 0 GROUP BY doc_id
+        ), hit AS (
+            SELECT g.doc_id, COUNT(*) AS n_overlap
+            FROM grams g JOIN bench b ON g.gram = b.gram
+            WHERE g.doc_id % {split_mod} <> 0 GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(t.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+               COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+               CASE WHEN COALESCE(h.n_overlap, 0) = 0
+                    THEN 'clean' ELSE 'quarantine' END AS route
+        FROM documents d
+        LEFT JOIN tot t ON t.doc_id = d.doc_id
+        LEFT JOIN hit h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % {split_mod} <> 0
+    """
+
+
+
+def stream_neardup_gate_live_compacted(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """`stream_neardup_gate_live` with its posting state bin-packed
+    MID-STREAM (after the second micro-batch): later arrivals must keep
+    colliding against every earlier band signature read through the
+    compacted generation — hash-matching the same closed form proves
+    the compaction is pure layout for the gate, exactly as
+    `sim_knn_graph_live_compacted` proves it for the index."""
+    return stream_neardup_gate_live(
+        spark, sf_dir, n_slices=n_slices, compact_after_batch=1
+    )
 
 def _neardup_gate_oracle(n_slices: int = 4) -> str:
     """stream_neardup_gate_live's closed form: the SAME portable MinHash
@@ -916,6 +1094,8 @@ STREAM_QUALITY_GATE_ORACLE = """
 QUERIES = {
     "stream_quality_gate_live": stream_quality_gate_live,
     "stream_neardup_gate_live": stream_neardup_gate_live,
+    "stream_contamination_gate_live": stream_contamination_gate_live,
+    "stream_neardup_gate_live_compacted": stream_neardup_gate_live_compacted,
     "stream_state_store_read": stream_state_store_read,
     "stream_join_outer_live": stream_join_outer_live,
     "stream_join_live": stream_join_live,
@@ -935,6 +1115,8 @@ QUERIES = {
 ORACLES = {
     "stream_quality_gate_live": STREAM_QUALITY_GATE_ORACLE,
     "stream_neardup_gate_live": _neardup_gate_oracle(),
+    "stream_contamination_gate_live": _contamination_gate_oracle(),
+    "stream_neardup_gate_live_compacted": _neardup_gate_oracle(),
     "stream_state_store_read": STREAM_STATE_STORE_ORACLE,
     # the stream-maintained moments must converge to the batch moments
     # exactly (order-insensitive integer sums), so the live gate equals

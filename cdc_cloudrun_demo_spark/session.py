@@ -114,16 +114,52 @@ def _cds_archive_path() -> str:
     return os.path.join(_CDS_DIR, f"app-{pyspark.__version__}.jsa")
 
 
+def _cds_dump_complete(path: str) -> bool:
+    """True only when a per-pid dump is safe to promote. The JVM writes
+    ``ArchiveClassesAtExit`` dumps DURING exit, so a dump file can exist
+    while still growing; promoting it then hands later launches a
+    truncated archive, which SIGBUSes the mapping JVM mid-relocation
+    (FileMapInfo::relocate_pointers_in_core_regions — observed on this
+    container). Gate on (a) the writing JVM being gone — the pid is in
+    the filename and the writer is a local python child, so a live
+    /proc/<pid> means "still exiting, still writing"; (b) a plausible
+    size — a dynamic archive for a Spark app is tens of MB, and any
+    short file is by definition incomplete."""
+    base = os.path.basename(path)  # dump-<pid>.jsa
+    try:
+        pid = int(base[len("dump-") : -len(".jsa")])
+        if os.path.exists(f"/proc/{pid}"):
+            return False
+    except ValueError:
+        return False
+    try:
+        import time
+
+        # The writer is the (grand-child) JVM, which can outlive the
+        # python pid in the filename by a beat — also require the file
+        # to have been quiescent for a few seconds.
+        st = os.stat(path)
+        return st.st_size > 1 << 20 and (time.time() - st.st_mtime) > 3.0
+    except OSError:
+        return False
+
+
 def _promote_cds_dump() -> None:
-    """Promote the newest completed per-pid dump to the shared archive
-    name (atomic rename), dropping superseded dumps."""
+    """Promote the newest COMPLETED per-pid dump to the shared archive
+    name (atomic rename), dropping superseded completed dumps. Dumps
+    still being written by an exiting JVM are left alone — see
+    _cds_dump_complete."""
     import glob
 
     archive = _cds_archive_path()
     if os.path.exists(archive):
         return
     dumps = sorted(
-        glob.glob(os.path.join(_CDS_DIR, "dump-*.jsa")),
+        (
+            d
+            for d in glob.glob(os.path.join(_CDS_DIR, "dump-*.jsa"))
+            if _cds_dump_complete(d)
+        ),
         key=os.path.getmtime,
     )
     if dumps:
@@ -164,7 +200,16 @@ def ensure_cds_archive() -> bool:
         stderr=subprocess.DEVNULL,
         timeout=300,
     )
-    _promote_cds_dump()
+    # The dump is written by the child's JVM at exit and may still be
+    # flushing when subprocess.run returns; poll until the completeness
+    # gate (pid dead + size + quiescence) admits it.
+    import time
+
+    for _ in range(20):
+        _promote_cds_dump()
+        if os.path.exists(_cds_archive_path()):
+            return True
+        time.sleep(1.0)
     return os.path.exists(_cds_archive_path())
 
 

@@ -199,6 +199,8 @@ def compact_ann_index(
     state_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     retain_generations: int = 2,
+    families: tuple[str, ...] = ("vecs", "post", "cell", "dead"),
+    schemas: dict[str, str] | None = None,
 ) -> dict:
     """Bin-pack the ANN index's shard families (``vecs``/``post``/
     ``cell``/``dead``) — the small-files maintenance the Delta OPTIMIZE
@@ -225,26 +227,42 @@ def compact_ann_index(
     the maintenance path, not concurrently with a foreachBatch commit),
     same as Delta OPTIMIZE vs a streaming writer.
 
+    ``families``/``schemas`` parameterize the shard layout so OTHER
+    per-batch shard states reuse the same compaction + pointer protocol
+    — the live near-dup gate's MinHash posting shards
+    (operators/streaming_batch.py) compact with
+    ``families=("post",), schemas={"post": <band schema>}``.
+
     Returns {family: {files_before, files_after}} for the audit."""
     import glob as _glob
 
     man = _read_shards_manifest(state_dir)
+    if man is not None and not set(man["families"]) <= set(families):
+        # The manifest's covers-through point is GLOBAL across families:
+        # re-compacting a SUBSET would drop the others' generation
+        # entries and double-count their covered batch dirs. One state
+        # dir = one family set, for its whole life.
+        raise ValueError(
+            f"state at {state_dir} was compacted with families "
+            f"{sorted(man['families'])}; cannot recompact a subset "
+            f"{sorted(families)}"
+        )
     prev_gen = man["gen"] if man else 0
     gen = prev_gen + 1
-    families = {}
+    present = {}
     covers = -1
-    for name in ("vecs", "post", "cell", "dead"):
+    for name in families:
         base = os.path.join(state_dir, name)
         if not os.path.isdir(base):
             continue
         for d in _glob.glob(os.path.join(base, "batch=*")):
             covers = max(covers, int(d.rsplit("=", 1)[1]))
-        families[name] = base
+        present[name] = base
     if covers < 0 and man is None:
         return {}
     report: dict[str, dict[str, int]] = {}
     new_families: dict[str, str] = {}
-    for name in families:
+    for name in present:
         paths = _shard_paths(state_dir, name)
         if not paths:
             continue
@@ -259,7 +277,7 @@ def compact_ann_index(
         rel = os.path.join(name, f"gen-{gen}")
         out = os.path.join(state_dir, rel)
         shutil.rmtree(out, ignore_errors=True)  # leftovers from a crash
-        df = spark.read.schema(_FAMILY_SCHEMAS[name]).parquet(*paths)
+        df = spark.read.schema((schemas or _FAMILY_SCHEMAS)[name]).parquet(*paths)
         df.coalesce(int(n_out)).write.mode("overwrite").parquet(out)
         n_after = len(
             [f for f in os.listdir(out) if f.endswith(".parquet")]
@@ -282,7 +300,7 @@ def compact_ann_index(
     # swap holds): gen-<prev> + dirs above its covers-through, or — on
     # the FIRST compaction — the raw batch dirs themselves
     prev_covers = man["covers_through_batch"] if man is not None else None
-    for name in families:
+    for name in present:
         base = os.path.join(state_dir, name)
         for d in os.listdir(base):
             if d.startswith("gen-") and int(d.split("-", 1)[1]) < floor_gen:

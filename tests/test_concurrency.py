@@ -153,13 +153,41 @@ def test_cds_option_selection(monkeypatch, tmp_path):
     assert os.environ["SPARK_CONF_DIR"] == os.path.join(cds_dir, "empty_conf")
     assert os.listdir(os.environ["SPARK_CONF_DIR"]) == []
 
-    # a completed dump is promoted and then mapped
-    dump = os.path.join(cds_dir, "dump-12345.jsa")
-    older = os.path.join(cds_dir, "dump-11111.jsa")
+    # Incomplete dumps are never promoted — promoting one hands later
+    # launches a truncated archive, which SIGBUSes the mapping JVM
+    # mid-relocation (observed: FileMapInfo::relocate_pointers_in_core_
+    # regions). Three incompleteness signals, each sufficient alone:
+    import subprocess
+    import time
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid  # a pid guaranteed dead (reaped just above)
+    live = os.path.join(cds_dir, f"dump-{os.getpid()}.jsa")  # writer alive
+    tiny = os.path.join(cds_dir, f"dump-{dead_pid + 1}.jsa")  # short file
+    fresh = os.path.join(cds_dir, f"dump-{dead_pid + 2}.jsa")  # still warm
+    big, old = b"x" * (2 << 20), time.time() - 10
+    for p, body, mtime in (
+        (live, big, old),
+        (tiny, b"x", old),
+        (fresh, big, time.time()),
+    ):
+        with open(p, "wb") as fh:
+            fh.write(body)
+        os.utime(p, (mtime, mtime))
+    S._promote_cds_dump()
+    assert not os.path.exists(S._cds_archive_path())
+    for p in (live, tiny, fresh):
+        os.remove(p)
+
+    # a completed dump (dead writer, plausible size, quiescent) is
+    # promoted and then mapped; superseded completed dumps are dropped
+    dump = os.path.join(cds_dir, f"dump-{dead_pid}.jsa")
+    older = os.path.join(cds_dir, f"dump-{dead_pid + 3}.jsa")
     for i, p in enumerate((older, dump)):
         with open(p, "wb") as fh:
-            fh.write(b"x")
-        os.utime(p, (1000 + i, 1000 + i))
+            fh.write(big)
+        os.utime(p, (old + i, old + i))
     opt = S._cds_java_options()
     assert opt is not None and "-XX:SharedArchiveFile=" in opt
     assert "-Xshare:auto" in opt  # never a hard requirement

@@ -1898,3 +1898,202 @@ def test_live_ann_reverse_index_mirrors_forward(spark, sf_oracle, tmp_path):
     newest = sorted(os.listdir(mdir))[-1]
     with open(os.path.join(mdir, newest)) as fh:
         assert "rbuckets" in json.load(fh)
+
+
+# ---------------------------------------------------------------------------
+# round 10: binary quantization, recall eval, live-index serving,
+# contamination gate
+# ---------------------------------------------------------------------------
+
+
+def test_binary_sketch_packs_sign_bits(spark, sf_smoke):
+    """hi/lo bit i is set iff dimension (32+i)/(i) is non-negative —
+    verified bit-for-bit against the raw embeddings in python."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_quantize_binary
+
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    }
+    for r in (
+        sim_quantize_binary(spark, sf_smoke).filter(F.col("vec_id") < 20).collect()
+    ):
+        e = raw[r["vec_id"]]
+        lo = sum(1 << i for i in range(32) if e[i] >= 0)
+        hi = sum(1 << i for i in range(32) if e[32 + i] >= 0)
+        assert (r["hi"], r["lo"]) == (hi, lo), r["vec_id"]
+        assert 0 <= r["hi"] < 1 << 32 and 0 <= r["lo"] < 1 << 32  # sign-free
+
+
+def test_binary_topk_recall_floor(spark, sf_oracle):
+    """Hamming shortlist + exact rerank must recall >= 0.7 of the true
+    integer-L2 top-10 (measured 0.82-0.88 at rerank=100; the floor
+    catches a silent sketch/rerank regression)."""
+    from pyspark.sql import Window
+
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _int_dist2,
+        quantized_vec,
+        sim_ann_binary_topk,
+    )
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), quantized_vec("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", quantized_vec("embedding").alias("q"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist2(F.col("qv"), F.col("q")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+        .collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_binary_topk(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_recall_eval_matches_independent_intersection(spark, sf_oracle):
+    """sim_ann_recall_eval's numbers equal an independently computed
+    |IVF top-k ∩ exact top-k| per query, and the IVF recall SLO holds."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_ann_ivf_topk,
+        sim_ann_recall_eval,
+        sim_cosine_topk,
+    )
+
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf_topk(spark, sf_oracle).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_cosine_topk(spark, sf_oracle).collect()
+    }
+    want = {}
+    for q, n in exact:
+        want[q] = want.get(q, 0) + ((q, n) in ann)
+    got = {
+        r["query_id"]: (r["hits"], r["recall"])
+        for r in sim_ann_recall_eval(spark, sf_oracle).collect()
+    }
+    assert set(got) == set(want)
+    for q, (hits, recall) in got.items():
+        assert hits == want[q], (q, hits, want[q])
+        assert recall == hits / 10.0
+    # macro recall floor: IVF at n_probe=4/16 measures ~0.52 vs GLOBAL
+    # exact truth on this corpus (the existing IVF property test's 0.8 is
+    # recall within the probed cells — a different, looser question this
+    # operator exists to make visible). The floor catches a collapse.
+    assert sum(h for h, _ in got.values()) / (10.0 * len(got)) >= 0.4
+
+
+def test_live_index_serves_identical_answers(spark, sf_smoke):
+    """End-to-end serving proof: the beam walk over the streaming-
+    maintained snapshot (edges + vecs + postings all read from the
+    pointed-at on-disk state) returns EXACTLY the batch walk's answers."""
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        sim_ann_graph_topk,
+        sim_ann_search_live_index,
+    )
+
+    key = lambda r: (r["query_id"], r["d2_units"], r["neighbor_id"])  # noqa: E731
+    batch = sorted(sim_ann_graph_topk(spark, sf_smoke).collect(), key=key)
+    live = sorted(sim_ann_search_live_index(spark, sf_smoke).collect(), key=key)
+    assert batch and [tuple(r) for r in live] == [tuple(r) for r in batch]
+
+
+def test_contamination_gate_exhaustive_routing(spark, sf_smoke):
+    """Every training document is routed exactly once, and the route is
+    exactly the n_overlap predicate (quarantine ⇔ any benchmark 5-gram
+    shared); value agreement with the batch closed form is the hash
+    oracle's job."""
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_contamination_gate_live,
+    )
+
+    out = stream_contamination_gate_live(spark, sf_smoke).collect()
+    train = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in out) == train  # exhaustive, exactly once
+    for r in out:
+        assert (r["route"] == "quarantine") == (r["n_overlap"] > 0), dict(r.asDict())
+        assert 0 <= r["n_overlap"] <= r["n_grams"]
+
+
+def test_bpe_fertility_invariants(spark, sf_smoke):
+    """Fertility >= 1 (a word is at least one piece), pieces never carry
+    more characters than the longest vocab word, and the ratios equal
+    the integer sums they were derived from."""
+    from cdc_cloudrun_demo_spark.functions.text import text_bpe_fertility
+
+    rows = text_bpe_fertility(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pieces"] >= r["n_words"] >= 1
+        assert r["fertility"] == round(r["n_pieces"] / r["n_words"], 6)
+        assert r["chars_per_piece"] == round(r["n_chars"] / r["n_pieces"], 6)
+        assert 1.0 <= r["chars_per_piece"] <= 20.0  # vocab gate: words <= 20 chars
+
+
+def test_generic_shard_compaction_for_gate_postings(spark, tmp_path):
+    """compact_ann_index parameterized to the near-dup gate's posting
+    family: content-identical before/after (pure layout), fewer files,
+    and a batch landing AFTER the compaction composes with the
+    generation through the same manifest read."""
+    import os
+
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_state_shards,
+        compact_ann_index,
+    )
+
+    sch = "doc_id long, band int, sig string"
+    root = str(tmp_path / "state")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, i % 4, f"s{b}_{i}") for i in range(8)], sch
+        ).repartition(4).write.parquet(os.path.join(root, "post", f"batch={b}"))
+
+    def files():
+        n = 0
+        for d, _sub, fs in os.walk(os.path.join(root, "post")):
+            n += sum(f.endswith(".parquet") for f in fs)
+        return n
+
+    before_rows = sorted(map(tuple, _read_state_shards(spark, root, "post", sch).collect()))
+    n_before = files()
+    report = compact_ann_index(
+        spark, root, families=("post",), schemas={"post": sch}
+    )
+    assert report["post"]["files_before"] == n_before
+    assert report["post"]["files_after"] < n_before
+    after_rows = sorted(map(tuple, _read_state_shards(spark, root, "post", sch).collect()))
+    assert after_rows == before_rows
+    # a post-compaction batch is visible through the same resolution
+    spark.createDataFrame([(99, 0, "late")], sch).coalesce(1).write.parquet(
+        os.path.join(root, "post", "batch=9")
+    )
+    final = sorted(map(tuple, _read_state_shards(spark, root, "post", sch).collect()))
+    assert final == sorted(before_rows + [(99, 0, "late")])

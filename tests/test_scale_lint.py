@@ -35,6 +35,9 @@ BNLJ_BOUNDED = {
     "broadcasts (same unrolled trainer state)",
     "text_bpe_encode_trained": "inherits text_bpe_train's per-round 1-row "
     "merge broadcasts; the segmentation lookup itself is an equi hash join",
+    "text_bpe_fertility": "inherits text_bpe_train's per-round 1-row merge "
+    "broadcasts; the fertility lookup is an equi hash join folding to "
+    "|langs| rows",
     "sim_cosine_topk": "bounded query set (fixed id filter)",
     "sim_mips_topk": "bounded query set (fixed id filter)",
     "text_unigram_logprob": "1-row total/UNK aggregate",
@@ -61,6 +64,11 @@ BNLJ_BOUNDED = {
     "sim_ann_hnsw_topk": "1-row MIN layer-entry aggregate crossed onto "
     "the bounded query set; <= n_cells-row hub table crossed onto the "
     "coarse layer (both execute inside the eager index build)",
+    "sim_ann_binary_topk": "bounded query set (fixed id filter) broadcast "
+    "over the 17-byte/vector sketch scan; the exact rerank side is an "
+    "equi hash join on the |Q|*rerank shortlist",
+    "sim_ann_recall_eval": "inherits sim_cosine_topk's bounded-query-set "
+    "cross (the exact brute-force baseline runs on the |Q|=5 sample only)",
 }
 
 

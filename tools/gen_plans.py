@@ -78,6 +78,9 @@ COMMENTARY = {
  "dedup_substring_excised": "Span excision emits the Lee et al. training product: the per-doc span set collects into ONE bounded sorted array (spans are disjoint, <= n_tokens/w per doc), left-joins back to the token arrays, and the kept positions + kept text are a single JVM higher-order filter/transform chain - no UDF, no explode of token positions, no shuffle beyond the spans op's own posting pass. Cost above the spans op is one |docs-with-spans| join + narrow array work.",
  "sim_ann_filtered_topk": "Metadata-filtered ANN (the production retrieval query): the quality+lang predicate is evaluated scan-side over documents (narrow integer scoring, no shuffle) and SEMI-JOINED into the corpus BEFORE the probe join, so the inverted lists the probe sees are already filtered - candidate volume scales with the allowed share of the probed cells, and a restrictive filter makes the query CHEAPER, not silently smaller-than-k. Cell assignment stays the inlined-literal integer argmin (zero exchanges); the probe is a BroadcastHashJoin against the bounded query set; the only shuffle is the final per-query top-k window. At 100 TB the allowed-id set rides the semi-join's runtime filter into the corpus scan.",
  "dq_drift_psi": "PSI drift gate: one scan of events; the reference segment's (min, max) is a 1-row bounds aggregate broadcast back (vetted BNLJ - the zone-map pattern), bin assignment is a narrow clamped projection, and ONE groupBy(bin) yields both segments' counts via conditional sums; the 10-row spine + totals are 1-row-aggregate crossJoins. Output is n_bins rows at any table size. The single transcendental (ln of the smoothed ratio) uses the micro-nat round-then-floor discipline, so the gate is hash-oracled despite libm.",
+ "sim_quantize_binary": "Binary (sign-bit) quantization: 32x vector compression in one NARROW pass - two per-row integer folds (JVM aggregate over sequence(0,31), no UDF, no shuffle, zero exchanges) pack 64 dims into two positive BIGINT halves. At 100 TB this runs at scan speed; the sketch table it emits is what sim_ann_binary_topk scans instead of the float corpus.",
+ "sim_ann_binary_topk": "Binary-quantized ANN serving: the Hamming scan is the bounded query set BROADCAST over the two-BIGINT sketch projection (XOR+popcount per comparison - the vetted BNLJ, 17 bytes/vector so the 'scan everything' pass costs ~1/32 of a float scan), per-query shortlist via one top-rerank window over skinny (query, id, ham) rows, then the exact integer-L2 rerank joins ONLY |Q| x rerank rows back to the quantized corpus by key (BroadcastHashJoin). The full-precision vectors are touched for 100 rows per query, never N.",
+ "sim_ann_recall_eval": "Recall@k monitoring as a relational operator: composes the IVF probe (broadcast-only, see sim_ann_ivf_topk) with the exact brute-force baseline over the BOUNDED query sample (sim_cosine_topk's vetted cross), intersects by equi join on (query_id, neighbor_id) and folds to |Q| rows. The exact side is |sample| x N by construction - the production recall-SLO query prices truth on a sample, never the corpus square.",
 }
 
 print("# Plan audit — headline queries\n")
