@@ -320,6 +320,29 @@ def main() -> None:
         "amortization_x": round((q5_total / 5) / (batch_total / 500), 1),
     }
 
+    # same protocol for the binary-sketch scan: the Hamming pass is one
+    # job regardless of |Q| (queries broadcast over the sketch scan), so
+    # per-query cost must collapse the same way
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_ann_binary_topk
+
+    def run_batch_binary() -> float:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        sim_ann_binary_topk(spark, SF_DIR, n_queries=500).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    run_batch_binary()  # warm, untimed
+    bin_total = min(run_batch_binary(), run_batch_binary())
+    bin_q5 = timings["sim_ann_binary_topk"]
+    batch_binary = {
+        "n_queries": 500,
+        "total_s": bin_total,
+        "per_query_ms": round(bin_total / 500 * 1000, 2),
+        "q5_total_s": bin_q5,
+        "q5_per_query_ms": round(bin_q5 / 5 * 1000, 2),
+        "amortization_x": round((bin_q5 / 5) / (bin_total / 500), 1),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -342,6 +365,7 @@ def main() -> None:
                     for n, s in splits.items()
                 },
                 "batch_ann": batch_ann,
+                "batch_binary": batch_binary,
                 "concurrency": {
                     "mix_serial_s": serial_s,
                     "mix_concurrent_s": concurrent_s,

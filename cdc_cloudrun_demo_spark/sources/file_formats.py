@@ -117,6 +117,46 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lakehouse layout: documents written
+    ``partitionBy('lang')`` (one directory per language — THE layout for
+    a multilingual corpus, since language is the dominant filter of
+    every downstream curation query), read back with a two-language
+    filter that must resolve as PARTITION PRUNING — directories never
+    opened, no row-level work, `PartitionFilters` in the scan node
+    (plan-pinned in tests/test_sources.py) — then summarized per
+    language with an order-independent modular membership digest (the
+    `pipeline_shard_manifest` discipline): equal digests prove the
+    partition hop moved every row to exactly one directory and back,
+    not just equal counts. The partition column round-trips from
+    directory names, the classic silent seam for type fidelity."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = os.path.join(scratch_dir("hive_rt_"), "documents_by_lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    # explicit schema: a zero-row write leaves no partition directories
+    # and no footers to infer from (the empty-corpus case), and at scale
+    # it also skips the footer-sampling inference pass
+    back = spark.read.schema(
+        "doc_id long, text string, n_chars long, lang string"
+    ).parquet(path).filter(F.col("lang").isin("en", "de"))
+    member_v = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(1000003)
+    )
+    return back.select("lang", "doc_id", "n_chars", member_v.alias("v")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        (F.sum("v") % F.lit(1000003)).alias("member_digest"),
+    )
+
+
 def source_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unstructured-text ingestion: events → access-log-style LINES →
     `spark.read.text` → regexp parse → aggregate. The write side
@@ -733,12 +773,24 @@ QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
+    "source_partitioned_roundtrip": source_partitioned_roundtrip,
     "source_text_log_parse": source_text_log_parse,
 }
 
 ORACLES = {
     # The oracles read the PRISTINE parquet: equality proves the text
     # hop (quote/escape/precision) is identity on every row.
+    "source_partitioned_roundtrip": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000003) % 1000003 AS BIGINT) AS member_digest
+        FROM documents
+        WHERE lang IN ('en', 'de')
+        GROUP BY lang
+    """,
     "source_xml_roundtrip": SOURCE_XML_ORACLE,
     "source_binary_blobs": SOURCE_BINARY_ORACLE,
     "source_sqldump_writer_roundtrip": f"""

@@ -205,3 +205,34 @@ def test_sqldump_source_roundtrips_every_row_and_quote(spark, sf_smoke):
     assert sum(r["n_orders"] for r in rows.values()) == n_orders
     for r in rows.values():
         assert r["n_quoted"] == r["n_orders"]  # every note has a real quote
+
+
+def test_partitioned_roundtrip_prunes_directories(spark, sf_smoke, tmp_path):
+    """The hive-partitioned read must resolve the lang filter as
+    PARTITION pruning (directory-level, before any row is read): the
+    scan node carries PartitionFilters on lang, and the scanned file
+    set contains ONLY the two selected languages' directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+
+    d = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_by_lang")
+    d.write.partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    # DataFrame.inputFiles() lists the RELATION's files (pre-pruning);
+    # the files actually opened at execution show the pruning
+    files = [
+        r[0]
+        for r in back.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("lang=en" in f or "lang=de" in f for f in files)
+    # the partition column itself round-trips from directory names
+    langs = {r["lang"] for r in back.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
