@@ -157,9 +157,114 @@ def cdc_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_schema_evolution_live(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """The additive migration crossed by a LIVE stream — the production
+    moment schema evolution actually bites: a continuously-running CDC
+    materializer reads a log whose producer added a nullable column
+    MID-STREAM. The streaming reader declares the EVOLVED schema once
+    (a file-stream schema is fixed at query start — the right contract:
+    you deploy the reader that knows about ``channel``, and the parquet
+    scan fills the column with NULL for v1-era segment files), replays
+    both schema generations one file per micro-batch, and a foreachBatch
+    sink merges each batch into a bucketed state snapshot by LWW on seq
+    — touched buckets only (dynamic partition overwrite, the
+    state_snapshot_sink discipline: per-batch I/O is O(touched state),
+    never O(total state)); tombstones are RETAINED in state so replays
+    cannot resurrect deletes, and the keyed LWW merge is idempotent so a
+    crash mid-commit converges on replay. The final snapshot
+    hash-matches the BATCH `cdc_schema_evolution` oracle verbatim: keys
+    last written pre-migration surface NULL channel, post-migration
+    keys carry the producer's value — a reader cannot tell whether the
+    migration was crossed live or read back in batch."""
+    from ..streaming.cdc_stream import bucket_expr
+
+    root = _write_evolving_log(spark, sf_dir)
+    evolved = (
+        "seq long, op string, id long, content string, ts timestamp, "
+        "channel string"
+    )
+    stream = (
+        spark.readStream.schema(evolved)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "v*"))
+    )
+    state_dir = os.path.join(root, "state")
+    current = os.path.join(state_dir, "current")
+    bucket_of = bucket_expr(n_buckets)
+    state_schema = evolved + ", bucket int"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        batch_df = batch_df.withColumn("bucket", bucket_of).persist()
+        try:
+            touched = [
+                r["bucket"] for r in batch_df.select("bucket").distinct().collect()
+            ]  # ≤ n_buckets ints — bounded metadata, not data
+            if not touched:
+                return
+            cur = (
+                spark.read.schema(state_schema)
+                .parquet(current)
+                .filter(F.col("bucket").isin(touched))
+                if os.path.exists(current)
+                else spark.createDataFrame([], state_schema)
+            )
+            w = Window.partitionBy("id").orderBy(F.desc("seq"))
+            merged = (
+                cur.unionByName(batch_df)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            stage = os.path.join(state_dir, "stage")
+            shutil.rmtree(stage, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(stage)
+            (
+                spark.read.schema(state_schema)
+                .parquet(stage)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(current)
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("live schema-evolution fold did not finish in 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    if not os.path.exists(current):  # empty corpus: no batch ever committed
+        return spark.createDataFrame([], state_schema).select(
+            "id", "content", "channel",
+            F.col("seq").alias("last_seq"), F.col("ts").alias("updated_at"),
+        )
+    snap = spark.read.schema(state_schema).parquet(current)
+    return snap.filter(F.col("op") != "DELETE").select(
+        "id",
+        "content",
+        "channel",
+        F.col("seq").alias("last_seq"),
+        F.col("ts").alias("updated_at"),
+    )
+
+
 QUERIES = {
     "cdc_schema_widen": cdc_schema_widen,
     "cdc_schema_evolution": cdc_schema_evolution,
+    "cdc_schema_evolution_live": cdc_schema_evolution_live,
 }
 
 ORACLES = {
@@ -198,3 +303,7 @@ ORACLES = {
         FROM ranked WHERE rn = 1 AND op <> 'DELETE'
     """,
 }
+
+# the live fold must converge to the batch evolution fold exactly —
+# same oracle verbatim
+ORACLES["cdc_schema_evolution_live"] = ORACLES["cdc_schema_evolution"]
