@@ -98,6 +98,10 @@ HEADLINE: dict[str, str] = {
     # every index maintenance cycle)
     "sim_ann_binary_topk": "collect",
     "sim_ann_recall_eval": "collect",
+    # round-10: the DiskANN serving shape - the beam walk steered by PQ
+    # codes (full vectors touched only at the final exact rerank);
+    # FULL_TIMED because the walk's eager hop pins run at construction
+    "sim_ann_graph_adc_topk": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -110,6 +114,7 @@ HEADLINE: dict[str, str] = {
 # keep the r1–r5 action-only protocol so the series stays comparable
 # (their construction is milliseconds of analysis, not engine work).
 FULL_TIMED = {
+    "sim_ann_graph_adc_topk",
     "graph_pagerank",
     "graph_pagerank_copart",
     "sim_ann_pq_topk",

