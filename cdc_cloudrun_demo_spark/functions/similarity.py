@@ -2290,6 +2290,15 @@ def sim_ann_graph_adc_topk(
     return _beam_walk(qs, nodes, edges, post, k, beam, hops, n_queries, steer=steer)
 
 
+def sim_ann_graph_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-serving shape of `sim_ann_graph_adc_topk` (|Q|=500): the
+    code-steered hops are the SAME bounded per-hop jobs at any query
+    count — walk state just gains rows, and the per-node cost is m
+    table lookups regardless of |Q|. Hash-oracled with the identical
+    code-steered CTE replay at the wider query filter."""
+    return sim_ann_graph_adc_topk(spark, sf_dir, n_queries=500)
+
+
 def _graph_adc_topk_oracle(
     k: int = 10,
     beam: int = 8,
@@ -3473,6 +3482,7 @@ QUERIES = {
     "sim_ann_graph_batch": sim_ann_graph_batch,
     "sim_ann_search_live_index": sim_ann_search_live_index,
     "sim_ann_graph_adc_topk": sim_ann_graph_adc_topk,
+    "sim_ann_graph_adc_batch": sim_ann_graph_adc_batch,
     "sim_ann_hnsw_topk": sim_ann_hnsw_topk,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
@@ -3675,6 +3685,7 @@ ORACLES["sim_ann_graph_batch"] = _graph_topk_oracle(n_queries=500)
 # the served answers share the batch walk's oracle verbatim.
 ORACLES["sim_ann_search_live_index"] = _graph_topk_oracle()
 ORACLES["sim_ann_graph_adc_topk"] = _graph_adc_topk_oracle()
+ORACLES["sim_ann_graph_adc_batch"] = _graph_adc_topk_oracle(n_queries=500)
 ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()
 ORACLES["sim_ann_ivf_topk"] = _ivf_topk_oracle()
 ORACLES["sim_quantize_binary"] = f"""

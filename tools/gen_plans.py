@@ -91,22 +91,26 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 10)
 
-Suite wall 33.72 s (r9 build-time, 32 queries) -> **39.44 s (r10, 35
+Suite wall 33.72 s (r9 build-time, 32 queries) -> **45.78 s (r10, 36
 queries; final round-10 BUILD-TIME run, committed as
 docs/bench_r10_buildtime.json — the driver's BENCH_r10.json is the
 artifact of record and supersedes these numbers at next regeneration)**.
-The like-for-like series at the final run: `r8_30q` **31.59 s vs r9's
-30.32 s (+4.2%)**, `r9_32q` 35.43 s (vs 33.72, +5.1%), `r10_33q`
-38.07 s (vs 39.20 s at the round's first-half run, -2.9%), `r7_26q`
-24.14, `r6_23q` 15.31, `r5_20q` 7.63 — all inside the measured ±11%
-sandbox spread (four same-code-lineage runs this round put r8_30q at
-32.87/36.57/31.99/31.59 s). Verdict on the round-9 environment
-question: the driver's uniform ~1.25x r9 slowdown did NOT reproduce at
-build time — this sandbox's run-to-run variance fully accounts for it;
-no per-query regression exists.
+The growth is three new timed entries (the DiskANN code-steered walk at
+4.3 s of honest FULL_TIMED hop work, binary ANN 0.46 s, recall eval
+0.9 s). The like-for-like series at the final run: `r8_30q` **33.86 s
+vs r9's 30.32 s (+11.7%)**, `r9_32q` 37.76 s (vs 33.72, +12%),
+`r10_33q` 40.06 s (vs 39.20/38.07 s at the round's earlier runs,
+within spread), `r7_26q` 25.74, `r6_23q` 16.40, `r5_20q` 8.45 — the
+round's five same-code-lineage runs put r8_30q at
+32.87/36.57/31.99/31.59/33.86 s, a ±8% band around 33 s with no code
+change on any member, so the per-run deltas are sandbox spread, not
+regression (the two cleanest runs of the round, 31.59/31.99, bracket
+r9's 30.32 within 5%). Verdict on the round-9 environment question:
+the driver's uniform ~1.25x r9 slowdown did NOT reproduce at build
+time — run-to-run variance fully accounts for it.
 
-- **Startup: 12.46 s -> 4.59 s (0.88x the reference's 5.2 s JVM
-  anchor).** session_s 4.30 + first_query 0.29, with the AppCDS
+- **Startup: 12.46 s -> 3.70 s (0.71x the reference's 5.2 s JVM
+  anchor).** session_s 3.44 + first_query 0.26, with the AppCDS
   archive (session.py: dump at first exit, promote+map thereafter —
   round-10 second half adds the dump-completeness gate: a dump whose
   writer is alive, short, or non-quiescent is never promoted, because
@@ -128,9 +132,13 @@ no per-query regression exists.
   per-(query, scan-partition) shortlist, bounded exact rerank.
   `sim_ann_recall_eval` 0.96 s (NEW): IVF recall@10 vs exact truth on
   the query sample as a hash-oracled operator.
-- `sim_knn_graph_delete` 3.69 s, `sim_ann_hnsw_topk` 2.94 s,
-  `graph_pagerank` 5.33 s, `graph_pagerank_copart` 6.36 s — flat vs r9
-  within spread. `batch_ann` 14.3 ms/query at |Q|=500 (33x
+- `sim_ann_graph_adc_topk` 4.26 s (NEW, FULL_TIMED): the DiskANN
+  serving shape — hops read 8-byte PQ codes, floats touched once at
+  the exact rerank. `batch_binary`: 3.7 ms/query at |Q|=500 (25x
+  amortization of the Hamming scan).
+- `sim_knn_graph_delete` ~3.7 s, `sim_ann_hnsw_topk` ~2.9 s,
+  `graph_pagerank` ~5.6 s, `graph_pagerank_copart` ~6.6 s — flat vs r9
+  within spread. `batch_ann` 14.4 ms/query at |Q|=500 (31x
   amortization), unchanged.
 - The live streaming entries (`sim_knn_graph_live`,
   `sim_knn_graph_crud_live`, `sim_ann_search_live_index`, the three
