@@ -178,9 +178,18 @@ def cdc_schema_evolution_live(
     last written pre-migration surface NULL channel, post-migration
     keys carry the producer's value — a reader cannot tell whether the
     migration was crossed live or read back in batch."""
+    root = _write_evolving_log(spark, sf_dir)
+    return _run_evolution_fold(spark, root, os.path.join(root, "ckpt"), n_buckets)
+
+
+def _run_evolution_fold(
+    spark: SparkSession, root: str, ckpt: str, n_buckets: int = 8
+) -> DataFrame:
+    """Drive the live evolution fold over an EXISTING two-generation log
+    root into that root's state dir — split out so tests can re-drive
+    the same state under a fresh checkpoint (full-replay idempotence)."""
     from ..streaming.cdc_stream import bucket_expr
 
-    root = _write_evolving_log(spark, sf_dir)
     evolved = (
         "seq long, op string, id long, content string, ts timestamp, "
         "channel string"
@@ -236,7 +245,7 @@ def cdc_schema_evolution_live(
 
     q = (
         stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

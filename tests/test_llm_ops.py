@@ -2136,3 +2136,23 @@ def test_adc_steered_walk_recall_floor(spark, sf_oracle):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_binary_batch_slice_matches_small_query_run(spark, sf_smoke):
+    """Per-query independence of the binary scan: the |Q|=500 batch
+    run's first-5 slice equals the |Q|=5 run row-for-row — the bench's
+    batch_binary amortization comparison is apples-to-apples."""
+    from cdc_cloudrun_demo_spark.functions.similarity import sim_ann_binary_topk
+
+    q5 = sorted(
+        map(tuple, sim_ann_binary_topk(spark, sf_smoke).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            sim_ann_binary_topk(spark, sf_smoke, n_queries=500)
+            .filter(F.col("query_id") < 5)
+            .collect(),
+        )
+    )
+    assert batch == q5 and q5

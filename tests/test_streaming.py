@@ -1875,3 +1875,35 @@ def test_neardup_gate_replay_idempotent(spark, tmp_path):
         for r in stream_neardup_gate_live(spark, sf).collect()
     }
     assert out2 == out1
+
+
+def test_live_schema_evolution_full_replay_is_idempotent(spark, sf_smoke):
+    """Re-driving the ENTIRE evolved log into an ALREADY-CONVERGED state
+    dir under a fresh checkpoint (the lost-checkpoint worst case: every
+    batch replays) must leave the LWW state byte-equal - the keyed merge
+    is idempotent, so recovery at any granularity converges."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.schema_evolution import (
+        _run_evolution_fold,
+        _write_evolving_log,
+    )
+
+    root = _write_evolving_log(spark, sf_smoke)
+    first = sorted(
+        map(
+            tuple,
+            _run_evolution_fold(spark, root, os.path.join(root, "ckpt1")).collect(),
+        )
+    )
+    assert first
+    # SAME root (same v1/v2 log, same state dir), FRESH checkpoint:
+    # Structured Streaming reprocesses every file as new batches over
+    # the existing state
+    replayed = sorted(
+        map(
+            tuple,
+            _run_evolution_fold(spark, root, os.path.join(root, "ckpt2")).collect(),
+        )
+    )
+    assert replayed == first
