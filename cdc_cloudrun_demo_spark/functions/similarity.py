@@ -2776,7 +2776,11 @@ def sim_knn_graph_live(
 
 
 def _ingest_live_state(
-    spark: SparkSession, sf_dir: str, k_edges: int, n_batches: int
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int,
+    n_batches: int,
+    retain_edge_versions: int = 2,
 ) -> str:
     """Run the full Structured-Streaming ANN ingest over the corpus
     sliced into ``n_batches`` micro-batches (delivery order pinned) and
@@ -2822,6 +2826,7 @@ def _ingest_live_state(
         os.path.join(tmp, "ckpt"),
         cents,
         k_edges=k_edges,
+        retain_edge_versions=retain_edge_versions,
     )
     finished = q.awaitTermination(300)
     if not finished:
@@ -2830,6 +2835,37 @@ def _ingest_live_state(
     if q.exception() is not None:
         raise q.exception()
     return os.path.join(tmp, "state")
+
+
+def sim_knn_graph_asof(
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int = 8,
+    n_batches: int = 4,
+    asof_batch: int = 1,
+) -> DataFrame:
+    """TIME-TRAVEL search state: ingest the full corpus through the live
+    streaming sink (retention raised to keep every version — the
+    serve-history configuration), then read the index AS OF an
+    intermediate micro-batch (`read_ann_index_asof` resolves that
+    batch's durable manifest). The as-of edge list must equal the
+    one-shot rebuild over exactly the vectors that had ARRIVED by that
+    batch, with the frozen full-corpus artifacts — the same
+    filtered-rebuild oracle family as the delete entry, with the filter
+    being arrival time instead of survival. This is `cdc_snapshot_asof`
+    / Delta time travel lifted to the vector index: reproduce the
+    search results any historical query saw, from retained immutable
+    versions, no rebuild."""
+    from ..streaming.ann_ingest import read_ann_index_asof
+
+    state_dir = _ingest_live_state(
+        spark,
+        sf_dir,
+        k_edges,
+        n_batches,
+        retain_edge_versions=n_batches + 1,
+    )
+    return read_ann_index_asof(spark, state_dir, asof_batch)
 
 
 def sim_ann_search_live_index(
@@ -3475,6 +3511,7 @@ QUERIES = {
     "sim_knn_graph_upsert": sim_knn_graph_upsert,
     "sim_knn_graph_delete": sim_knn_graph_delete,
     "sim_knn_graph_live": sim_knn_graph_live,
+    "sim_knn_graph_asof": sim_knn_graph_asof,
     "sim_knn_graph_live_compacted": sim_knn_graph_live_compacted,
     "sim_knn_graph_crud": sim_knn_graph_crud,
     "sim_knn_graph_crud_live": sim_knn_graph_crud_live,
@@ -3665,6 +3702,13 @@ ORACLES["sim_knn_graph_delete"] = _knn_graph_oracle(
 # The live-ingest proof: the streaming-maintained state equals the
 # one-shot rebuild, so it shares sim_knn_graph's oracle verbatim.
 ORACLES["sim_knn_graph_live"] = _knn_graph_oracle()
+# Time travel: the as-of state equals the rebuild over the vectors that
+# had ARRIVED by that batch (slice = vec_id % n_batches, batches 0..1
+# delivered), with frozen full-corpus artifacts — the delete entry's
+# filtered-rebuild oracle family, filter = arrival time.
+ORACLES["sim_knn_graph_asof"] = _knn_graph_oracle(
+    src_where="WHERE src % 4 <= 1 AND dst % 4 <= 1"
+)
 # compaction is pure layout: the mid-stream-compacted ingest equals the
 # same rebuild
 ORACLES["sim_knn_graph_live_compacted"] = _knn_graph_oracle()

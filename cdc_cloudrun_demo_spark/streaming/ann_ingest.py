@@ -683,3 +683,28 @@ def read_ann_index(spark: SparkSession, state_dir: str) -> DataFrame:
     manifest once; the returned DataFrame holds exactly that snapshot's
     file set (concurrent batches never tear the view)."""
     return _read_manifest_edges(spark, state_dir, _read_pointer(state_dir))
+
+
+def read_ann_index_asof(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """TIME TRAVEL over the maintained index: the edge list exactly as
+    it stood after micro-batch ``batch_id`` committed — the vector-store
+    twin of the CDC materializer's as-of snapshot (`cdc_snapshot_asof`)
+    and Delta time travel. Every published manifest is durable under
+    ``manifests/`` and names its version's bucket files, so any retained
+    snapshot is one pointer read away; whether its FILES still exist is
+    the retention policy's call (``retain_edge_versions`` — raise it on
+    sinks that must serve history, exactly like Delta's
+    ``delta.deletedFileRetentionDuration``). Raises KeyError for a
+    batch that never committed; reads past the retention window fail at
+    scan time like any vacuumed-version read."""
+    path = os.path.join(state_dir, "manifests", f"m{batch_id:09d}.json")
+    try:
+        with open(path) as fh:
+            ptr = json.load(fh)
+    except FileNotFoundError:
+        raise KeyError(
+            f"no committed manifest for batch {batch_id} at {state_dir}"
+        ) from None
+    return _read_manifest_edges(spark, state_dir, ptr)

@@ -2156,3 +2156,39 @@ def test_binary_batch_slice_matches_small_query_run(spark, sf_smoke):
         )
     )
     assert batch == q5 and q5
+
+
+def test_ann_asof_respects_retention_and_missing_batches(spark, sf_smoke):
+    """Time-travel contract: every retained batch's as-of state is
+    readable and MONOTONE (each later batch's edge set is a superset of
+    srcs seen so far only growing — srcs never vanish under insert-only
+    ingest); a never-committed batch raises KeyError; with the DEFAULT
+    retention (2 manifests), vacuumed early manifests are GONE —
+    history serving is an explicit configuration, not an accident."""
+    import pytest as _pytest
+
+    from cdc_cloudrun_demo_spark.functions.similarity import _ingest_live_state
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        read_ann_index,
+        read_ann_index_asof,
+    )
+
+    state = _ingest_live_state(spark, sf_smoke, 8, 4, retain_edge_versions=5)
+    prev_srcs: set = set()
+    for b in range(4):
+        srcs = {
+            r["src"] for r in read_ann_index_asof(spark, state, b).select("src").distinct().collect()
+        }
+        assert srcs >= prev_srcs and (b == 0 or srcs > prev_srcs)
+        prev_srcs = srcs
+    final = {
+        r["src"] for r in read_ann_index(spark, state).select("src").distinct().collect()
+    }
+    assert final == prev_srcs
+    with _pytest.raises(KeyError):
+        read_ann_index_asof(spark, state, 99)
+    # default retention: early manifests vacuumed
+    state2 = _ingest_live_state(spark, sf_smoke, 8, 4)  # retain=2
+    with _pytest.raises(KeyError):
+        read_ann_index_asof(spark, state2, 0)
+    assert read_ann_index_asof(spark, state2, 3).count() > 0
