@@ -682,11 +682,11 @@ def minhash_signatures_for(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands_for(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) banded MinHash postings for an arbitrary
-    documents frame — `dedup_minhash_banded`'s banding as a reusable
-    posting builder (4 bands x 4 rows over 16 portable permutations)."""
-    mins = minhash_signatures_for(docs)
+def _bands_from_mins(mins: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) from a signature frame — THE banding
+    definition (4 bands x 4 rows, '-'-joined component strings), shared
+    by `dedup_minhash_banded`, `minhash_bands_for` (the live gate's
+    posting builder) and mirrored by both SQL oracles."""
     r = _MH_PERMS // _MH_BANDS
     band_structs = F.array(
         *[
@@ -702,6 +702,13 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
     return mins.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
+
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded MinHash postings for an arbitrary
+    documents frame — `dedup_minhash_banded`'s banding as a reusable
+    posting builder (4 bands x 4 rows over 16 portable permutations)."""
+    return _bands_from_mins(minhash_signatures_for(docs))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,21 +738,9 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     — O(collisions), never all-pairs — then two doc-keyed signature
     joins for the agreement count."""
     mins = minhash_signatures(spark, sf_dir)
-    r = _MH_PERMS // _MH_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-", *[F.col(f"m{b * r + i}").cast("string") for i in range(r)]
-                ).alias("sig"),
-            )
-            for b in range(_MH_BANDS)
-        ]
-    )
-    bands = mins.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    # one banding definition for the whole family: batch dedup, the live
+    # gate and both SQL oracles must agree on the 4x4 '-'-joined format
+    bands = _bands_from_mins(mins)
     a = bands.select("band", "sig", F.col("doc_id").alias("id_a"))
     b2 = bands.select("band", "sig", F.col("doc_id").alias("id_b"))
     cand = (

@@ -1660,7 +1660,7 @@ def _recall_eval_oracle(k: int = 10) -> str:
         WITH ivf AS MATERIALIZED (
             {_ivf_topk_oracle(k)}
         ), exact AS MATERIALIZED (
-            {_SQL_COS_TOPK}
+            {_sql_cos_topk(k)}
         ), spine AS (
             SELECT DISTINCT query_id FROM exact
         ), found AS (
@@ -2791,30 +2791,20 @@ def _ingest_live_state(
     import os
 
     from .._scratch import scratch_dir
+    from ..sources import write_ordered_slices
     from ..streaming.ann_ingest import VEC_SCHEMA, ann_index_sink
 
     emb = load_for_compute(spark, sf_dir, "embeddings")
     cents = kmeans_centroid_rows(spark, emb, 16, corpus_key=sf_dir)
     tmp = scratch_dir("ann_live_")
     log_dir = os.path.join(tmp, "log")
-    slices = []
-    for b in range(n_batches):
-        d = os.path.join(log_dir, f"slice_{b:03d}")
-        emb.filter(F.col("vec_id") % n_batches == b).select(
-            "vec_id", "embedding"
-        ).coalesce(1).write.mode("overwrite").parquet(d)
-        slices.append(d)
-    # pin delivery order (FileStreamSource orders by mtime — the
-    # in-order-contract discipline of operators/cdc.py)
-    base = max(
-        os.path.getmtime(os.path.join(d, f))
-        for d in slices
-        for f in os.listdir(d)
+    write_ordered_slices(
+        emb.select("vec_id", "embedding"),
+        log_dir,
+        range(n_batches),
+        "vec_id",
+        n_batches,
     )
-    for i, d in enumerate(slices):
-        for f in os.listdir(d):
-            t = base + i + 1
-            os.utime(os.path.join(d, f), (t, t))
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -2952,23 +2942,15 @@ def sim_knn_graph_live_compacted(
     ckpt = os.path.join(tmp, "ckpt")
 
     def write_slices(batch_ids: list[int]) -> None:
-        dirs = []
-        for b in batch_ids:
-            d = os.path.join(log_dir, f"slice_{b:03d}")
-            emb.filter(F.col("vec_id") % n_batches == b).select(
-                "vec_id", "embedding"
-            ).coalesce(1).write.mode("overwrite").parquet(d)
-            dirs.append(d)
-        # pin delivery order within the group (mtime ascending by slice)
-        base = max(
-            os.path.getmtime(os.path.join(d, f))
-            for d in dirs
-            for f in os.listdir(d)
+        from ..sources import write_ordered_slices
+
+        write_ordered_slices(
+            emb.select("vec_id", "embedding"),
+            log_dir,
+            batch_ids,
+            "vec_id",
+            n_batches,
         )
-        for i, d in enumerate(dirs):
-            for f in os.listdir(d):
-                t = base + i + 1
-                os.utime(os.path.join(d, f), (t, t))
 
     def run_available() -> None:
         q = ann_index_sink(
@@ -3562,17 +3544,20 @@ _SQL_COS = """
     )
 """
 
-# Exact top-10 (query_id, neighbor_id) per query — the brute-force
-# baseline side of `sim_ann_recall_eval`, same rounding/tie rules as
-# the sim_cosine_topk oracle.
-_SQL_COS_TOPK = f"""
+def _sql_cos_topk(k: int = 10) -> str:
+    """Exact top-``k`` (query_id, neighbor_id) per query — the
+    brute-force baseline side of `sim_ann_recall_eval`, same
+    rounding/tie rules as the sim_cosine_topk oracle. Parameterized so
+    the recall oracle's k stays in lockstep with its IVF side
+    (round-10 review: a constant here silently diverged for k != 10)."""
+    return f"""
     SELECT query_id, neighbor_id FROM (
         {_SQL_COS}
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
         FROM scored
-    ) WHERE rnk <= 10
+    ) WHERE rnk <= {k}
 """
 
 ORACLES = {

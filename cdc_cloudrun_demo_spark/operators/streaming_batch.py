@@ -742,7 +742,7 @@ def stream_neardup_gate_live(
 
     from .._scratch import scratch_dir
     from ..functions.dedup import minhash_bands_for
-    from ..sources import file_stream
+    from ..sources import file_stream, write_ordered_slices
     from ..streaming.ann_ingest import _read_state_shards, compact_ann_index
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -750,20 +750,7 @@ def stream_neardup_gate_live(
     )
     root = scratch_dir("ndgate_")
     log = os.path.join(root, "log")
-    for s in range(n_slices):
-        d.filter(F.col("doc_id") % n_slices == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(log, f"slice_{s:03d}"))
-    # pin delivery order (FileStreamSource orders by mtime)
-    slices = [os.path.join(log, f"slice_{s:03d}") for s in range(n_slices)]
-    base = max(
-        os.path.getmtime(os.path.join(sd, f))
-        for sd in slices
-        for f in os.listdir(sd)
-    )
-    for i, sd in enumerate(slices):
-        for f in os.listdir(sd):
-            os.utime(os.path.join(sd, f), (base + i + 1, base + i + 1))
+    write_ordered_slices(d, log, range(n_slices), "doc_id", n_slices)
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
     stream = file_stream(
         spark, os.path.join(log, "slice_*"), schema, max_files_per_trigger=1
@@ -781,12 +768,25 @@ def stream_neardup_gate_live(
                 # resolved through the shard manifest: the compacted
                 # generation (if any) plus every batch subdir it does
                 # not cover — so a long-running gate can bin-pack its
-                # posting state mid-stream without a correctness seam
-                standing = _read_state_shards(spark, root, "post", band_schema)
+                # posting state mid-stream without a correctness seam.
+                # REPLAY GUARD: a crash between the posting-shard write
+                # and the checkpoint commit replays this batch with its
+                # OWN bands already in the standing state — every doc
+                # would self-collide and the whole batch would quarantine.
+                # Each doc arrives exactly once, so standing rows carrying
+                # a CURRENT batch doc_id can only be this batch's earlier
+                # attempt: anti-join them out (works through compaction,
+                # where per-batch paths no longer exist to exclude).
+                standing = _read_state_shards(
+                    spark, root, "post", band_schema
+                ).join(batch_df.select("doc_id"), "doc_id", "left_anti")
                 # collide with ANY earlier arrival: standing postings, or
-                # a smaller-id batch-mate on the same (band, sig)
+                # a smaller-id batch-mate on the same (band, sig). Plain
+                # left-semi — no distinct over the standing state: semi
+                # joins tolerate duplicate build keys, and a per-batch
+                # distinct would shuffle O(total state) every batch.
                 hit_standing = bands.join(
-                    standing.select("band", "sig").distinct(), ["band", "sig"], "semi"
+                    standing.select("band", "sig"), ["band", "sig"], "semi"
                 ).select("doc_id")
                 mates = bands.select(
                     "band", "sig", F.col("doc_id").alias("earlier")

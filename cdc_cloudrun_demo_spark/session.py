@@ -188,18 +188,24 @@ def ensure_cds_archive() -> bool:
     import subprocess
     import sys
 
-    subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "from cdc_cloudrun_demo_spark.session import get_spark; "
-            "get_spark(app_name='cds-install').stop()",
-        ],
-        check=False,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-        timeout=300,
-    )
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "from cdc_cloudrun_demo_spark.session import get_spark; "
+                "get_spark(app_name='cds-install').stop()",
+            ],
+            check=False,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        # CDS is strictly an optimization: a hung install child must
+        # degrade to "no archive" (caller benches/runs without it),
+        # never crash the caller (round-10 review).
+        return False
     # The dump is written by the child's JVM at exit and may still be
     # flushing when subprocess.run returns; poll until the completeness
     # gate (pid dead + size + quiescence) admits it.
@@ -232,6 +238,19 @@ def _cds_java_options() -> str | None:
     user_conf = os.environ.get("SPARK_CONF_DIR")
     if user_conf is not None and os.path.abspath(user_conf) != empty_conf:
         return None
+    # Redirecting SPARK_CONF_DIR away from $SPARK_HOME/conf is only
+    # transparent when that dir carries no REAL configuration — skip CDS
+    # rather than silently dropping a user's spark-defaults.conf /
+    # spark-env.sh (round-10 review). Shipped distributions hold only
+    # inert *.template files, which the redirect may hide.
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        default_conf = os.path.join(spark_home, "conf")
+        if os.path.isdir(default_conf) and any(
+            not f.endswith(".template") and not f.startswith(".")
+            for f in os.listdir(default_conf)
+        ):
+            return None
     os.environ["SPARK_CONF_DIR"] = empty_conf
     if os.path.exists(archive):
         return f"-XX:SharedArchiveFile={archive} -Xshare:auto"
@@ -344,17 +363,17 @@ def get_spark(
             raise
         # CDS is strictly an optimization: any launch problem with its
         # flags (corrupt archive, unexpected classpath directory at dump
-        # time) must never cost a session — drop the archive so later
-        # processes regenerate it, clear the flag (Builder.config
-        # MUTATES shared options, so the retry must overwrite it) and
-        # relaunch plain.
-        import glob as _glob
-
-        for f in _glob.glob(os.path.join(_CDS_DIR, "*.jsa")):
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+        # time) must never cost a session — drop the MAPPED ARCHIVE so
+        # later processes regenerate it (only the archive: dump-<pid>
+        # files may belong to concurrently exiting JVMs, and deleting
+        # them here would destroy another writer's in-progress dump on a
+        # failure that may not even be CDS-related — round-10 review),
+        # clear the flag (Builder.config MUTATES shared options, so the
+        # retry must overwrite it) and relaunch plain.
+        try:
+            os.remove(_cds_archive_path())
+        except OSError:
+            pass
         spark = builder.config(
             "spark.driver.extraJavaOptions", ""
         ).getOrCreate()

@@ -80,6 +80,43 @@ def file_stream(
     )
 
 
+def write_ordered_slices(
+    df: DataFrame,
+    log_dir: str,
+    slice_ids,
+    key_col: str,
+    n_slices: int,
+) -> None:
+    """Write one single-file parquet dir per slice (rows where
+    ``key_col % n_slices == b``) under ``log_dir/slice_<b>`` and pin
+    FileStreamSource delivery order by ascending mtime — THE replay
+    harness for every live-twin entry (FileStreamSource orders by
+    mtime; the in-order-contract discipline of operators/cdc.py).
+    Shared so a fix to the ordering discipline lands once (round-10
+    review found five copies). Callable incrementally: a later group's
+    base starts at the previous group's max pinned mtime, so slice
+    order stays globally ascending."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dirs = []
+    for b in slice_ids:
+        d = os.path.join(log_dir, f"slice_{b:03d}")
+        df.filter(F.col(key_col) % n_slices == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        dirs.append(d)
+    base = max(
+        os.path.getmtime(os.path.join(d, f))
+        for d in dirs
+        for f in os.listdir(d)
+    )
+    for i, d in enumerate(dirs):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i + 1, base + i + 1))
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     return (
         spark.readStream.format("rate")

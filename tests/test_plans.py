@@ -629,5 +629,10 @@ def test_filtered_ann_pushes_filter_before_probe(spark, sf_smoke):
     assert "LeftSemi" in plan, plan  # the filter joins the corpus pre-probe
     assert uses_broadcast_join(df), plan  # the probe side broadcasts
     # the quality predicate evaluates above the lineage break (an RDD
-    # scan), not fused into the parquet scan task
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # scan), not fused into the parquet scan task. The break only
+    # engages when the scan's natural split count is far below the core
+    # count (catalog.load_for_heavy_compute: scan_parts * 2 < cores) —
+    # on a very low-core host it correctly stays a plain scan, and the
+    # assertion would encode a machine assumption (round-10 review).
+    if spark.sparkContext.defaultParallelism >= 4:
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

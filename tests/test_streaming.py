@@ -1907,3 +1907,46 @@ def test_live_schema_evolution_full_replay_is_idempotent(spark, sf_smoke):
         )
     )
     assert replayed == first
+
+
+def test_neardup_gate_mid_batch_replay_does_not_self_collide(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """The crash window the round-10 review found: a batch that crashed
+    AFTER writing its posting shard but BEFORE the checkpoint commit
+    replays with its own bands already in standing state — without the
+    own-doc anti-join every doc self-collides and the whole batch lands
+    in quarantine. Simulated by pre-seeding post/batch=0 with batch-0's
+    exact bands (what the failed first attempt left behind) and running
+    the gate from scratch: routing must equal the clean run's."""
+    import os
+
+    import cdc_cloudrun_demo_spark._scratch as scratch_mod
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.dedup import minhash_bands_for
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_neardup_gate_live,
+    )
+
+    clean_run = sorted(
+        map(tuple, stream_neardup_gate_live(spark, sf_smoke).collect())
+    )
+
+    root = str(tmp_path / "ndgate_replay")
+    os.makedirs(root)
+    d = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    slice0 = d.filter(F.col("doc_id") % 4 == 0)  # batch 0 = slice_000
+    minhash_bands_for(slice0).write.parquet(os.path.join(root, "post", "batch=0"))
+
+    real_scratch = scratch_mod.scratch_dir
+    monkeypatch.setattr(
+        scratch_mod,
+        "scratch_dir",
+        lambda prefix: root if prefix == "ndgate_" else real_scratch(prefix),
+    )
+    replayed = sorted(
+        map(tuple, stream_neardup_gate_live(spark, sf_smoke).collect())
+    )
+    assert replayed == clean_run
