@@ -2846,7 +2846,11 @@ def sim_knn_graph_asof(
     / Delta time travel lifted to the vector index: reproduce the
     search results any historical query saw, from retained immutable
     versions, no rebuild."""
-    from ..streaming.ann_ingest import read_ann_index_asof
+    from ..streaming.ann_ingest import (
+        _read_pointer,
+        read_ann_index,
+        read_ann_index_asof,
+    )
 
     state_dir = _ingest_live_state(
         spark,
@@ -2855,6 +2859,11 @@ def sim_knn_graph_asof(
         n_batches,
         retain_edge_versions=n_batches + 1,
     )
+    if _read_pointer(state_dir) is None:
+        # empty corpus: the stream ran zero batches, so there is no
+        # history to travel to — the empty index, not a KeyError (which
+        # stays reserved for a MISSING batch on a committed state)
+        return read_ann_index(spark, state_dir)
     return read_ann_index_asof(spark, state_dir, asof_batch)
 
 
