@@ -91,26 +91,29 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 10)
 
-Suite wall 33.72 s (r9 build-time, 32 queries) -> **45.78 s (r10, 36
-queries; final round-10 BUILD-TIME run, committed as
-docs/bench_r10_buildtime.json — the driver's BENCH_r10.json is the
-artifact of record and supersedes these numbers at next regeneration)**.
-The growth is three new timed entries (the DiskANN code-steered walk at
-4.3 s of honest FULL_TIMED hop work, binary ANN 0.46 s, recall eval
-0.9 s). The like-for-like series at the final run: `r8_30q` **33.86 s
-vs r9's 30.32 s (+11.7%)**, `r9_32q` 37.76 s (vs 33.72, +12%),
-`r10_33q` 40.06 s (vs 39.20/38.07 s at the round's earlier runs,
-within spread), `r7_26q` 25.74, `r6_23q` 16.40, `r5_20q` 8.45 — the
-round's five same-code-lineage runs put r8_30q at
-32.87/36.57/31.99/31.59/33.86 s, a ±8% band around 33 s with no code
-change on any member, so the per-run deltas are sandbox spread, not
-regression (the two cleanest runs of the round, 31.59/31.99, bracket
-r9's 30.32 within 5%). Verdict on the round-9 environment question:
-the driver's uniform ~1.25x r9 slowdown did NOT reproduce at build
-time — run-to-run variance fully accounts for it.
+Suite wall 33.72 s (r9 build-time, 32 queries) -> **40.69 s (r10, 36
+queries; final round-10 BUILD-TIME run on the end-of-round tree,
+committed as docs/bench_r10_buildtime.json — the driver's BENCH_r10.json
+is the artifact of record and supersedes these numbers at next
+regeneration)**. The growth is three new timed entries (the DiskANN
+code-steered walk at ~4 s of honest FULL_TIMED hop work, binary ANN
+~0.45 s, recall eval ~0.9 s). The like-for-like series at the final
+run: `r8_30q` **30.49 s vs r9's 30.32 s (+0.6% — flat)**, `r9_32q`
+34.04 s (vs 33.72, +0.9%), `r10_33q` 36.08 s (best of the round's
+three measurements: 39.20/38.07/36.08), `r7_26q` 23.67, `r6_23q`
+14.96, `r5_20q` 7.27 — no regression anywhere. The round's six
+same-code-lineage runs put r8_30q at 32.87/36.57/31.99/31.59/33.86/
+30.49 s, a ±9% band with no code change on any member: per-run deltas
+are sandbox spread. Verdict on the round-9 environment question: the
+driver's uniform ~1.25x r9 slowdown did NOT reproduce at build time —
+run-to-run variance fully accounts for it.
 
-- **Startup: 12.46 s -> 3.70 s (0.71x the reference's 5.2 s JVM
-  anchor).** session_s 3.44 + first_query 0.26, with the AppCDS
+- **Startup: 12.46 s -> 7.49 s committed / 3.70-7.5 s measured
+  across the round's runs (0.71x-1.44x the reference's 5.2 s JVM
+  anchor; isolated same-code probes span 5.3-5.8 s session, so
+  startup variance on this sandbox is ~2x and the committed sample is
+  the pessimistic end — every observation is inside the 2x
+  contract).** With the AppCDS
   archive (session.py: dump at first exit, promote+map thereafter —
   round-10 second half adds the dump-completeness gate: a dump whose
   writer is alive, short, or non-quiescent is never promoted, because
