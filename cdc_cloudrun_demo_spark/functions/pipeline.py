@@ -373,6 +373,61 @@ def _curation_export_oracle() -> str:
     """
 
 
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL REPORT — per-stage survivor counts for the
+    gate sequence `pipeline_curation_export` lands (total → eval-split
+    exclusion → dedup kept-set → quality filter): the one-table
+    accounting every training-data run publishes, answering "where did
+    my corpus go" before anyone reads a shard. Each stage is a 1-row
+    global aggregate over the cumulative semi-joined survivor set —
+    four bounded rows out regardless of corpus size, and the stages
+    reuse the export pipeline's own kept-sets so the report can never
+    drift from what the export actually ships."""
+    from .dedup import pipeline_dedup_kept
+    from .text import pipeline_quality_kept
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    dk = pipeline_dedup_kept(spark, sf_dir).select("doc_id")
+    qk = pipeline_quality_kept(spark, sf_dir).filter("kept").select("doc_id")
+    s1 = d.filter(F.col("doc_id") % 50 != 0)
+    s2 = s1.join(dk, "doc_id", "left_semi")
+    s3 = s2.join(qk, "doc_id", "left_semi")
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    return (
+        stage(0, "total", d)
+        .unionByName(stage(1, "eval_split_excluded", s1))
+        .unionByName(stage(2, "dedup_kept", s2))
+        .unionByName(stage(3, "quality_kept", s3))
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    from .dedup import ORACLES as DEDUP_ORACLES
+    from .text import ORACLES as TEXT_ORACLES
+
+    dk = DEDUP_ORACLES["pipeline_dedup_kept"]
+    qk = TEXT_ORACLES["pipeline_quality_kept"]
+    return f"""
+        WITH dk AS (SELECT doc_id FROM ({dk})),
+        qk AS (SELECT doc_id FROM ({qk}) WHERE kept),
+        s1 AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        s2 AS (SELECT s1.doc_id FROM s1 JOIN dk USING (doc_id)),
+        s3 AS (SELECT s2.doc_id FROM s2 JOIN qk USING (doc_id))
+        SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+               COUNT(*) AS n_docs FROM documents
+        UNION ALL SELECT CAST(1 AS INT), 'eval_split_excluded', COUNT(*) FROM s1
+        UNION ALL SELECT CAST(2 AS INT), 'dedup_kept', COUNT(*) FROM s2
+        UNION ALL SELECT CAST(3 AS INT), 'quality_kept', COUNT(*) FROM s3
+    """
+
+
 _PPL_THRESHOLD_UNATS = -7_000_000  # mean logp ≥ -7 nats ⇔ perplexity ≤ e^7
 
 
@@ -828,6 +883,7 @@ QUERIES = {
     "pipeline_shard_manifest": pipeline_shard_manifest,
     "pipeline_split_assign": pipeline_split_assign,
     "pipeline_curation_export": pipeline_curation_export,
+    "pipeline_curation_funnel": pipeline_curation_funnel,
 }
 
 ORACLES = {
@@ -956,6 +1012,7 @@ ORACLES = {
 # Composed lazily from the stage oracles at import (no cycles: dedup/text
 # never import this module).
 ORACLES["pipeline_curation_export"] = _curation_export_oracle()
+ORACLES["pipeline_curation_funnel"] = _curation_funnel_oracle()
 
 
 def _perplexity_kept_oracle() -> str:

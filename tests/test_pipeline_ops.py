@@ -424,3 +424,31 @@ def test_zorder_key_survives_wide_int_spans(spark, tmp_path):
     assert all(v >= 0 for v in rows.values()), rows
     assert rows[0] == 0
     assert rows[70000] == (1 << 32) - 1
+
+
+def test_curation_funnel_is_monotone_and_matches_export(spark, sf_oracle):
+    """The funnel must be monotone non-increasing across stages, start
+    at the corpus size, and its final stage must equal the export
+    composition's survivor count — the report can never drift from what
+    the export ships."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.pipeline import (
+        pipeline_curation_export,
+        pipeline_curation_funnel,
+    )
+
+    rows = {
+        r["stage_idx"]: r["n_docs"]
+        for r in pipeline_curation_funnel(spark, sf_oracle).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0] == load_table(spark, sf_oracle, "documents").count()
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3] > 0
+    shipped = (
+        pipeline_curation_export(spark, sf_oracle)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert rows[3] == shipped
