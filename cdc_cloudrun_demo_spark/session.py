@@ -144,11 +144,55 @@ def _cds_dump_complete(path: str) -> bool:
         return False
 
 
+def _cds_archive_valid(path: str) -> bool:
+    """End-of-file validity gate (round-10 advice): the pid/quiescence
+    heuristic in `_cds_dump_complete` can still promote a truncated
+    archive if the exiting JVM's flush stalls >3 s, and a truncated map
+    SIGBUSes a LATER production JVM mid-relocation. So before
+    promotion, (a) check the CDS file-map magic (0xf00baba8 dynamic /
+    0xf00baba2 static, little-endian) so garbage never passes, and (b)
+    actually MAP the archive in a throwaway ``java
+    -XX:SharedArchiveFile=<dump> -XX:+PrintSharedArchiveAndExit``
+    probe — the same mapping that would SIGBUS later, moved into a
+    process whose death costs nothing. Measured on this container: a
+    truncated dump crashes the probe (exit 134, SIGBUS→abort); a
+    complete dump terminates NORMALLY (exit 0 or 1 — 1 just means the
+    probe JVM's empty classpath mismatches the dump-time classpath,
+    which says nothing about file integrity). So promote iff the probe
+    terminated normally."""
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        # 0xf00baba8 dynamic / 0xf00baba2 static, little-endian
+        if magic not in (b"\xa8\xab\x0b\xf0", b"\xa2\xab\x0b\xf0"):
+            return False
+    except OSError:
+        return False
+    import subprocess
+
+    java = "java"
+    jh = os.environ.get("JAVA_HOME")
+    if jh and os.path.exists(os.path.join(jh, "bin", "java")):
+        java = os.path.join(jh, "bin", "java")
+    try:
+        probe = subprocess.run(
+            [java, f"-XX:SharedArchiveFile={path}",
+             "-XX:+PrintSharedArchiveAndExit"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=60,
+        )
+        return probe.returncode in (0, 1)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def _promote_cds_dump() -> None:
-    """Promote the newest COMPLETED per-pid dump to the shared archive
-    name (atomic rename), dropping superseded completed dumps. Dumps
-    still being written by an exiting JVM are left alone — see
-    _cds_dump_complete."""
+    """Promote the newest COMPLETED AND PROBE-VALIDATED per-pid dump to
+    the shared archive name (atomic rename), dropping superseded
+    completed dumps. Dumps still being written by an exiting JVM are
+    left alone — see _cds_dump_complete; dumps that fail the map probe
+    are deleted (they can only ever SIGBUS a reader)."""
     import glob
 
     archive = _cds_archive_path()
@@ -162,13 +206,21 @@ def _promote_cds_dump() -> None:
         ),
         key=os.path.getmtime,
     )
-    if dumps:
+    while dumps:
+        cand = dumps.pop()
+        if not _cds_archive_valid(cand):
+            try:
+                os.remove(cand)
+            except OSError:
+                pass
+            continue
         try:
-            os.replace(dumps[-1], archive)
-            for d in dumps[:-1]:
+            os.replace(cand, archive)
+            for d in dumps:
                 os.remove(d)
         except OSError:
             pass
+        return
 
 
 def ensure_cds_archive() -> bool:

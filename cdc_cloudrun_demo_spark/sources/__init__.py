@@ -100,6 +100,8 @@ def write_ordered_slices(
 
     from pyspark.sql import functions as F
 
+    import glob
+
     dirs = []
     for b in slice_ids:
         d = os.path.join(log_dir, f"slice_{b:03d}")
@@ -107,10 +109,15 @@ def write_ordered_slices(
             "overwrite"
         ).parquet(d)
         dirs.append(d)
+    # base folds in EVERY slice_* file already under log_dir — not just
+    # this call's — so a later group's pins start above the previous
+    # group's (whose pins sit base+i in the future); without this, two
+    # groups written into one log inside the pin window could
+    # interleave delivery order (round-10 advice)
     base = max(
-        os.path.getmtime(os.path.join(d, f))
-        for d in dirs
-        for f in os.listdir(d)
+        os.path.getmtime(f)
+        for f in glob.glob(os.path.join(log_dir, "slice_*", "*"))
+        if os.path.isfile(f)
     )
     for i, d in enumerate(dirs):
         for f in os.listdir(d):

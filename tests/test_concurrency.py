@@ -180,13 +180,32 @@ def test_cds_option_selection(monkeypatch, tmp_path):
     for p in (live, tiny, fresh):
         os.remove(p)
 
-    # a completed dump (dead writer, plausible size, quiescent) is
-    # promoted and then mapped; superseded completed dumps are dropped
+    # completeness is necessary but no longer sufficient: a completed
+    # dump whose bytes are not a CDS file-map (wrong magic) is DELETED,
+    # never promoted (round-10 advice: the pid/quiescence heuristic can
+    # admit a truncated flush; the validity gate must catch it)
+    junk = os.path.join(cds_dir, f"dump-{dead_pid + 4}.jsa")
+    with open(junk, "wb") as fh:
+        fh.write(big)
+    os.utime(junk, (old, old))
+    S._promote_cds_dump()
+    assert not os.path.exists(S._cds_archive_path())
+    assert not os.path.exists(junk)
+
+    # a completed dump (dead writer, plausible size, quiescent, valid
+    # magic, probe-mappable) is promoted; superseded completed dumps
+    # are dropped. A magic-prefixed body exercises the promote path
+    # without a 15 s real dump: its probe JVM terminates NORMALLY
+    # (header-rejected, "wrong version") — the gate only blocks the
+    # crash class (truncated region data → SIGBUS), because header-
+    # rejectable junk degrades cleanly under -Xshare:auto while a
+    # truncated map kills the production JVM.
+    cds_magic = b"\xa8\xab\x0b\xf0"
     dump = os.path.join(cds_dir, f"dump-{dead_pid}.jsa")
     older = os.path.join(cds_dir, f"dump-{dead_pid + 3}.jsa")
     for i, p in enumerate((older, dump)):
         with open(p, "wb") as fh:
-            fh.write(big)
+            fh.write(cds_magic + big)
         os.utime(p, (old + i, old + i))
     opt = S._cds_java_options()
     assert opt is not None and "-XX:SharedArchiveFile=" in opt
@@ -197,3 +216,28 @@ def test_cds_option_selection(monkeypatch, tmp_path):
     # user-managed conf dir: CDS must step aside entirely
     monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path / "user_conf"))
     assert S._cds_java_options() is None
+
+
+def test_cds_truncated_archive_fails_probe():
+    """The SIGBUS class itself, end-to-end: truncate the REAL promoted
+    archive to half and the map probe must reject it (the probe JVM
+    crashes in the throwaway process — exit 134 observed — instead of
+    a later production JVM). The intact archive must pass. Skipped
+    when no archive has been dumped in this environment yet."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    import cdc_cloudrun_demo_spark.session as S
+
+    archive = S._cds_archive_path()
+    if not os.path.exists(archive):
+        pytest.skip("no promoted CDS archive in this environment")
+    assert S._cds_archive_valid(archive)
+    with tempfile.TemporaryDirectory() as td:
+        trunc = os.path.join(td, "trunc.jsa")
+        shutil.copy(archive, trunc)
+        os.truncate(trunc, os.path.getsize(archive) // 2)
+        assert not S._cds_archive_valid(trunc)

@@ -236,3 +236,35 @@ def test_partitioned_roundtrip_prunes_directories(spark, sf_smoke, tmp_path):
     # the partition column itself round-trips from directory names
     langs = {r["lang"] for r in back.select("lang").distinct().collect()}
     assert langs <= {"en", "de"}
+
+
+def test_write_ordered_slices_incremental_groups_stay_ordered(
+    spark, sf_smoke, tmp_path
+):
+    """Two slice groups written into ONE log dir must leave every later
+    slice's pinned mtime strictly above every earlier slice's, even
+    though the pins are set base+i seconds in the FUTURE (round-10
+    advice: the base must fold in ALL slice_* files already under the
+    log, or a second group written inside the pin window interleaves
+    FileStreamSource delivery order)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.sources import write_ordered_slices
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id")
+    log = str(tmp_path / "log")
+    write_ordered_slices(d, log, range(2), "doc_id", 4)
+    write_ordered_slices(d, log, range(2, 4), "doc_id", 4)  # same window
+    slice_max = {}
+    for f in glob.glob(os.path.join(log, "slice_*", "*")):
+        if os.path.isfile(f):
+            s = os.path.basename(os.path.dirname(f))
+            slice_max[s] = max(slice_max.get(s, 0), os.path.getmtime(f))
+    names = sorted(slice_max)
+    assert names == [f"slice_{i:03d}" for i in range(4)]
+    pins = [slice_max[n] for n in names]
+    assert pins == sorted(pins) and len(set(pins)) == 4, pins
