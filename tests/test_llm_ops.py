@@ -1096,14 +1096,27 @@ def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
         for d in _glob.glob(
             os.path.join(tempfile.gettempdir(), "ann_live_*", "state")
         )
-        # stale scratch from older runs/layouts has no manifests dir
+        # stale scratch from older runs/layouts has no manifests dir or
+        # no retention sidecar (pre-sidecar code); its policy is unknown
         if os.path.isdir(os.path.join(d, "manifests"))
+        and os.path.exists(os.path.join(d, "_retention.json"))
     ]
     assert sdirs, "live-ingest scratch state not found"
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        read_state_retention,
+    )
+
     for sdir in sdirs:
         mdir = os.path.join(sdir, "manifests")
         retained = sorted(os.listdir(mdir))
-        assert len(retained) <= 2, retained
+        # each state dir is asserted against ITS configured retention
+        # (sidecar written by the sink) — an asof run legitimately keeps
+        # every version, so a blanket <=2 would be order-dependent on
+        # what else ran into /tmp before this test (round-10 verdict #1)
+        assert len(retained) <= read_state_retention(sdir), (
+            sdir,
+            retained,
+        )
         live_versions = set()
         for mf in retained:
             with open(os.path.join(mdir, mf)) as fh:
@@ -2101,9 +2114,10 @@ def test_generic_shard_compaction_for_gate_postings(spark, tmp_path):
 
 def test_adc_steered_walk_recall_floor(spark, sf_oracle):
     """The PQ-code-steered walk (DiskANN shape) must keep recall@10 >=
-    0.5 vs exact integer-L2 truth at its beam=8 default (measured
-    0.74 here, 0.5 on the harder clustered sf0.1 corpus) — guards
-    against a silent code/steering regression."""
+    0.8 vs exact integer-L2 truth at its DEFAULT config (beam=16, the
+    round-11 sweep's knee: measured 0.86 here, 0.70 at sf0.1; beam=8
+    served 0.74/0.50) — guards against a silent code/steering/knob
+    regression."""
     from pyspark.sql import Window
 
     from cdc_cloudrun_demo_spark.catalog import load_for_compute
@@ -2135,7 +2149,7 @@ def test_adc_steered_walk_recall_floor(spark, sf_oracle):
         for r in sim_ann_graph_adc_topk(spark, sf_oracle).collect()
     }
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.8, recall
 
 
 def test_binary_batch_slice_matches_small_query_run(spark, sf_smoke):
@@ -2192,3 +2206,282 @@ def test_ann_asof_respects_retention_and_missing_batches(spark, sf_smoke):
     with _pytest.raises(KeyError):
         read_ann_index_asof(spark, state2, 0)
     assert read_ann_index_asof(spark, state2, 3).count() > 0
+
+
+def _mini_drift_corpus(spark, tmp_path, n_per_slice=200, n_batches=4, seed=7):
+    """A corpus built to decay a frozen quantizer: slice 0 (all the
+    generation-0 quantizer ever sees) is 16 well-separated clusters A;
+    slices 1..3 drift to tight clusters sitting at 4-WAY JUNCTIONS
+    (means of four A centers) of generation 0's Voronoi diagram — each
+    drifted member's top-2 cell posting is a near-random 2-subset of
+    the four junction cells, so even the index's multi-assignment
+    can't keep a neighborhood in one probe's reach and single-probe
+    recall collapses. Retraining on the evolved corpus gives each
+    drifted cluster its own centroid. vec_id % n_batches = slice (the
+    ingest harness's arrival order)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim, n_clusters = 64, 16
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, dim))
+    rows = []
+    vid = 0
+    n_total = n_per_slice * n_batches
+    while vid < n_total:
+        sl = vid % n_batches
+        if sl == 0:
+            c = centers[(vid // n_batches) % n_clusters]
+            v = c + rng.normal(0.0, 0.01, size=dim)  # pre-drift cluster
+        else:
+            p = vid % n_clusters
+            quad = centers[
+                [p, (p + 3) % n_clusters, (p + 7) % n_clusters,
+                 (p + 11) % n_clusters]
+            ]
+            # noise sized to flip the junction-cell ranking per point
+            # (sigma 0.3 ≈ measured stale recall 0.77, retrained 1.0)
+            v = quad.mean(axis=0) + rng.normal(0.0, 0.3, size=dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    sf = tmp_path / "drift_sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(2).write.parquet(str(sf / "embeddings.parquet"))
+    return str(sf), rows
+
+
+def _ingest_reindex_state(spark, sf, tmp_path, n_batches=4):
+    """Run the FULL corpus through the live sink under generation-0
+    artifacts (trained on slice 0 only) and return the state dir —
+    the pre-migration setup shared by the reindex tests."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        kmeans_centroid_rows,
+        load_for_compute,
+    )
+    from cdc_cloudrun_demo_spark.sources import write_ordered_slices
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        VEC_SCHEMA,
+        ann_index_sink,
+    )
+
+    emb = load_for_compute(spark, sf, "embeddings")
+    cents0 = kmeans_centroid_rows(
+        spark, emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == 0), 16
+    )
+    log_dir = str(tmp_path / "log")
+    state = str(tmp_path / "state")
+    write_ordered_slices(
+        emb.select("vec_id", "embedding"),
+        log_dir,
+        range(n_batches),
+        "vec_id",
+        n_batches,
+    )
+    q = ann_index_sink(
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(log_dir, "slice_*")),
+        state,
+        str(tmp_path / "ckpt"),
+        cents0,
+    )
+    assert q.awaitTermination(300)
+    assert q.exception() is None
+    return state
+
+
+def _ivf_recall_at_10(spark, state, rows, query_ids):
+    """Mean recall@10 of the state-served IVF path vs exact integer-L2
+    brute force (numpy, bounded test corpus)."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        ann_ivf_search_state,
+    )
+
+    X = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    ids = np.array([r[0] for r in rows])
+    got = (
+        ann_ivf_search_state(spark, state, query_ids, k=10, n_probe=1)
+        .groupBy("query_id")
+        .agg(F.collect_set("neighbor_id").alias("ns"))
+        .collect()
+    )
+    got_map = {r["query_id"]: set(r["ns"]) for r in got}
+    recalls = []
+    for qid in query_ids:
+        d2 = ((X - X[list(ids).index(qid)]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        truth = [int(ids[i]) for i in order if int(ids[i]) != qid][:10]
+        hit = len(set(truth) & got_map.get(qid, set()))
+        recalls.append(hit / 10.0)
+    return sum(recalls) / len(recalls)
+
+
+def test_reindex_recall_improves_on_drifted_corpus(spark, tmp_path):
+    """The reindex migration's reason to exist: after drift, IVF recall
+    under the frozen generation-0 quantizer decays; retraining on the
+    evolved corpus and migrating the live index restores it. Also pins
+    the atomic cutover (pointer gen bumps, old generation's artifact
+    file retained)."""
+    import os
+
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_artifact_pointer,
+        read_artifact_cents,
+        reindex_ann_index,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path)
+    state = _ingest_reindex_state(spark, sf, tmp_path)
+    # drifted queries only (slice != 0): their neighborhoods are what
+    # the stale quantizer scatters
+    query_ids = [i for i in range(41, 121) if i % 4 != 0][:20]
+    r_before = _ivf_recall_at_10(spark, state, rows, query_ids)
+    rep = reindex_ann_index(spark, state)
+    assert rep["committed"] and rep["gen"] == 1
+    r_after = _ivf_recall_at_10(spark, state, rows, query_ids)
+    assert r_after > r_before + 0.1, (r_before, r_after)
+    assert r_after >= 0.9, (r_before, r_after)
+    # both generations' artifacts remain readable (asof discipline)
+    assert read_artifact_cents(state, 0) is not None
+    assert read_artifact_cents(state, 1) is not None
+    assert _read_artifact_pointer(state)["gen"] == 1
+    # pre-migration per-batch cell shards survive the FIRST migration
+    # (they are the reader-grace composition)
+    assert os.path.isdir(os.path.join(state, "cell", "batch=0"))
+
+
+def test_reindex_crash_before_cutover_is_invisible_then_rerun_completes(
+    spark, tmp_path
+):
+    """Crash injection at the migration's pointer swap: everything up to
+    the cutover (retrained artifacts, side-by-side cell build) lands on
+    disk, but the pointed-at state still serves generation 0 — searches
+    and the sink see NOTHING. The re-run is idempotent and completes
+    the same generation number."""
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_artifact_pointer,
+        read_ann_cells,
+        reindex_ann_index,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path, n_per_slice=100)
+    state = _ingest_reindex_state(spark, sf, tmp_path)
+    before = {tuple(r) for r in read_ann_cells(spark, state).collect()}
+    rep = reindex_ann_index(spark, state, crash_before_cutover=True)
+    assert rep["committed"] is False and rep["gen"] == 1
+    ptr = _read_artifact_pointer(state)
+    assert ptr["gen"] == 0 and not ptr.get("cells_root")
+    assert {
+        tuple(r) for r in read_ann_cells(spark, state).collect()
+    } == before, "an uncommitted migration leaked into reads"
+    # re-run completes the SAME generation (idempotent over leftovers)
+    rep2 = reindex_ann_index(spark, state)
+    assert rep2["committed"] and rep2["gen"] == 1
+    ptr2 = _read_artifact_pointer(state)
+    assert ptr2["gen"] == 1 and ptr2["cells_root"] == "cellg/gen-1"
+    after = {tuple(r) for r in read_ann_cells(spark, state).collect()}
+    assert after and after != before  # retrained assignments took over
+
+
+def test_reindex_second_migration_vacuums_superseded_generation(
+    spark, tmp_path
+):
+    """Generation retention: migration g keeps g-1's composition intact
+    (reader grace) and removes state superseded a full generation ago —
+    the `_vacuum_edges` discipline applied to the cell family. Also pins
+    the compaction guard: a migrated cell family refuses family-subset
+    re-compaction that would resurrect stale batch dirs."""
+    import os
+
+    import pytest
+
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        compact_ann_index,
+        read_ann_cells,
+        reindex_ann_index,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path, n_per_slice=100)
+    state = _ingest_reindex_state(spark, sf, tmp_path)
+    reindex_ann_index(spark, state)
+    assert os.path.isdir(os.path.join(state, "cellg", "gen-1"))
+    assert os.path.isdir(os.path.join(state, "cell", "batch=0"))
+    n_cells = read_ann_cells(spark, state).count()
+    reindex_ann_index(spark, state)
+    # gen-1 root stays (grace for readers holding the old pointer);
+    # the raw batch dirs it covered are now unreachable from any
+    # retained composition and are vacuumed
+    assert os.path.isdir(os.path.join(state, "cellg", "gen-2"))
+    assert os.path.isdir(os.path.join(state, "cellg", "gen-1"))
+    assert not os.path.isdir(os.path.join(state, "cell", "batch=0"))
+    assert read_ann_cells(spark, state).count() == n_cells
+    with pytest.raises(ValueError, match="migrated cell generation"):
+        compact_ann_index(spark, state)
+
+
+def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
+    """The filtered beam walk (`sim_ann_graph_filtered_topk`): (a) every
+    returned neighbor satisfies the predicate — the walk never leaks a
+    disallowed node; (b) recall vs exact brute force OVER THE ALLOWED
+    CORPUS clears the unfiltered walk's floor (pushing the filter into
+    the hops must not cost the neighborhood); (c) deterministic."""
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _int_dist2,
+        quantized_vec,
+        sim_ann_graph_filtered_topk,
+    )
+    from cdc_cloudrun_demo_spark.functions.text import pipeline_quality_kept
+
+    rows1 = sim_ann_graph_filtered_topk(spark, sf_oracle).collect()
+    rows2 = sim_ann_graph_filtered_topk(spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    allowed = {
+        r["doc_id"]
+        for r in pipeline_quality_kept(spark, sf_oracle)
+        .filter(F.col("kept") & (F.col("lang") == "en"))
+        .select("doc_id")
+        .collect()
+    }
+    assert allowed
+    approx: dict[int, set] = {}
+    for r in rows1:
+        assert r["neighbor_id"] in allowed, "walk leaked a disallowed node"
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert approx and all(len(v) <= 10 for v in approx.values())
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    nodes = emb.filter(
+        F.col("vec_id").isin([int(i) for i in allowed])
+    ).select("vec_id", quantized_vec(F.col("embedding")).alias("nv"))
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        quantized_vec(F.col("embedding")).alias("qv"),
+    )
+    exact_rows = (
+        nodes.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist2(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+        .collect()
+    )
+    truth: dict[int, list] = {}
+    for r in exact_rows:
+        truth.setdefault(r["query_id"], []).append((r["d2"], r["vec_id"]))
+    hits = total = 0
+    for q, lst in truth.items():
+        top = {vid for _, vid in sorted(lst)[:10]}
+        hits += len(top & approx.get(q, set()))
+        total += len(top)
+    recall = hits / total
+    assert recall >= 0.5, f"filtered graph-ANN recall@10 {recall:.2f}"

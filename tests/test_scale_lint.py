@@ -119,10 +119,12 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "aggregates (live TTL advance + restart rehydration)",
         ),
         "streaming/ann_ingest.py": (
-            3,
+            4,
             "<= n_edge_buckets ints each: the touched-bucket merge's "
             "write set, the delete batch's dead-id reverse buckets, and "
-            "the reverse index's touched dst buckets",
+            "the reverse index's touched dst buckets; plus the reindex "
+            "retrain's fixed-size (sample_size=2048) md5-ordered "
+            "training sample — a distributed top-k, never data-scaled",
         ),
         "operators/cdc.py": (
             1,
@@ -143,8 +145,11 @@ def test_no_unvetted_driver_collects_in_engine_source():
         "session.py": (2, "64-row session warmup, corpus-independent"),
         "functions/similarity.py": (
             4,
-            "fixed 2048-row k-means + PQ training samples; the bounded "
-            "(vec_id < 5) ANN query sets of the PQ and IVFPQ entries",
+            "fixed 2048-row k-means + PQ training samples; the ANN "
+            "query-set collects bounded by each entry's n_queries knob "
+            "(5 headline / 500 for the ADC batch twin, which builds one "
+            "ADC LUT per collected query driver-side) — never "
+            "corpus-scaled",
         ),
         "operators/joins.py": (
             1,
