@@ -1950,3 +1950,51 @@ def test_neardup_gate_mid_batch_replay_does_not_self_collide(
         map(tuple, stream_neardup_gate_live(spark, sf_smoke).collect())
     )
     assert replayed == clean_run
+
+
+def test_curation_funnel_live_routing_properties(spark, sf_smoke):
+    """The chained live funnel: (a) EXHAUSTIVE — every training doc
+    routed exactly once, eval docs never enter; (b) stage agreement —
+    its quality-stage quarantine equals the batch quality gate's
+    reject set on the training split (chaining must not change stage-1
+    semantics); (c) the funnel is monotone: survivors shrink stage by
+    stage; (d) clean docs pass all three batch predicates."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.catalog import load_table
+    from cdc_cloudrun_demo_spark.functions.text import pipeline_quality_kept
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_curation_funnel_live,
+    )
+
+    rows = stream_curation_funnel_live(spark, sf_smoke).collect()
+    routed = {r["doc_id"]: r["stage"] for r in rows}
+    train = {
+        r["doc_id"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert len(rows) == len(routed) == len(train)  # once each, no eval
+    assert set(routed) == train
+
+    q_kept = {
+        r["doc_id"]
+        for r in pipeline_quality_kept(spark, sf_smoke)
+        .filter("kept")
+        .select("doc_id")
+        .collect()
+    }
+    funnel_q_rej = {d for d, s in routed.items() if s == "quality"}
+    assert funnel_q_rej == train - q_kept  # stage-1 ≡ batch predicate
+
+    n_q = len(train) - len(funnel_q_rej)
+    n_nd = n_q - sum(1 for s in routed.values() if s == "neardup")
+    n_clean = sum(1 for s in routed.values() if s == "clean")
+    assert (
+        len(train) >= n_q >= n_nd >= n_clean
+    ), "funnel stages must only shrink the survivor set"
+    assert n_clean == n_nd - sum(
+        1 for s in routed.values() if s == "contamination"
+    )
