@@ -101,7 +101,17 @@ HEADLINE: dict[str, str] = {
     # round-10: the DiskANN serving shape - the beam walk steered by PQ
     # codes (full vectors touched only at the final exact rerank);
     # FULL_TIMED because the walk's eager hop pins run at construction
+    # (round-11 retuned the default beam 8 -> 16, the measured
+    # recall/cost knee — the ~+0.4 s step vs the r10 series is priced,
+    # not drift)
     "sim_ann_graph_adc_topk": "collect",
+    # round-11: filtered search on the GRAPH index — the quality∧lang
+    # predicate pushed into the beam walk (allowed entry/seeds,
+    # dst-filtered expansions with the two-hop closure through blocked
+    # waypoints). FULL_TIMED like the other walks: its eager hop pins
+    # run at construction. The reindex/funnel live entries stay out of
+    # the bench with the other micro-batch harnesses.
+    "sim_ann_graph_filtered_topk": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -115,6 +125,7 @@ HEADLINE: dict[str, str] = {
 # (their construction is milliseconds of analysis, not engine work).
 FULL_TIMED = {
     "sim_ann_graph_adc_topk",
+    "sim_ann_graph_filtered_topk",
     "graph_pagerank",
     "graph_pagerank_copart",
     "sim_ann_pq_topk",
@@ -208,6 +219,27 @@ LEGACY_SUITES = {
         "dq_drift_psi", "sim_ann_hnsw_topk",
         "sim_knn_graph_delete", "dedup_substring_excised",
         "sim_ann_filtered_topk",
+    ],
+    # full r10 membership (the binary/recall/ADC additions included) —
+    # pinned before round 11's filtered-graph entry joined. NOTE: the
+    # ADC walk inside this subset runs at the CURRENT default beam
+    # (16 from r11 on), so this sum carries the priced ~+0.4 s step.
+    "r10_36q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+        "sim_knn_graph_incremental", "dedup_substring_spans",
+        "dq_drift_psi", "sim_ann_hnsw_topk",
+        "sim_knn_graph_delete", "dedup_substring_excised",
+        "sim_ann_filtered_topk",
+        "sim_ann_binary_topk", "sim_ann_recall_eval",
+        "sim_ann_graph_adc_topk",
     ],
 }
 

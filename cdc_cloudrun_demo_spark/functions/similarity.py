@@ -999,14 +999,11 @@ def sim_ann_filtered_topk(
     delete-repair path). Fully hash-oracled: the DuckDB twin retrains
     the identical integer k-means, applies the identical quality+lang
     predicate to the assignment table, and re-derives probing, exact
-    cosine and the (desc, id) top-k."""
-    from .text import pipeline_quality_kept
-
-    allowed = (
-        pipeline_quality_kept(spark, sf_dir)
-        .filter(F.col("kept") & (F.col("lang") == "en"))
-        .select(F.col("doc_id").alias("vec_id"))
-    )
+    cosine and the (desc, id) top-k. The allowed id set reads the
+    per-corpus disk memo (`_allowed_ids_cached` — quality flags are
+    ingest-time document metadata), so the per-query cost is the
+    semi-join and the probe, not a repeated scoring scan."""
+    allowed = _allowed_ids_cached(spark, sf_dir)
     emb = load_for_compute(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
     )
@@ -1920,6 +1917,8 @@ _knn_edge_cache: OrderedDict[tuple, str] = OrderedDict()
 # query batch — recomputing the full-corpus postings per search call was
 # ~60% of sim_ann_graph_topk's wall, round-8 profile).
 _lsh_posting_cache: OrderedDict[tuple, str] = OrderedDict()
+_allowed_ids_cache: OrderedDict[tuple, str] = OrderedDict()
+_fedge_cache: OrderedDict[tuple, str] = OrderedDict()
 # Per-key build serialization for _disk_memoized: two threads missing
 # the cache for the same key must not both run build() and write to the
 # same deterministic path concurrently (round-8 advice). Guarded by
@@ -1982,7 +1981,13 @@ def _disk_memoized(
     if fp is None:
         return build()
 
-    ent = _memo_key_lock(key)
+    # The build-lock registry is shared across every memo cache, so the
+    # lock key is NAMESPACED by the cache prefix: two caches can share
+    # a key tuple (e.g. the filtered edge closure is keyed (sf_dir, fp,
+    # k_edges) exactly like the raw edge list it builds FROM), and an
+    # un-namespaced registry hands the nested build its caller's own
+    # non-reentrant lock — a self-deadlock, found the hard way.
+    ent = _memo_key_lock((prefix,) + key)
     try:
         with ent[0]:  # one builder per key; losers re-check and read
             path = _cached_path()
@@ -2014,7 +2019,7 @@ def _disk_memoized(
                 shutil.rmtree(d, ignore_errors=True)
             return spark.read.parquet(final)
     finally:
-        _memo_key_unlock(key, ent)
+        _memo_key_unlock((prefix,) + key, ent)
 
 
 def _lsh_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2031,6 +2036,28 @@ def _lsh_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _allowed_ids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality∧lang='en' allowed id set, disk-memoized per corpus —
+    the predicate flags are DOCUMENT METADATA computed once at ingest
+    (the production shape: a search-time filter reads an indexed
+    metadata column; it never re-runs the quality regex scan per
+    query). Shared by the filtered IVF and filtered graph entries so
+    both price only the search-time semi-joins."""
+    from .text import pipeline_quality_kept
+
+    fp = _corpus_fingerprint(sf_dir)
+    return _disk_memoized(
+        spark,
+        _allowed_ids_cache,
+        (sf_dir, fp),
+        fp,
+        "allow_idx_",
+        lambda: pipeline_quality_kept(spark, sf_dir)
+        .filter(F.col("kept") & (F.col("lang") == "en"))
+        .select(F.col("doc_id").alias("vec_id")),
+    )
+
+
 def _knn_edges_cached(spark: SparkSession, sf_dir: str, k_edges: int) -> DataFrame:
     fp = _corpus_fingerprint(sf_dir)
     return _disk_memoized(
@@ -2040,6 +2067,56 @@ def _knn_edges_cached(spark: SparkSession, sf_dir: str, k_edges: int) -> DataFra
         fp,
         "knn_idx_",
         lambda: knn_graph_edges(spark, sf_dir, k_edges=k_edges),
+    )
+
+
+def _filtered_edges_cached(
+    spark: SparkSession, sf_dir: str, k_edges: int
+) -> DataFrame:
+    """The predicate-filtered effective edge set — direct allowed dsts ∪
+    allowed two-hop dsts reached via a blocked intermediate (the
+    Filtered-DiskANN waypoint closure) — disk-memoized per (corpus,
+    k_edges): it is derived ONCE at index build from the standing edge
+    list and the ingest-time allowed flags, exactly like the edge list
+    itself. Feeds every hop of `sim_ann_graph_filtered_topk`."""
+
+    def build() -> DataFrame:
+        edges = _knn_edges_cached(spark, sf_dir, k_edges).select(
+            "src", "dst"
+        )
+        allowed_dst = _allowed_ids_cached(spark, sf_dir).withColumnRenamed(
+            "vec_id", "dst"
+        )
+        direct = edges.join(allowed_dst, "dst", "semi")
+        # two-hop closure through blocked intermediates (waypoints): an
+        # edge src→mid with mid disallowed contributes src→(mid's
+        # allowed out-neighbors) — routing survives the sparse allowed
+        # subgraph without a blocked node ever entering the visited set
+        blocked = edges.join(allowed_dst, "dst", "anti").select(
+            "src", F.col("dst").alias("mid")
+        )
+        two_hop = (
+            blocked.join(
+                edges.select(F.col("src").alias("mid"), "dst"), "mid"
+            )
+            .join(allowed_dst, "dst", "semi")
+            .filter(F.col("dst") != F.col("src"))
+            .select("src", "dst")
+        )
+        return (
+            direct.select("src", "dst")
+            .union(two_hop)
+            .dropDuplicates(["src", "dst"])
+        )
+
+    fp = _corpus_fingerprint(sf_dir)
+    return _disk_memoized(
+        spark,
+        _fedge_cache,
+        (sf_dir, fp, k_edges),
+        fp,
+        "fedge_idx_",
+        build,
     )
 
 
@@ -2268,35 +2345,18 @@ def sim_ann_graph_filtered_topk(
     the identical filtered hops (allowed entry/seeds, the same
     two-hop-closure edges, same integer d2 and tie-breaks); recall vs
     brute force over the allowed corpus is property-tested."""
-    from .text import pipeline_quality_kept
-
-    allowed = (
-        pipeline_quality_kept(spark, sf_dir)
-        .filter(F.col("kept") & (F.col("lang") == "en"))
-        .select(F.col("doc_id").alias("vec_id"))
-    )
+    # the allowed id set is read three times (edge closure, node set,
+    # seed postings) and the filtered edge set feeds EVERY hop's
+    # visited pin — both are INDEX-BUILD artifacts (the quality flags
+    # are ingest-time document metadata; the closure is derivable once
+    # per predicate), so both come from per-corpus disk memos like the
+    # edge list and postings themselves. Per-call cost is then only
+    # the walk's bounded hop joins (measured 10.4 s -> ~2 s warm at
+    # sf0.1; re-deriving either per call re-runs the quality scan or
+    # the two-hop join inside every hop's pin)
+    allowed = _allowed_ids_cached(spark, sf_dir)
     emb = load_for_compute(spark, sf_dir, "embeddings")
-    edges = _knn_edges_cached(spark, sf_dir, k_edges).select("src", "dst")
-    allowed_dst = allowed.withColumnRenamed("vec_id", "dst")
-    direct = edges.join(allowed_dst, "dst", "semi")
-    # two-hop closure through blocked intermediates (waypoints): an
-    # edge src→mid with mid disallowed contributes src→(mid's allowed
-    # out-neighbors) — routing survives the sparse allowed subgraph
-    # without a blocked node ever entering the visited set
-    blocked = edges.join(allowed_dst, "dst", "anti").select(
-        "src", F.col("dst").alias("mid")
-    )
-    two_hop = (
-        blocked.join(
-            edges.select(F.col("src").alias("mid"), "dst"), "mid"
-        )
-        .join(allowed_dst, "dst", "semi")
-        .filter(F.col("dst") != F.col("src"))
-        .select("src", "dst")
-    )
-    edges_f = direct.select("src", "dst").union(two_hop).dropDuplicates(
-        ["src", "dst"]
-    )
+    edges_f = _filtered_edges_cached(spark, sf_dir, k_edges)
     nodes_f = (
         emb.select("vec_id", quantized_vec(F.col("embedding")).alias("nv"))
         .join(allowed, "vec_id", "semi")
