@@ -3211,13 +3211,33 @@ def sim_ann_reindex_live(
     rows). Crash injection at the cutover and the recall-improvement
     property on a drifted corpus are pinned in
     tests/test_llm_ops.py::test_reindex_*."""
+    from ..streaming.ann_ingest import read_ann_cells
+
+    state = _reindex_live_state(
+        spark, sf_dir, k_edges, n_batches, reindex_after, n_clusters
+    )
+    return read_ann_cells(spark, state).orderBy("vec_id", "cell")
+
+
+def _reindex_live_state(
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int = 8,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    n_clusters: int = 16,
+) -> str:
+    """The reindex lifecycle harness (ingest under gen-0 → retrain +
+    migrate → keep ingesting under gen-1) shared by
+    `sim_ann_reindex_live` (proves the migrated CELL STATE equals the
+    rebuild with new artifacts) and `sim_ann_search_reindexed_index`
+    (SERVES a search from that same migrated snapshot)."""
     import os
 
     from .._scratch import scratch_dir
     from ..streaming.ann_ingest import (
         VEC_SCHEMA,
         ann_index_sink,
-        read_ann_cells,
         reindex_ann_index,
     )
 
@@ -3267,7 +3287,39 @@ def sim_ann_reindex_live(
     reindex_ann_index(spark, state, n_clusters=n_clusters)
     write_slices(list(range(reindex_after + 1, n_batches)))
     run_available()
-    return read_ann_cells(spark, state).orderBy("vec_id", "cell")
+    return state
+
+
+def sim_ann_search_reindexed_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probe: int = 4,
+    n_queries: int = 5,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """IVF top-k SERVED from the MIGRATED live snapshot — the
+    queryable-equal proof for the reindex lifecycle, exactly as
+    `sim_ann_search_live_index` is for the plain ingest: after
+    ingest-under-gen-0 → retrain+cutover → ingest-under-gen-1, probe
+    the pointed-at generation's centroids, draw candidates from the
+    pointed-at cell assignments (migrated root ∪ post-migration batch
+    shards), exact integer-L2 rerank on the stored quantized vectors
+    (`ann_ivf_search_state`, streaming/ann_ingest.py). Hash-matches
+    the one-shot IVF search with the RETRAINED artifacts over the full
+    corpus — proving not just that the migrated state equals the
+    rebuild (`sim_ann_reindex_live`) but that queries served from it
+    return the rebuild's answers."""
+    from ..streaming.ann_ingest import ann_ivf_search_state
+
+    state = _reindex_live_state(
+        spark, sf_dir, 8, n_batches, reindex_after, n_clusters
+    )
+    return ann_ivf_search_state(
+        spark, state, list(range(n_queries)), k=k, n_probe=n_probe
+    ).orderBy("query_id", "rnk")
 
 
 def _reindex_retrain_where() -> str:
@@ -3858,6 +3910,7 @@ QUERIES = {
     "sim_ann_graph_filtered_topk": sim_ann_graph_filtered_topk,
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_ann_reindex_live": sim_ann_reindex_live,
+    "sim_ann_search_reindexed_index": sim_ann_search_reindexed_index,
     "sim_embedding_stats": sim_embedding_stats,
 }
 
@@ -4063,6 +4116,49 @@ ORACLES["sim_ann_reindex_live"] = f"""
     SELECT vec_id, CAST(cid AS INT) AS cell
     FROM rx_ranked WHERE rn <= 2
     ORDER BY vec_id, cell
+"""
+# Search served from the migrated snapshot: the one-shot IVF search
+# with the RETRAINED artifacts — probe the query's top-n_probe cells
+# under the gen-1 centroids, candidates = vectors POSTED (top-2 cells)
+# in any probed cell, exact integer-L2 rerank, (d2, id) tie-break.
+# Knobs derived from the entry signature (the `_asof_arrival_where`
+# discipline).
+_SRX = {
+    p.name: p.default
+    for p in __import__("inspect")
+    .signature(sim_ann_search_reindexed_index)
+    .parameters.values()
+}
+ORACLES["sim_ann_search_reindexed_index"] = f"""
+    WITH {_sql_int_kmeans("rx_", where=_reindex_retrain_where())},
+    {_sql_ranked_cells("rx_")},
+    posted AS MATERIALIZED (
+        SELECT vec_id, cid FROM rx_ranked WHERE rn <= 2
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cid FROM rx_ranked
+        WHERE vec_id < {_SRX["n_queries"]} AND rn <= {_SRX["n_probe"]}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, p.vec_id AS neighbor_id
+        FROM qprobe q JOIN posted p USING (cid)
+        WHERE p.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {_sql_int_d2("qa.q", "qb.q", 64)} AS d2
+        FROM cand c
+        JOIN rx_corpusq qa ON qa.vec_id = c.query_id
+        JOIN rx_corpusq qb ON qb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY d2, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_SRX["k"]}
+    ORDER BY query_id, rnk
 """
 # compaction is pure layout: the mid-stream-compacted ingest equals the
 # same rebuild

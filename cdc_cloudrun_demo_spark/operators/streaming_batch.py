@@ -1226,6 +1226,59 @@ def stream_curation_funnel_live(
     )
 
 
+def stream_curation_funnel_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The live funnel's SURVIVOR REPORT — `pipeline_curation_funnel`'s
+    per-stage accounting published from the STREAMING run: cumulative
+    survivor counts after ingest (eval split already excluded at the
+    source), the quality gate, the near-dup gate, and decontamination.
+    A projection of `stream_curation_funnel_live`'s per-doc routing
+    (four bounded rows out regardless of corpus size), so the report
+    can never drift from what the stream actually routed."""
+    routed = stream_curation_funnel_live(spark, sf_dir)
+
+    def stage(i: int, name: str, min_stage: int) -> DataFrame:
+        return (
+            routed.filter(
+                (F.col("stage_idx") > min_stage)
+                | (F.lit(min_stage) == 0)
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+            )
+        )
+
+    return (
+        stage(0, "ingested", 0)
+        .unionByName(stage(1, "quality_kept", 1))
+        .unionByName(stage(2, "neardup_kept", 2))
+        .unionByName(stage(3, "clean", 3))
+    )
+
+
+def _curation_funnel_report_oracle(
+    n_slices: int = 4, split_mod: int = 50
+) -> str:
+    """The report's closed form: cumulative survivor counts over the
+    live funnel's per-doc closed form."""
+    inner = _curation_funnel_live_oracle(n_slices, split_mod)
+    return f"""
+        WITH routing AS ({inner})
+        SELECT CAST(0 AS INT) AS stage_idx, 'ingested' AS stage,
+               COUNT(*) AS n_docs FROM routing
+        UNION ALL SELECT CAST(1 AS INT), 'quality_kept',
+               COUNT(*) FROM routing WHERE stage_idx > 1
+        UNION ALL SELECT CAST(2 AS INT), 'neardup_kept',
+               COUNT(*) FROM routing WHERE stage_idx > 2
+        UNION ALL SELECT CAST(3 AS INT), 'clean',
+               COUNT(*) FROM routing WHERE stage_idx > 3
+    """
+
+
 def _curation_funnel_live_oracle(
     n_slices: int = 4, split_mod: int = 50
 ) -> str:
@@ -1369,6 +1422,7 @@ QUERIES = {
     "stream_contamination_gate_live": stream_contamination_gate_live,
     "stream_neardup_gate_live_compacted": stream_neardup_gate_live_compacted,
     "stream_curation_funnel_live": stream_curation_funnel_live,
+    "stream_curation_funnel_report": stream_curation_funnel_report,
     "stream_state_store_read": stream_state_store_read,
     "stream_join_outer_live": stream_join_outer_live,
     "stream_join_live": stream_join_live,
@@ -1391,6 +1445,7 @@ ORACLES = {
     "stream_contamination_gate_live": _contamination_gate_oracle(),
     "stream_neardup_gate_live_compacted": _neardup_gate_oracle(),
     "stream_curation_funnel_live": _curation_funnel_live_oracle(),
+    "stream_curation_funnel_report": _curation_funnel_report_oracle(),
     "stream_state_store_read": STREAM_STATE_STORE_ORACLE,
     # the stream-maintained moments must converge to the batch moments
     # exactly (order-insensitive integer sums), so the live gate equals

@@ -614,10 +614,11 @@ def test_filtered_ann_pushes_filter_before_probe(spark, sf_smoke):
     retrieval query): the metadata predicate restricts the corpus via a
     SEMI join BEFORE the probe join (never top-k-then-filter), the
     probe against the bounded query set broadcasts, and no cartesian /
-    nested-loop join appears anywhere. Also pins the heavy-compute
-    loader: the quality scoring must NOT sit in a 1-task scan stage —
-    the lineage-broken load shows up as an RDD scan below the
-    predicate."""
+    nested-loop join appears anywhere. Round 11: the allowed-id set is
+    the per-corpus DISK MEMO (`_allowed_ids_cached` — quality flags are
+    ingest-time document metadata), so the search plan must contain NO
+    quality scoring at all: no regex tokenization, no documents scan —
+    just the memo's parquet scan feeding the semi join."""
     from cdc_cloudrun_demo_spark.functions.similarity import (
         sim_ann_filtered_topk,
     )
@@ -628,11 +629,8 @@ def test_filtered_ann_pushes_filter_before_probe(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan, plan  # the filter joins the corpus pre-probe
     assert uses_broadcast_join(df), plan  # the probe side broadcasts
-    # the quality predicate evaluates above the lineage break (an RDD
-    # scan), not fused into the parquet scan task. The break only
-    # engages when the scan's natural split count is far below the core
-    # count (catalog.load_for_heavy_compute: scan_parts * 2 < cores) —
-    # on a very low-core host it correctly stays a plain scan, and the
-    # assertion would encode a machine assumption (round-10 review).
-    if spark.sparkContext.defaultParallelism >= 4:
-        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # the per-query plan never re-runs the quality scan: the regex
+    # machinery and the documents table are absent — the predicate is
+    # one parquet scan of the memoized metadata column
+    assert "regexp_extract_all" not in plan, plan
+    assert "documents" not in plan, plan

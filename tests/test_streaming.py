@@ -1998,3 +1998,19 @@ def test_curation_funnel_live_routing_properties(spark, sf_smoke):
     assert n_clean == n_nd - sum(
         1 for s in routed.values() if s == "contamination"
     )
+
+    # the published survivor report is a projection of the same routing
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        stream_curation_funnel_report,
+    )
+
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in stream_curation_funnel_report(spark, sf_smoke).collect()
+    }
+    assert report == {
+        "ingested": len(train),
+        "quality_kept": n_q,
+        "neardup_kept": n_nd,
+        "clean": n_clean,
+    }
