@@ -2415,10 +2415,65 @@ def sim_ann_graph_adc_topk(
     Floor pinned at the default config in tests/test_llm_ops.py
     (>= 0.8 at sf0.01); the oracle's beam derives from this signature
     so the defaults cannot desync."""
+    return _adc_walk(
+        spark, sf_dir, k, beam, hops, k_edges, n_queries, m, ksub,
+        filtered=False,
+    )
+
+
+def sim_ann_graph_adc_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 4,
+    k_edges: int = 8,
+    n_queries: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """METADATA-FILTERED DiskANN-shaped search — the predicate pushed
+    into the CODE-STEERED walk, completing the filtered family across
+    serving shapes (IVF: `sim_ann_filtered_topk`; exact-steered graph:
+    `sim_ann_graph_filtered_topk`; compressed-steered: this). Same
+    composition: allowed entry point and seed mates, expansions over
+    the memoized two-hop waypoint closure (`_filtered_edges_cached`),
+    visited therefore allowed-only by induction — while each hop's
+    ranking still reads ONLY the 8-byte PQ codes (m integer lookups
+    against the query's broadcast ADC tables) and the float vectors
+    are touched once, at the final exact rerank over the allowed
+    visited set. Hash-oracled by replaying the code-steered filtered
+    hops; recall vs brute force over the allowed corpus is
+    property-tested with the other filtered walk."""
+    return _adc_walk(
+        spark, sf_dir, k, beam, hops, k_edges, n_queries, m, ksub,
+        filtered=True,
+    )
+
+
+def _adc_walk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    beam: int,
+    hops: int,
+    k_edges: int,
+    n_queries: int,
+    m: int,
+    ksub: int,
+    filtered: bool,
+) -> DataFrame:
     import numpy as np
 
     emb = load_for_compute(spark, sf_dir, "embeddings")
-    edges = _knn_edges_cached(spark, sf_dir, k_edges).select("src", "dst")
+    if filtered:
+        allowed = _allowed_ids_cached(spark, sf_dir)
+        edges = _filtered_edges_cached(spark, sf_dir, k_edges)
+    else:
+        allowed = None
+        edges = _knn_edges_cached(spark, sf_dir, k_edges).select(
+            "src", "dst"
+        )
     books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
     codes = _pq_codes_arr(spark, sf_dir, m=m, ksub=ksub).localCheckpoint(
         eager=False
@@ -2471,13 +2526,22 @@ def sim_ann_graph_adc_topk(
 
     nodes = emb.select(
         "vec_id", quantized_vec(F.col("embedding")).alias("nv")
-    ).localCheckpoint(eager=False)
+    )
+    if allowed is not None:
+        nodes = nodes.join(allowed, "vec_id", "semi")
+    nodes = nodes.localCheckpoint(eager=False)
     qs = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         quantized_vec(F.col("embedding")).alias("qv"),
     )
     post = _lsh_postings_cached(spark, sf_dir)
-    return _beam_walk(qs, nodes, edges, post, k, beam, hops, n_queries, steer=steer)
+    seed_post = (
+        post.join(allowed, "vec_id", "semi") if allowed is not None else None
+    )
+    return _beam_walk(
+        qs, nodes, edges, post, k, beam, hops, n_queries,
+        steer=steer, seed_post=seed_post,
+    )
 
 
 def sim_ann_graph_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2498,13 +2562,46 @@ def _graph_adc_topk_oracle(
     m: int = 8,
     ksub: int = 16,
     dim: int = 64,
+    filtered: bool = False,
 ) -> str:
     """The code-steered walk replayed as unrolled CTEs: the PQ training
     + code-assignment chains (`_sql_int_kmeans('p_')`, `_sql_pq_codes`)
     feed an ``adcd`` table of exact integer ADC distances (query ×
     node); each hop's beam ranks on ``adcd`` while the final rescore
     ranks on exact integer L2 — identical arithmetic and (dist, node)
-    tie-breaks to the Spark loop."""
+    tie-breaks to the Spark loop. With ``filtered``, the allowed set
+    restricts entry/seeds/expansions exactly as in
+    `_graph_topk_oracle(filtered=True)` — the two-hop waypoint
+    closure included."""
+    if filtered:
+        from .text import ORACLES as TEXT_ORACLES
+
+        qk = TEXT_ORACLES["pipeline_quality_kept"]
+        allowed_ctes = f"""allowed AS MATERIALIZED (
+            SELECT doc_id AS vec_id FROM ({qk})
+            WHERE kept AND lang = 'en'
+        ), fedges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT e.src, e.dst FROM knn_edges e
+                JOIN allowed a ON a.vec_id = e.dst
+                UNION ALL
+                SELECT e1.src, e2.dst
+                FROM knn_edges e1
+                JOIN knn_edges e2 ON e2.src = e1.dst
+                JOIN allowed a2 ON a2.vec_id = e2.dst
+                WHERE e1.dst NOT IN (SELECT vec_id FROM allowed)
+                  AND e2.dst <> e1.src
+            )
+        ),
+        """
+        entry_src = "allowed"
+        edges_cte = "fedges"
+        seed_join = "JOIN allowed al ON al.vec_id = p.vec_id"
+    else:
+        allowed_ctes = ""
+        entry_src = "embeddings"
+        edges_cte = "knn_edges"
+        seed_join = ""
     dsub = dim // m
     parts = [
         f"""postings AS MATERIALIZED (
@@ -2515,7 +2612,7 @@ def _graph_adc_topk_oracle(
         {_sql_knn_edges(k_edges)},
         {_sql_int_kmeans("p_", n_clusters=ksub, m=m)},
         {_sql_pq_codes(m=m, ksub=ksub)},
-        gqueries AS MATERIALIZED (
+        {allowed_ctes}gqueries AS MATERIALIZED (
             SELECT vec_id AS query_id, q FROM knnq WHERE vec_id < {n_queries}
         ),
         adcq AS MATERIALIZED (
@@ -2532,7 +2629,7 @@ def _graph_adc_topk_oracle(
             GROUP BY q.query_id, co.vec_id
         ),
         entrypt AS MATERIALIZED (
-            SELECT MIN(vec_id) AS node FROM embeddings
+            SELECT MIN(vec_id) AS node FROM {entry_src}
         ),
         gseeds AS MATERIALIZED (
             SELECT query_id, node FROM (
@@ -2545,6 +2642,7 @@ def _graph_adc_topk_oracle(
                     JOIN postings p
                       ON qp.tbl = p.tbl AND qp.bucket = p.bucket
                      AND p.vec_id <> qp.vec_id
+                    {seed_join}
                     WHERE qp.vec_id < {n_queries}
                 )
             ) WHERE rn <= 16
@@ -2565,7 +2663,7 @@ def _graph_adc_topk_oracle(
                 SELECT query_id, node FROM visited{h - 1}
                 UNION ALL
                 SELECT b.query_id, e.dst AS node
-                FROM beam{h - 1} b JOIN knn_edges e ON b.node = e.src
+                FROM beam{h - 1} b JOIN {edges_cte} e ON b.node = e.src
             )
         ), beam{h} AS MATERIALIZED (
             SELECT query_id, node FROM (
@@ -3322,6 +3420,137 @@ def sim_ann_search_reindexed_index(
     ).orderBy("query_id", "rnk")
 
 
+def sim_ann_reindex_crud_live(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    del_mod: int = 5,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """REINDEX UNDER CRUD — the migration composed with deletes, the
+    full long-running lifecycle: insert slices 0..reindex_after arrive
+    (op='I'), a TOMBSTONE batch deletes part of what arrived (op='D',
+    vec_id % del_mod == 0 among the arrived slices), THEN the reindex
+    retrains and migrates, then the remaining insert slices arrive
+    under the new generation. Two properties the oracle pins:
+
+    - the retrain never sees the dead (its sample reads the vecs family
+      minus tombstones — training on deleted rows would leak removed
+      data into the quantizer, the GDPR-deletion analog of
+      `cdc_tombstone_keys`), so the oracle's training filter is
+      arrived ∧ surviving;
+    - the migrated cell state covers exactly the SURVIVORS: migrated
+      root = survivors at migration time, post-migration batch shards =
+      later arrivals, tombstones anti-joined at read exactly like every
+      other artifact read.
+
+    Hash-matches the one-shot assignment of the surviving corpus under
+    centroids trained on the surviving vectors that had arrived by the
+    migration point."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..sources import pin_slice_order
+    from ..streaming.ann_ingest import (
+        CRUD_SCHEMA,
+        _FAMILY_SCHEMAS,
+        _read_state_shards,
+        ann_index_sink,
+        read_ann_cells,
+        reindex_ann_index,
+    )
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents0 = kmeans_centroid_rows(
+        spark,
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == 0),
+        n_clusters,
+    )
+    tmp = scratch_dir("ann_reindex_crud_")
+    log_dir = os.path.join(tmp, "log")
+    state = os.path.join(tmp, "state")
+    arrived = F.pmod(F.col("vec_id"), F.lit(n_batches)) <= reindex_after
+    is_dead = F.pmod(F.col("vec_id"), F.lit(del_mod)) == 0
+
+    def write_group(specs: list[tuple[int, DataFrame]]) -> None:
+        dirs = []
+        for b, df in specs:
+            d = os.path.join(log_dir, f"slice_{b:03d}")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            dirs.append(d)
+        pin_slice_order(log_dir, dirs)
+
+    def run_available() -> None:
+        q = ann_index_sink(
+            spark.readStream.schema(CRUD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(log_dir, "slice_*")),
+            state,
+            os.path.join(tmp, "ckpt"),
+            cents0,
+            with_ops=True,
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError("ANN CRUD stream did not finish within 300s")
+        if q.exception() is not None:
+            raise q.exception()
+
+    ins = emb.select("vec_id", "embedding", F.lit("I").alias("op"))
+    write_group(
+        [
+            (b, ins.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b))
+            for b in range(reindex_after + 1)
+        ]
+        + [
+            (
+                reindex_after + 1,
+                emb.filter(arrived & is_dead).select(
+                    "vec_id", "embedding", F.lit("D").alias("op")
+                ),
+            )
+        ]
+    )
+    run_available()
+    reindex_ann_index(spark, state, n_clusters=n_clusters)
+    write_group(
+        [
+            (
+                b + 2,
+                ins.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b),
+            )
+            for b in range(reindex_after + 1, n_batches)
+        ]
+    )
+    run_available()
+    dead = _read_state_shards(spark, state, "dead", _FAMILY_SCHEMAS["dead"])
+    return (
+        read_ann_cells(spark, state)
+        .join(dead, "vec_id", "left_anti")
+        .orderBy("vec_id", "cell")
+    )
+
+
+def _reindex_crud_where() -> str:
+    """Training filter for the CRUD reindex oracle, derived from the
+    entry's signature defaults: arrived by the migration point AND
+    surviving the tombstone batch."""
+    import inspect
+
+    d = {
+        p.name: p.default
+        for p in inspect.signature(
+            sim_ann_reindex_crud_live
+        ).parameters.values()
+    }
+    return (
+        f"WHERE vec_id % {d['n_batches']} <= {d['reindex_after']} "
+        f"AND vec_id % {d['del_mod']} <> 0"
+    )
+
+
 def _reindex_retrain_where() -> str:
     """The reindex oracle's training-corpus filter, DERIVED from the
     entry's signature defaults (the `_asof_arrival_where` discipline:
@@ -3908,8 +4137,10 @@ QUERIES = {
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_ann_filtered_topk": sim_ann_filtered_topk,
     "sim_ann_graph_filtered_topk": sim_ann_graph_filtered_topk,
+    "sim_ann_graph_adc_filtered_topk": sim_ann_graph_adc_filtered_topk,
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_ann_reindex_live": sim_ann_reindex_live,
+    "sim_ann_reindex_crud_live": sim_ann_reindex_crud_live,
     "sim_ann_search_reindexed_index": sim_ann_search_reindexed_index,
     "sim_embedding_stats": sim_embedding_stats,
 }
@@ -4117,6 +4348,24 @@ ORACLES["sim_ann_reindex_live"] = f"""
     FROM rx_ranked WHERE rn <= 2
     ORDER BY vec_id, cell
 """
+# Reindex under CRUD: assignment of the SURVIVING corpus under
+# centroids trained on the surviving vectors arrived by the migration
+# point (both filters derived from the entry defaults).
+_RCX = {
+    p.name: p.default
+    for p in __import__("inspect")
+    .signature(sim_ann_reindex_crud_live)
+    .parameters.values()
+}
+ORACLES["sim_ann_reindex_crud_live"] = f"""
+    WITH {_sql_int_kmeans("rc_", where=_reindex_crud_where())},
+    {_sql_ranked_cells("rc_")}
+    SELECT vec_id, CAST(cid AS INT) AS cell
+    FROM rc_ranked WHERE rn <= 2
+      AND NOT (vec_id % {_RCX["n_batches"]} <= {_RCX["reindex_after"]}
+               AND vec_id % {_RCX["del_mod"]} = 0)
+    ORDER BY vec_id, cell
+"""
 # Search served from the migrated snapshot: the one-shot IVF search
 # with the RETRAINED artifacts — probe the query's top-n_probe cells
 # under the gen-1 centroids, candidates = vectors POSTED (top-2 cells)
@@ -4196,6 +4445,9 @@ ORACLES["sim_ann_graph_adc_topk"] = _graph_adc_topk_oracle(
 )
 ORACLES["sim_ann_graph_adc_batch"] = _graph_adc_topk_oracle(
     beam=_adc_default_beam(), n_queries=500
+)
+ORACLES["sim_ann_graph_adc_filtered_topk"] = _graph_adc_topk_oracle(
+    beam=_adc_default_beam(), filtered=True
 )
 ORACLES["sim_ann_hnsw_topk"] = _hnsw_topk_oracle()
 ORACLES["sim_ann_ivf_topk"] = _ivf_topk_oracle()

@@ -1062,6 +1062,7 @@ def stream_curation_funnel_live(
     sf_dir: str,
     n_slices: int = 4,
     split_mod: int = 50,
+    compact_after_batch: int | None = None,
 ) -> DataFrame:
     """The LIVE CURATION FUNNEL — the three ingest gates CHAINED into
     ONE streaming pipeline (round-10 verdict, missing #3: quality,
@@ -1102,7 +1103,7 @@ def stream_curation_funnel_live(
     from ..functions.dedup import minhash_bands_for
     from ..functions.text import _distinct_5grams, quality_scored
     from ..sources import file_stream, write_ordered_slices
-    from ..streaming.ann_ingest import _read_state_shards
+    from ..streaming.ann_ingest import _read_state_shards, compact_ann_index
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
@@ -1202,6 +1203,18 @@ def stream_curation_funnel_live(
                     bands.write.mode("overwrite").parquet(
                         os.path.join(root, "post", shard)
                     )
+                    if (
+                        compact_after_batch is not None
+                        and batch_id == compact_after_batch
+                    ):
+                        # same single-writer window as the near-dup
+                        # gate: between our own stream's commits
+                        compact_ann_index(
+                            spark,
+                            root,
+                            families=("post",),
+                            schemas={"post": band_schema},
+                        )
                 finally:
                     bands.unpersist()
             finally:
@@ -1223,6 +1236,22 @@ def stream_curation_funnel_live(
         spark.read.schema("doc_id long, stage_idx int, stage string, batch int")
         .parquet(out)
         .drop("batch")
+    )
+
+
+def stream_curation_funnel_live_compacted(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """`stream_curation_funnel_live` with its near-dup posting state
+    bin-packed MID-STREAM (after the second micro-batch) — the funnel's
+    long-running maintenance twin, exactly as
+    `stream_neardup_gate_live_compacted` is the standalone gate's:
+    later arrivals must keep colliding against every earlier
+    quality-surviving band signature read through the compacted
+    generation; hash-matching the same composed closed form proves the
+    compaction is pure layout for the chained pipeline too."""
+    return stream_curation_funnel_live(
+        spark, sf_dir, n_slices=n_slices, compact_after_batch=1
     )
 
 
@@ -1422,6 +1451,7 @@ QUERIES = {
     "stream_contamination_gate_live": stream_contamination_gate_live,
     "stream_neardup_gate_live_compacted": stream_neardup_gate_live_compacted,
     "stream_curation_funnel_live": stream_curation_funnel_live,
+    "stream_curation_funnel_live_compacted": stream_curation_funnel_live_compacted,
     "stream_curation_funnel_report": stream_curation_funnel_report,
     "stream_state_store_read": stream_state_store_read,
     "stream_join_outer_live": stream_join_outer_live,
@@ -1445,6 +1475,7 @@ ORACLES = {
     "stream_contamination_gate_live": _contamination_gate_oracle(),
     "stream_neardup_gate_live_compacted": _neardup_gate_oracle(),
     "stream_curation_funnel_live": _curation_funnel_live_oracle(),
+    "stream_curation_funnel_live_compacted": _curation_funnel_live_oracle(),
     "stream_curation_funnel_report": _curation_funnel_report_oracle(),
     "stream_state_store_read": STREAM_STATE_STORE_ORACLE,
     # the stream-maintained moments must converge to the batch moments

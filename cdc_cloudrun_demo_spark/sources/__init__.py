@@ -100,8 +100,6 @@ def write_ordered_slices(
 
     from pyspark.sql import functions as F
 
-    import glob
-
     dirs = []
     for b in slice_ids:
         d = os.path.join(log_dir, f"slice_{b:03d}")
@@ -109,11 +107,21 @@ def write_ordered_slices(
             "overwrite"
         ).parquet(d)
         dirs.append(d)
-    # base folds in EVERY slice_* file already under log_dir — not just
-    # this call's — so a later group's pins start above the previous
-    # group's (whose pins sit base+i in the future); without this, two
-    # groups written into one log inside the pin window could
-    # interleave delivery order (round-10 advice)
+    pin_slice_order(log_dir, dirs)
+
+
+def pin_slice_order(log_dir: str, dirs: list[str]) -> None:
+    """Pin FileStreamSource delivery order for freshly written slice
+    dirs: each gets an mtime strictly above EVERY slice_* file already
+    under ``log_dir`` — not just this group's — so a later group's pins
+    start above the previous group's (whose pins sit base+i in the
+    future); without the global fold, two groups written into one log
+    inside the pin window could interleave delivery order (round-10
+    advice). Shared by `write_ordered_slices` and the entries whose
+    slices carry custom contents (op columns, delete batches)."""
+    import glob
+    import os
+
     base = max(
         os.path.getmtime(f)
         for f in glob.glob(os.path.join(log_dir, "slice_*", "*"))

@@ -2427,8 +2427,9 @@ def test_reindex_second_migration_vacuums_superseded_generation(
 
 
 def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
-    """The filtered beam walk (`sim_ann_graph_filtered_topk`): (a) every
-    returned neighbor satisfies the predicate — the walk never leaks a
+    """The filtered walks (`sim_ann_graph_filtered_topk` exact-steered,
+    `sim_ann_graph_adc_filtered_topk` code-steered): (a) every returned
+    neighbor satisfies the predicate — the walk never leaks a
     disallowed node; (b) recall vs exact brute force OVER THE ALLOWED
     CORPUS clears the unfiltered walk's floor (pushing the filter into
     the hops must not cost the neighborhood); (c) deterministic."""
@@ -2436,6 +2437,7 @@ def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
     from cdc_cloudrun_demo_spark.functions.similarity import (
         _int_dist2,
         quantized_vec,
+        sim_ann_graph_adc_filtered_topk,
         sim_ann_graph_filtered_topk,
     )
     from cdc_cloudrun_demo_spark.functions.text import pipeline_quality_kept
@@ -2443,6 +2445,7 @@ def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
     rows1 = sim_ann_graph_filtered_topk(spark, sf_oracle).collect()
     rows2 = sim_ann_graph_filtered_topk(spark, sf_oracle).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    adc_rows = sim_ann_graph_adc_filtered_topk(spark, sf_oracle).collect()
     allowed = {
         r["doc_id"]
         for r in pipeline_quality_kept(spark, sf_oracle)
@@ -2456,6 +2459,11 @@ def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
         assert r["neighbor_id"] in allowed, "walk leaked a disallowed node"
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert approx and all(len(v) <= 10 for v in approx.values())
+    adc_approx: dict[int, set] = {}
+    for r in adc_rows:
+        assert r["neighbor_id"] in allowed, "ADC walk leaked a disallowed node"
+        adc_approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert adc_approx and all(len(v) <= 10 for v in adc_approx.values())
 
     emb = load_for_compute(spark, sf_oracle, "embeddings")
     nodes = emb.filter(
@@ -2478,10 +2486,13 @@ def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
     truth: dict[int, list] = {}
     for r in exact_rows:
         truth.setdefault(r["query_id"], []).append((r["d2"], r["vec_id"]))
-    hits = total = 0
+    hits = total = adc_hits = 0
     for q, lst in truth.items():
         top = {vid for _, vid in sorted(lst)[:10]}
         hits += len(top & approx.get(q, set()))
+        adc_hits += len(top & adc_approx.get(q, set()))
         total += len(top)
     recall = hits / total
     assert recall >= 0.5, f"filtered graph-ANN recall@10 {recall:.2f}"
+    adc_recall = adc_hits / total
+    assert adc_recall >= 0.5, f"filtered ADC recall@10 {adc_recall:.2f}"

@@ -120,9 +120,13 @@ production one).
   across ALL memo caches, so the filtered-edge build (key (sf_dir, fp,
   k_edges)) self-deadlocked acquiring the raw-edge-list build's lock
   (same tuple). Locks are now namespaced by cache prefix.
-- `sim_ann_reindex_live`, `stream_curation_funnel_live` and the crash/
-  vacuum/recall-drift tests stay out of the wall-clock headline with
-  the other deliberately-serialized micro-batch harnesses.
+- `sim_ann_reindex_live` (+ its CRUD twin and the search served from
+  the migrated snapshot), `stream_curation_funnel_live` (+ compacted
+  twin and survivor report) and the crash/vacuum/recall-drift tests
+  stay out of the wall-clock headline with the other deliberately-
+  serialized micro-batch harnesses. `sim_ann_graph_adc_filtered_topk`
+  also stays out: its plan is the benched ADC walk over the benched
+  filtered closure — nothing new to price.
 
 ## Bench-drift accounting (round 10)
 
