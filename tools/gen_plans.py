@@ -92,22 +92,23 @@ print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
 print("""## Bench-drift accounting (round 11)
 
-Suite wall **44.31 s (r11, 37 queries; round-11 BUILD-TIME run,
-committed as docs/bench_r11_buildtime.json — the driver's BENCH_r11.json
-is the artifact of record and supersedes these numbers)** vs 40.69 s
-(r10 build-time, 36 queries). The growth decomposes exactly: one new
-timed entry (`sim_ann_graph_filtered_topk` 2.33 s) plus the PRICED ADC
-beam retune (8 -> 16, the recall knee: 3.57 s vs ~3.2 s — bought
-recall@10 0.74 -> 0.86). Like-for-like: `r8_30q` **32.74 s vs r10
-build-time 30.49 s (+7%, inside the documented ±9% same-code band)**,
-`r10_33q` 37.02, `r10_36q` 41.98 (new pin, carries the beam step),
-`r9_32q` 36.30, `r7_26q` 25.51, `r6_23q` 16.48, `r5_20q` 8.51 — no
-per-query regression outside noise. Startup 4.60 s session + 0.31 s
-first query with the CDS archive (now gated by a map-probe validity
-check: a truncated dump crashes a throwaway probe JVM, never a
-production one).
+Suite wall **40.73 s (r11, 37 queries; final end-of-round BUILD-TIME
+run on a quiet machine, committed as docs/bench_r11_buildtime.json —
+the driver's BENCH_r11.json is the artifact of record and supersedes
+these numbers)** vs 40.69 s (r10 build-time, 36 queries): the suite
+grew one timed entry (`sim_ann_graph_filtered_topk` 1.93 s) AND took
+the PRICED ADC beam retune (8 -> 16, the recall knee: 3.20 s — bought
+recall@10 0.74 -> 0.86), yet the wall is flat because the round also
+made two carried queries faster (the memoized predicate metadata took
+`sim_ann_filtered_topk` 2.64 -> 0.71 s). Like-for-like: `r8_30q`
+**30.16 s vs r10 build-time 30.49 s (-1%, flat)**, `r10_33q` 34.39,
+`r10_36q` 38.80 (new pin, carries the beam step), `r9_32q` 33.68,
+`r7_26q` 23.54, `r6_23q` 15.11, `r5_20q` 7.38 — no per-query
+regression outside noise. Startup 4.48 s session + 0.36 s first query
+with the CDS archive (now gated by a map-probe validity check: a
+truncated dump crashes a throwaway probe JVM, never a production one).
 
-- `sim_ann_graph_filtered_topk` 2.33 s (NEW, FULL_TIMED): filtered
+- `sim_ann_graph_filtered_topk` 1.93 s (NEW, FULL_TIMED): filtered
   graph search. First cut measured **10.4 s**: the quality-gate scan
   and the two-hop closure re-evaluated inside every hop's eager pin.
   Fixed by treating both as INDEX-BUILD artifacts (per-corpus disk
