@@ -156,10 +156,21 @@ def _cds_archive_valid(path: str) -> bool:
     probe — the same mapping that would SIGBUS later, moved into a
     process whose death costs nothing. Measured on this container: a
     truncated dump crashes the probe (exit 134, SIGBUS→abort); a
-    complete dump terminates NORMALLY (exit 0 or 1 — 1 just means the
-    probe JVM's empty classpath mismatches the dump-time classpath,
-    which says nothing about file integrity). So promote iff the probe
-    terminated normally."""
+    complete dump terminates NORMALLY (exit 1 plus ~1900 stdout lines
+    of ``[class,path]`` mapping info — 1 just means the probe JVM's
+    empty classpath mismatches the dump-time classpath, which says
+    nothing about file integrity); header-rejectable junk also exits 1
+    but with "shared archive" rejection text (degrades cleanly under
+    -Xshare:auto, so it may promote). Exit 1 is NOT sufficient alone
+    (round-11 advice): a JVM without the probe flag also exits 1
+    ("Unrecognized VM option") without ever touching the file, which
+    would silently degrade this gate to the magic check. So promote
+    iff the probe terminated normally AND its output shows the archive
+    was actually engaged (mapping info or archive-processing text),
+    never a flag-parse failure. The probe runs in a scratch cwd with
+    -XX:ErrorFile pointed there so deliberate SIGBUS probes (tests)
+    never litter hs_err_pid*.log into the repo root (round-11
+    hygiene)."""
     try:
         with open(path, "rb") as fh:
             magic = fh.read(4)
@@ -169,20 +180,34 @@ def _cds_archive_valid(path: str) -> bool:
     except OSError:
         return False
     import subprocess
+    import tempfile
 
     java = "java"
     jh = os.environ.get("JAVA_HOME")
     if jh and os.path.exists(os.path.join(jh, "bin", "java")):
         java = os.path.join(jh, "bin", "java")
     try:
-        probe = subprocess.run(
-            [java, f"-XX:SharedArchiveFile={path}",
-             "-XX:+PrintSharedArchiveAndExit"],
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            timeout=60,
-        )
-        return probe.returncode in (0, 1)
+        with tempfile.TemporaryDirectory(prefix="cds-probe-") as scratch:
+            probe = subprocess.run(
+                [java, f"-XX:SharedArchiveFile={path}",
+                 f"-XX:ErrorFile={os.path.join(scratch, 'hs_err_%p.log')}",
+                 "-XX:+PrintSharedArchiveAndExit"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                cwd=scratch,
+                timeout=60,
+            )
+        if probe.returncode not in (0, 1):
+            return False  # abnormal termination: the SIGBUS class
+        out = probe.stdout.decode("utf-8", errors="replace")
+        if "Unrecognized VM option" in out or "Unrecognized option" in out:
+            return False  # flag never parsed — the file was never probed
+        # require evidence the JVM actually engaged the archive file:
+        # mapping info ("[class,path]" log lines on a successful map) or
+        # archive-processing text (graceful rejection paths both say
+        # "shared archive"). A probe that exits 1 without either never
+        # touched the file and proves nothing.
+        return "class,path" in out or "shared archive" in out.lower()
     except (OSError, subprocess.TimeoutExpired):
         return False
 
