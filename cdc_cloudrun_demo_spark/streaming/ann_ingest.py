@@ -69,6 +69,10 @@ from pyspark.sql.window import Window
 
 VEC_SCHEMA = "vec_id long, embedding array<float>"
 CRUD_SCHEMA = "vec_id long, embedding array<float>, op string"
+# insert stream carrying the document-metadata predicate flag — the
+# ingest-time shape filtered serving reads (`with_allowed` sinks
+# maintain an ``allow`` state family instead of a batch-side memo)
+ALLOWED_VEC_SCHEMA = "vec_id long, embedding array<float>, allowed boolean"
 EDGE_SCHEMA = "src long, dst long, d2_units long"
 # the REVERSE adjacency (who points AT me) — dst-bucketed, maintained
 # only by with_ops sinks so a delete batch finds its affected survivors
@@ -242,6 +246,9 @@ _FAMILY_SCHEMAS = {
     "post": "tbl int, bucket long, vec_id long",
     "cell": "vec_id long, cell int",
     "dead": "vec_id long",
+    # predicate-allowed ids (with_allowed sinks): document metadata
+    # carried at ingest so filtered serving reads state, not a memo
+    "allow": "vec_id long",
 }
 
 
@@ -485,6 +492,15 @@ def reindex_ann_index(
             "bootstraps generation 0"
         )
     gen = ptr["gen"] + 1
+    # Capture the covers-through edge pointer BEFORE resolving the vecs
+    # snapshot (round-11 advice): a micro-batch that commits between
+    # these two reads must stay composed from its own cell/batch=* dirs
+    # after cutover. With covers captured first, any such batch has
+    # batch_id > covers — worst case its rows appear in BOTH the
+    # migrated gen root and its batch dir (candidate duplication, which
+    # rerank dedupes by vec_id), never in neither (silent row loss).
+    edge_ptr = _read_pointer(state_dir)
+    covers = edge_ptr["batch_id"] if edge_ptr is not None else -1
     vecs = _read_state_shards(
         spark, state_dir, "vecs", _FAMILY_SCHEMAS["vecs"]
     )
@@ -522,8 +538,6 @@ def reindex_ann_index(
         .write.mode("overwrite")
         .parquet(out)
     )
-    edge_ptr = _read_pointer(state_dir)
-    covers = edge_ptr["batch_id"] if edge_ptr is not None else -1
     if crash_before_cutover:
         return {"gen": gen, "n_centroids": len(rows), "committed": False}
     _swap_artifact_pointer(
@@ -628,6 +642,7 @@ def ann_index_sink(
     retain_edge_versions: int = 2,
     n_edge_buckets: int = 16,
     with_ops: bool = False,
+    with_allowed: bool = False,
 ):
     """foreachBatch sink maintaining the on-disk ANN graph (module
     docstring). State layout under ``state_dir``:
@@ -636,6 +651,8 @@ def ann_index_sink(
     - ``post/batch=<id>/``  LSH postings (tbl, bucket, vec_id)
     - ``cell/batch=<id>/``  IVF top-2-cell postings (vec_id, cell)
     - ``dead/batch=<id>/``  tombstoned vec_ids (with_ops streams only)
+    - ``allow/batch=<id>/`` predicate-allowed vec_ids (with_allowed
+      streams only — the filtered-serving metadata family)
     - ``edges/v<id>/b=<bucket>/``  touched edge buckets written by batch id
     - ``redges/v<id>/b=<bucket>/``  dst-bucketed REVERSE adjacency
       (with_ops only): a delete batch finds its affected survivors by
@@ -712,6 +729,14 @@ def ann_index_sink(
             else:
                 ins = batch_df
                 dels = None
+            ballow = None
+            if with_allowed:
+                # the predicate flag is DOCUMENT METADATA riding the
+                # ingest stream (ALLOWED_VEC_SCHEMA); it lands in its
+                # own state family and never touches the index-build
+                # joins — one full-corpus index serves every filter
+                ballow = ins.filter(F.col("allowed")).select("vec_id")
+                ins = ins.drop("allowed")
             # -- shard writes: the arriving vectors join the standing
             # index artifacts (idempotent per-batch overwrite)
             bq = ins.select(
@@ -727,6 +752,8 @@ def ann_index_sink(
             to_write = [("vecs", bq), ("post", bpost), ("cell", bcell)]
             if with_ops:
                 to_write.append(("dead", dels))
+            if with_allowed:
+                to_write.append(("allow", ballow))
             for name, df in to_write:
                 df.write.mode("overwrite").parquet(
                     os.path.join(state_dir, name, shard)

@@ -2496,3 +2496,117 @@ def test_graph_filtered_ann_allowed_only_and_recall(spark, sf_oracle):
     assert recall >= 0.5, f"filtered graph-ANN recall@10 {recall:.2f}"
     adc_recall = adc_hits / total
     assert adc_recall >= 0.5, f"filtered ADC recall@10 {adc_recall:.2f}"
+
+
+def test_filtered_domain_walk_second_predicate_family(spark, sf_oracle):
+    """`sim_ann_graph_filtered_domain_topk` — the SECOND predicate
+    family (source_even) through the same closure/walk machinery
+    (round-11 verdict missing #3): (a) every returned neighbor
+    satisfies the domain predicate — the walk never leaks a blocked
+    node; (b) recall vs exact brute force over the allowed corpus
+    clears the filtered family's floor; (c) the two families really
+    are different predicates (their allowed sets differ), so a shared
+    or clobbered memo would be caught here; (d) deterministic."""
+    from cdc_cloudrun_demo_spark.catalog import load_for_compute
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _allowed_ids_cached,
+        _int_dist2,
+        quantized_vec,
+        sim_ann_graph_filtered_domain_topk,
+    )
+
+    rows1 = sim_ann_graph_filtered_domain_topk(spark, sf_oracle).collect()
+    rows2 = sim_ann_graph_filtered_domain_topk(spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    allowed = {
+        r["vec_id"]
+        for r in _allowed_ids_cached(spark, sf_oracle, "source_even").collect()
+    }
+    quality = {
+        r["vec_id"]
+        for r in _allowed_ids_cached(spark, sf_oracle, "quality_en").collect()
+    }
+    assert allowed and quality and allowed != quality, (
+        "the two predicate families must denote different sets — equal "
+        "sets mean a memo collision (key not carrying the predicate id)"
+    )
+    approx: dict[int, set] = {}
+    for r in rows1:
+        assert r["neighbor_id"] in allowed, "walk leaked a blocked node"
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert approx and all(len(v) <= 10 for v in approx.values())
+
+    emb = load_for_compute(spark, sf_oracle, "embeddings")
+    nodes = emb.filter(
+        F.col("vec_id").isin([int(i) for i in allowed])
+    ).select("vec_id", quantized_vec(F.col("embedding")).alias("nv"))
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        quantized_vec(F.col("embedding")).alias("qv"),
+    )
+    exact_rows = (
+        nodes.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist2(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+        .collect()
+    )
+    truth: dict[int, list] = {}
+    for r in exact_rows:
+        truth.setdefault(r["query_id"], []).append((r["d2"], r["vec_id"]))
+    hits = total = 0
+    for q, lst in truth.items():
+        top = {vid for _, vid in sorted(lst)[:10]}
+        hits += len(top & approx.get(q, set()))
+        total += len(top)
+    recall = hits / total
+    assert recall >= 0.5, f"domain-filtered graph-ANN recall@10 {recall:.2f}"
+
+
+def test_live_filtered_search_matches_batch_filtered_walk(spark, sf_oracle):
+    """`sim_ann_search_live_filtered` serves from the streaming sink's
+    state — allow flags from the ingest-time ``allow`` family, closure
+    from the pointed-at edges — and must return the BATCH filtered
+    walk's rows exactly (state ≡ rebuild and the filtered walk is a
+    pure function of that state): the round-11 missing #2 closed
+    end-to-end. Also pins that the state dir really carries the allow
+    family (the flags came through the stream, not a batch memo)."""
+    import os
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _allowed_ids_cached,
+        _ingest_live_state,
+        sim_ann_graph_filtered_topk,
+        sim_ann_search_live_filtered,
+    )
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _FAMILY_SCHEMAS,
+        _read_state_shards,
+    )
+
+    live = sorted(
+        map(tuple, sim_ann_search_live_filtered(spark, sf_oracle).collect())
+    )
+    batch = sorted(
+        map(tuple, sim_ann_graph_filtered_topk(spark, sf_oracle).collect())
+    )
+    assert live == batch, "live filtered serving diverged from the batch walk"
+
+    state = _ingest_live_state(
+        spark, sf_oracle, 8, 4, with_allowed_predicate="quality_en"
+    )
+    assert os.path.isdir(os.path.join(state, "allow"))
+    state_allowed = {
+        r["vec_id"]
+        for r in _read_state_shards(
+            spark, state, "allow", _FAMILY_SCHEMAS["allow"]
+        ).collect()
+    }
+    memo_allowed = {
+        r["vec_id"]
+        for r in _allowed_ids_cached(spark, sf_oracle, "quality_en").collect()
+    }
+    assert state_allowed == memo_allowed
