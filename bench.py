@@ -112,6 +112,13 @@ HEADLINE: dict[str, str] = {
     # run at construction. The reindex/funnel live entries stay out of
     # the bench with the other micro-batch harnesses.
     "sim_ann_graph_filtered_topk": "collect",
+    # round-12: the SECOND predicate family (source-domain) through the
+    # same parameterized closure machinery — timed so the
+    # predicate-generalization path's memo discipline (per-family
+    # allowed/closure artifacts) has its own measured number. The PQ
+    # reindex and live-export entries stay out of the bench with the
+    # other micro-batch harnesses.
+    "sim_ann_graph_filtered_domain_topk": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -126,6 +133,7 @@ HEADLINE: dict[str, str] = {
 FULL_TIMED = {
     "sim_ann_graph_adc_topk",
     "sim_ann_graph_filtered_topk",
+    "sim_ann_graph_filtered_domain_topk",
     "graph_pagerank",
     "graph_pagerank_copart",
     "sim_ann_pq_topk",
@@ -240,6 +248,26 @@ LEGACY_SUITES = {
         "sim_ann_filtered_topk",
         "sim_ann_binary_topk", "sim_ann_recall_eval",
         "sim_ann_graph_adc_topk",
+    ],
+    # full r11 membership = r10_36q + the filtered graph walk — pinned
+    # before round 12's domain-filtered entry joined
+    "r11_37q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+        "sim_knn_graph_incremental", "dedup_substring_spans",
+        "dq_drift_psi", "sim_ann_hnsw_topk",
+        "sim_knn_graph_delete", "dedup_substring_excised",
+        "sim_ann_filtered_topk",
+        "sim_ann_binary_topk", "sim_ann_recall_eval",
+        "sim_ann_graph_adc_topk",
+        "sim_ann_graph_filtered_topk",
     ],
 }
 

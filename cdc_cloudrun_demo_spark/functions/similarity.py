@@ -1165,8 +1165,24 @@ def _pq_codes_arr(
     (first minimal code)."""
     emb = load_for_compute(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, emb, m=m, ksub=ksub, corpus_key=sf_dir)
+    return emb.select(
+        "vec_id",
+        pq_code_array_col(
+            quantized_vec(F.col("embedding")), books
+        ).alias("pq_codes"),
+    )
+
+
+def pq_code_array_col(qv_col, books: list[list[list[int]]]):
+    """The ``array<int>`` PQ-code column for a quantized-vector column
+    under inlined codebook literals — a NARROW per-row argmin (the IVF
+    assignment discipline: zero exchanges, scan-speed at any corpus
+    size; deterministic ties → first minimal code). Shared by the
+    batch code table (`_pq_codes_arr`), the streaming sink's per-batch
+    ``code`` family, and the PQ reindex migration
+    (`streaming/ann_ingest.py:reindex_ann_pq`) so code assignment is
+    ONE expression everywhere a generation's books touch data."""
     dsub = len(books[0][0])
-    qfull = quantized_vec(F.col("embedding"))
     code_cols = []
     for j, book in enumerate(books):
         structs = ", ".join(
@@ -1176,7 +1192,7 @@ def _pq_codes_arr(
             for c, vec in enumerate(book)
         )
         book_arr = F.expr(f"array({structs})")
-        sub = F.slice(qfull, j * dsub + 1, dsub)
+        sub = F.slice(qv_col, j * dsub + 1, dsub)
 
         def _score(sub_col):
             # single-arg lambda: PySpark binds a 2-arg transform lambda
@@ -1191,10 +1207,7 @@ def _pq_codes_arr(
         code_cols.append(
             F.element_at(F.array_sort(scored), 1)["code"].alias(f"c{j}")
         )
-    return emb.select(
-        "vec_id",
-        F.array(*code_cols).cast("array<int>").alias("pq_codes"),
-    )
+    return F.array(*code_cols).cast("array<int>")
 
 
 def sim_pq_codes(
@@ -3616,6 +3629,173 @@ def _reindex_live_state(
     return state
 
 
+def sim_ann_reindex_pq_live(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """PQ CODEBOOK RETRAIN + LIVE CODE MIGRATION — the generation
+    protocol extended to the second frozen artifact family (round-11
+    verdict, missing #1: `sim_ann_reindex_live` closed the drift loop
+    for the IVF quantizer while the codebooks steering the ADC serving
+    walk stayed generation-0 forever). Lifecycle exercised:
+
+    1. bootstrap: generation-0 codebooks trained on the first slice
+       only (`ann_index_sink(pq_books=...)` — a stale sample of what
+       the corpus will become), every arriving batch's code columns
+       assigned under the CURRENT generation's books;
+    2. live ingest of the first ``reindex_after + 1`` slices under
+       generation 0 (per-batch ``code`` shards);
+    3. `reindex_ann_pq` (streaming/ann_ingest.py): retrain per-subspace
+       integer Lloyd on the EVOLVED standing corpus, regenerate every
+       standing vector's codes side-by-side into ``codeg/gen-1``, cut
+       over with one atomic ``_artifacts`` swap (IVF fields carried
+       untouched — the families migrate independently on one pointer),
+       old generation retained;
+    4. the SAME sink keeps ingesting — arrivals now encode with the
+       retrained books.
+
+    The final pointed-at code state (`read_ann_codes`) must EQUAL the
+    one-shot PQ assignment of the full corpus under codebooks trained
+    on exactly the vectors that had arrived by the migration point
+    (vec_id % n_batches <= reindex_after — `sim_ann_reindex_live`'s
+    arrival filter, applied to the PQ training sample). Output is the
+    driver-sortable exploded (vec_id, subspace, code) of
+    `sim_pq_codes`. Crash injection at the cutover and the ADC
+    recall-improvement property on a drifted corpus are pinned in
+    tests/test_llm_ops.py::test_pq_reindex_*."""
+    from ..streaming.ann_ingest import read_ann_codes
+
+    state = _reindex_pq_live_state(
+        spark, sf_dir, n_batches, reindex_after, m, ksub
+    )
+    return (
+        read_ann_codes(spark, state)
+        .select(
+            "vec_id",
+            F.col("sub").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
+
+
+def _reindex_pq_live_state(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    m: int = 8,
+    ksub: int = 16,
+) -> str:
+    """The PQ reindex lifecycle harness (ingest under gen-0 books →
+    retrain + migrate → keep ingesting under gen-1) —
+    `_reindex_live_state`'s shape for the codebook family."""
+    import os
+
+    from .._scratch import scratch_dir
+    from ..sources import write_ordered_slices
+    from ..streaming.ann_ingest import (
+        VEC_SCHEMA,
+        ann_index_sink,
+        reindex_ann_pq,
+    )
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    first = emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == 0)
+    # generation 0: trained on the first slice only — the bootstrap
+    # sample, stale by construction once later slices arrive
+    cents0 = kmeans_centroid_rows(spark, first, 16)
+    books0 = _pq_codebooks(spark, first, m=m, ksub=ksub)
+    tmp = scratch_dir("ann_reindex_pq_")
+    log_dir = os.path.join(tmp, "log")
+    state = os.path.join(tmp, "state")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def run_available() -> None:
+        q = ann_index_sink(
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(log_dir, "slice_*")),
+            state,
+            ckpt,
+            cents0,
+            pq_books=books0,
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError("ANN PQ ingest stream did not finish in 300s")
+        if q.exception() is not None:
+            raise q.exception()
+
+    def write_slices(batch_ids) -> None:
+        write_ordered_slices(
+            emb.select("vec_id", "embedding"),
+            log_dir,
+            batch_ids,
+            "vec_id",
+            n_batches,
+        )
+
+    write_slices(list(range(reindex_after + 1)))
+    run_available()
+    reindex_ann_pq(spark, state, m=m, ksub=ksub)
+    write_slices(list(range(reindex_after + 1, n_batches)))
+    run_available()
+    return state
+
+
+def sim_ann_search_reindexed_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """ADC top-k SERVED from the PQ-MIGRATED live snapshot — the
+    queryable-equal proof for the codebook migration, exactly as
+    `sim_ann_search_reindexed_index` is for the IVF one: after
+    ingest-under-gen-0-books → retrain+cutover → ingest-under-gen-1,
+    each query's integer LUT against the POINTED-AT generation's
+    codebooks scans the pointed-at code state (migrated root ∪
+    post-migration batch shards, `read_ann_codes`) — m table lookups
+    per visited code row, the float corpus never touched
+    (`ann_adc_search_state`, streaming/ann_ingest.py). Hash-matches
+    the one-shot ADC scan with the RETRAINED codebooks over the full
+    corpus — proving not just that the migrated code state equals the
+    rebuild (`sim_ann_reindex_pq_live`) but that compressed-scan
+    queries served from it return the rebuild's answers."""
+    from ..streaming.ann_ingest import ann_adc_search_state
+
+    state = _reindex_pq_live_state(
+        spark, sf_dir, n_batches, reindex_after, m, ksub
+    )
+    return ann_adc_search_state(
+        spark, state, list(range(n_queries)), k=k
+    ).orderBy("query_id", "rnk")
+
+
+def _pq_reindex_retrain_where() -> str:
+    """The PQ reindex oracle's training-corpus filter, DERIVED from the
+    entry's signature defaults (the `_asof_arrival_where` discipline)."""
+    import inspect
+
+    d = {
+        p.name: p.default
+        for p in inspect.signature(
+            sim_ann_reindex_pq_live
+        ).parameters.values()
+    }
+    return f"WHERE vec_id % {d['n_batches']} <= {d['reindex_after']}"
+
+
 def sim_ann_search_reindexed_index(
     spark: SparkSession,
     sf_dir: str,
@@ -4368,6 +4548,8 @@ QUERIES = {
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_ann_reindex_live": sim_ann_reindex_live,
     "sim_ann_reindex_crud_live": sim_ann_reindex_crud_live,
+    "sim_ann_reindex_pq_live": sim_ann_reindex_pq_live,
+    "sim_ann_search_reindexed_pq": sim_ann_search_reindexed_pq,
     "sim_ann_search_reindexed_index": sim_ann_search_reindexed_index,
     "sim_embedding_stats": sim_embedding_stats,
 }
@@ -4592,6 +4774,69 @@ ORACLES["sim_ann_reindex_crud_live"] = f"""
       AND NOT (vec_id % {_RCX["n_batches"]} <= {_RCX["reindex_after"]}
                AND vec_id % {_RCX["del_mod"]} = 0)
     ORDER BY vec_id, cell
+"""
+# PQ reindex: codes of the FULL standing corpus under codebooks trained
+# on the vectors arrived by the migration point (filter and knobs
+# derived from the entry defaults) — the per-subspace training chain
+# and assignment are the sim_pq_codes oracle's, with the arrival WHERE.
+_PQR = {
+    p.name: p.default
+    for p in __import__("inspect")
+    .signature(sim_ann_reindex_pq_live)
+    .parameters.values()
+}
+ORACLES["sim_ann_reindex_pq_live"] = f"""
+    WITH {_sql_int_kmeans(
+        "p_",
+        n_clusters=_PQR["ksub"],
+        m=_PQR["m"],
+        where=_pq_reindex_retrain_where(),
+    )},
+    {_sql_pq_codes(m=_PQR["m"], ksub=_PQR["ksub"])}
+    SELECT vec_id, CAST(sub AS INT) AS subspace, CAST(code AS INT) AS code
+    FROM pq_codes_t
+    ORDER BY vec_id, subspace
+"""
+# ADC search served from the PQ-migrated snapshot: the one-shot integer
+# ADC scan under the RETRAINED codebooks — per-query subspace distances
+# to every posted code, summed, (adc, id) top-k. Knobs derived from the
+# entry signature.
+_SPQ = {
+    p.name: p.default
+    for p in __import__("inspect")
+    .signature(sim_ann_search_reindexed_pq)
+    .parameters.values()
+}
+ORACLES["sim_ann_search_reindexed_pq"] = f"""
+    WITH {_sql_int_kmeans(
+        "p_",
+        n_clusters=_SPQ["ksub"],
+        m=_SPQ["m"],
+        where=_pq_reindex_retrain_where(),
+    )},
+    {_sql_pq_codes(m=_SPQ["m"], ksub=_SPQ["ksub"])},
+    adcq AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, qs FROM pq_subq
+        WHERE vec_id < {_SPQ["n_queries"]}
+    ),
+    scored AS MATERIALIZED (
+        SELECT q.query_id, co.vec_id AS neighbor_id,
+               CAST(SUM({_sql_int_d2("q.qs", "b.cv", 64 // _SPQ["m"])})
+                    AS BIGINT) AS adc
+        FROM adcq q
+        JOIN pq_codes_t co ON co.sub = q.sub
+        JOIN p_cents b ON b.sub = co.sub AND b.cid = co.code
+        WHERE co.vec_id <> q.query_id
+        GROUP BY q.query_id, co.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_SPQ["k"]}
+    ORDER BY query_id, rnk
 """
 # Search served from the migrated snapshot: the one-shot IVF search
 # with the RETRAINED artifacts — probe the query's top-n_probe cells

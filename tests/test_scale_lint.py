@@ -119,12 +119,14 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "aggregates (live TTL advance + restart rehydration)",
         ),
         "streaming/ann_ingest.py": (
-            4,
+            6,
             "<= n_edge_buckets ints each: the touched-bucket merge's "
             "write set, the delete batch's dead-id reverse buckets, and "
-            "the reverse index's touched dst buckets; plus the reindex "
-            "retrain's fixed-size (sample_size=2048) md5-ordered "
-            "training sample — a distributed top-k, never data-scaled",
+            "the reverse index's touched dst buckets; the IVF and PQ "
+            "reindex retrains' fixed-size (sample_size=2048) "
+            "md5-ordered training samples — distributed top-ks, never "
+            "data-scaled; and the ADC state search's query-vector "
+            "fetch, bounded by the explicit query_ids list",
         ),
         "operators/cdc.py": (
             1,

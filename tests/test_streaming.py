@@ -2014,3 +2014,51 @@ def test_curation_funnel_live_routing_properties(spark, sf_smoke):
         "neardup_kept": n_nd,
         "clean": n_clean,
     }
+
+
+def test_live_export_restart_and_crash_replay_converge(
+    spark, sf_oracle, tmp_path
+):
+    """The live curated export's commit protocol end-to-end: the sliced
+    replay split across a RESTART of the same checkpoint, with a forged
+    crash in between (the last batch's commit marker erased, so the
+    restart REPLAYS it over already-written shard/state dirs), must
+    converge to byte-the-same manifest as the single uninterrupted run
+    — per-batch idempotent overwrite + the near-dup state's
+    current-batch anti-join make the replayed batch rewrite exactly its
+    own dirs with identical content."""
+    import os
+
+    from cdc_cloudrun_demo_spark.operators.streaming_batch import (
+        _run_curation_funnel_stream,
+        read_export_shard_manifest,
+        stream_curation_export_live,
+    )
+
+    want = sorted(
+        map(tuple, stream_curation_export_live(spark, sf_oracle).collect())
+    )
+    assert want and sum(r[1] for r in want) > 0  # a real corpus shipped
+
+    root = str(tmp_path / "exp_root")
+    _run_curation_funnel_stream(
+        spark, sf_oracle, export_clean=True, root=root, slice_ids=[0, 1]
+    )
+    # forge the crash: erase batch 1's commit marker; the restart will
+    # replay it over the already-written batch=1 dirs
+    commits = os.path.join(root, "ckpt", "commits")
+    last = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    assert int(last) == 1
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_curation_funnel_stream(
+        spark, sf_oracle, export_clean=True, root=root, slice_ids=[2, 3]
+    )
+    got = sorted(
+        map(tuple, read_export_shard_manifest(spark, root).collect())
+    )
+    assert got == want
