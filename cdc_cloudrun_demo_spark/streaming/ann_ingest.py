@@ -170,6 +170,7 @@ def _write_artifact_gen(
     gen: int,
     cent_rows: list[tuple[int, list[int]]],
     books: list[list[list[int]]] | None = None,
+    lsh_seed: int | None = None,
 ) -> str:
     """Durably store one artifact GENERATION (the trained IVF coarse
     quantizer and, when the sink carries PQ codes, the per-subspace
@@ -191,6 +192,8 @@ def _write_artifact_gen(
         payload["books"] = [
             [[int(x) for x in cent] for cent in book] for book in books
         ]
+    if lsh_seed is not None:
+        payload["lsh_seed"] = int(lsh_seed)
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     os.replace(tmp, os.path.join(state_dir, rel))
@@ -247,6 +250,28 @@ def read_artifact_books(
     ]
 
 
+def read_artifact_lsh_seed(state_dir: str, gen: int | None = None) -> int | None:
+    """The LSH plane seed of artifact generation ``gen`` (default: the
+    pointed-at current generation). None means the bootstrap planes
+    (seed 42, hashed from the FLOAT embeddings — `lsh_postings_for`);
+    a value means a rotation has cut over and the generation's hash is
+    `lsh_postings_qv` under that seed (hashed from the stored
+    quantized vectors — all a live migration ever has)."""
+    if gen is None:
+        ptr = _read_artifact_pointer(state_dir)
+        if ptr is None:
+            return None
+        gen = ptr["gen"]
+    path = os.path.join(state_dir, "artifacts", f"gen-{gen}.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except FileNotFoundError:
+        return None
+    seed = data.get("lsh_seed")
+    return None if seed is None else int(seed)
+
+
 def read_ann_cells(spark: SparkSession, state_dir: str) -> DataFrame:
     """The CURRENT cell-assignment state (vec_id, cell): the migrated
     generation's compacted root (if a reindex has cut over) composed
@@ -300,6 +325,33 @@ def read_ann_codes(spark: SparkSession, state_dir: str) -> DataFrame:
     ]
     paths = [os.path.join(state_dir, ptr["codes_root"])] + newer
     return spark.read.schema(_FAMILY_SCHEMAS["code"]).parquet(*paths)
+
+
+def read_ann_postings(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The CURRENT LSH posting state (tbl, bucket, vec_id) — the
+    rotated generation's compacted root (if an LSH plane rotation has
+    cut over) composed with every per-batch ``post/batch=*`` subdir
+    ingested AFTER the rotation's covers-through point: the
+    `read_ann_cells` composition rule on the posting family's own
+    pointer fields. Tombstones are NOT filtered here (callers
+    anti-join ``dead``)."""
+    import glob as _glob
+
+    ptr = _read_artifact_pointer(state_dir)
+    if ptr is None or not ptr.get("post_root"):
+        return _read_state_shards(
+            spark, state_dir, "post", _FAMILY_SCHEMAS["post"]
+        )
+    covers = ptr["post_covers_through_batch"]
+    newer = [
+        d
+        for d in sorted(
+            _glob.glob(os.path.join(state_dir, "post", "batch=*"))
+        )
+        if int(d.rsplit("=", 1)[1]) > covers
+    ]
+    paths = [os.path.join(state_dir, ptr["post_root"])] + newer
+    return spark.read.schema(_FAMILY_SCHEMAS["post"]).parquet(*paths)
 
 # shard-family schemas: reads are always explicit — a family whose dirs
 # hold no part files (all-empty batch writes) must read as 0 rows, not
@@ -416,6 +468,13 @@ def compact_ann_index(
             f"state at {state_dir} has a migrated code generation "
             f"({art['codes_root']}); compact without the code family "
             "(reindex_ann_pq already bin-packs it at cutover)"
+        )
+    if art is not None and art.get("post_root") and "post" in families:
+        # same guard for the posting family after a reindex_ann_lsh
+        raise ValueError(
+            f"state at {state_dir} has a rotated posting generation "
+            f"({art['post_root']}); compact without the post family "
+            "(reindex_ann_lsh already bin-packs it at cutover)"
         )
     man = _read_shards_manifest(state_dir)
     if man is not None and not set(man["families"]) <= set(families):
@@ -817,6 +876,107 @@ def reindex_ann_pq(
     }
 
 
+def reindex_ann_lsh(
+    spark: SparkSession,
+    state_dir: str,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 43,
+    n_files: int = 8,
+    crash_before_cutover: bool = False,
+) -> dict:
+    """ROTATE the LSH hyperplanes and migrate the live posting state to
+    the new generation — the generation protocol applied to the THIRD
+    frozen artifact family (round-11 verdict, missing #1 named the
+    planes behind the postings as staying generation-0 forever). The
+    planes are data-independent (seeded Gaussians), so unlike IVF/PQ
+    there is nothing to TRAIN — rotation is the response to bucket-
+    occupancy skew (re-seeding rebalances collision sets) and to the
+    operational need to re-key a hash family without a rebuild.
+
+    Same protocol as `reindex_ann_index`/`reindex_ann_pq`: covers
+    captured BEFORE the vecs snapshot; every standing vector re-hashed
+    side-by-side into ``postg/gen-<g>`` (one narrow map over the
+    stored quantized vectors — a live migration only has qv, so the
+    rotated generation's hash is DEFINED over qv, `lsh_postings_qv`,
+    and post-rotation arrivals hash their qv with the same planes);
+    one atomic ``_artifacts`` swap (other families' fields carried
+    untouched, the new generation file records the seed); readers and
+    the sink's candidate joins compose ``postg/gen-<g>`` ∪
+    ``post/batch>covers`` (`read_ann_postings`); vacuum after publish
+    with the previous composition retained for grace."""
+    import glob as _glob
+
+    from ..functions.similarity import lsh_postings_qv
+
+    ptr = _read_artifact_pointer(state_dir)
+    if ptr is None:
+        raise ValueError(
+            f"no artifact store under {state_dir}; the ingest sink "
+            "bootstraps generation 0"
+        )
+    gen = ptr["gen"] + 1
+    edge_ptr = _read_pointer(state_dir)
+    covers = edge_ptr["batch_id"] if edge_ptr is not None else -1
+    vecs = _read_state_shards(
+        spark, state_dir, "vecs", _FAMILY_SCHEMAS["vecs"]
+    )
+    dead = _read_state_shards(
+        spark, state_dir, "dead", _FAMILY_SCHEMAS["dead"]
+    )
+    vecs = vecs.join(dead, "vec_id", "left_anti")
+    cur_cents = read_artifact_cents(state_dir)
+    prev_books = read_artifact_books(state_dir)
+    _write_artifact_gen(
+        state_dir,
+        gen,
+        cur_cents[1] if cur_cents else [(0, [0])],
+        books=prev_books[1] if prev_books else None,
+        lsh_seed=seed,
+    )
+    post_rel = os.path.join("postg", f"gen-{gen}")
+    out = os.path.join(state_dir, post_rel)
+    shutil.rmtree(out, ignore_errors=True)  # leftovers from a crash
+    (
+        lsh_postings_qv(
+            vecs, n_tables=n_tables, bits_per_table=bits_per_table, seed=seed
+        )
+        .select(
+            F.col("tbl").cast("int").alias("tbl"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "vec_id",
+        )
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    if crash_before_cutover:
+        return {"gen": gen, "lsh_seed": seed, "committed": False}
+    _swap_artifact_pointer(
+        state_dir,
+        {
+            **ptr,
+            "gen": gen,
+            "post_root": post_rel,
+            "post_covers_through_batch": covers,
+        },
+    )
+    if ptr.get("post_root"):
+        prev_post_gen = int(ptr["post_root"].rsplit("-", 1)[1])
+        for d in _glob.glob(os.path.join(state_dir, "postg", "gen-*")):
+            if int(os.path.basename(d).split("-", 1)[1]) < prev_post_gen:
+                shutil.rmtree(d, ignore_errors=True)
+        for d in _glob.glob(os.path.join(state_dir, "post", "batch=*")):
+            if int(d.rsplit("=", 1)[1]) <= ptr["post_covers_through_batch"]:
+                shutil.rmtree(d, ignore_errors=True)
+    return {
+        "gen": gen,
+        "lsh_seed": seed,
+        "post_covers_through_batch": covers,
+        "committed": True,
+    }
+
+
 def ann_adc_search_state(
     spark: SparkSession,
     state_dir: str,
@@ -1040,6 +1200,7 @@ def ann_index_sink(
         _int_dist2,
         ivf_ranked_cells,
         lsh_postings_for,
+        lsh_postings_qv,
         pq_code_array_col,
         quantized_vec,
     )
@@ -1099,7 +1260,20 @@ def ann_index_sink(
             bq = ins.select(
                 "vec_id", quantized_vec(F.col("embedding")).alias("qv")
             )
-            bpost = lsh_postings_for(ins).select("tbl", "bucket", "vec_id")
+            # posting hash under the CURRENT generation's planes: the
+            # bootstrap float-hash (seed pinned at None → seed-42
+            # `lsh_postings_for`) until a rotation cuts over, then the
+            # rotated generation's qv-hash — one consistent hash per
+            # generation across migrated state and later arrivals
+            cur_seed = read_artifact_lsh_seed(state_dir)
+            if cur_seed is None:
+                bpost = lsh_postings_for(ins).select(
+                    "tbl", "bucket", "vec_id"
+                )
+            else:
+                bpost = lsh_postings_qv(bq, seed=cur_seed).select(
+                    "tbl", "bucket", "vec_id"
+                )
             bcell = ins.select(
                 "vec_id",
                 F.explode(F.slice(ranked(F.col("embedding")), 1, 2)).alias(
@@ -1136,10 +1310,10 @@ def ann_index_sink(
                     os.path.join(state_dir, name, shard)
                 )
             # -- artifact reads: seen ∪ batch, minus every tombstone
-            # ever recorded (dead ids never serve as candidates again)
-            post = _read_state_shards(
-                spark, state_dir, "post", _FAMILY_SCHEMAS["post"]
-            )
+            # ever recorded (dead ids never serve as candidates again);
+            # postings resolve through the rotation pointer (identical
+            # to the raw family read until an LSH rotation cuts over)
+            post = read_ann_postings(spark, state_dir)
             cell = read_ann_cells(spark, state_dir)
             vecs = _read_state_shards(
                 spark, state_dir, "vecs", _FAMILY_SCHEMAS["vecs"]

@@ -2712,16 +2712,19 @@ def test_pq_reindex_crash_before_cutover_is_invisible_then_rerun_completes(
     assert after and after != before  # retrained codes took over
 
 
-def test_pq_and_ivf_migrations_interleave_on_one_pointer(spark, tmp_path):
-    """The two artifact families migrate INDEPENDENTLY on one shared
-    pointer/generation counter: IVF reindex (gen 1) → PQ reindex
-    (gen 2) → IVF reindex again (gen 3). Each family's root must
-    survive the other's swaps; the second IVF migration's vacuum must
-    key grace on the previous CELL root's own generation (not the
-    shared counter — keying on ptr['gen'] after the interleaved PQ
-    bump would delete the very generation readers hold); the
-    compaction guard must refuse both migrated families; row counts
-    stay exact throughout."""
+def test_artifact_family_migrations_interleave_on_one_pointer(
+    spark, tmp_path
+):
+    """The THREE artifact families (IVF cells, PQ codes, LSH postings)
+    migrate INDEPENDENTLY on one shared pointer/generation counter:
+    IVF reindex (gen 1) → PQ reindex (gen 2) → LSH rotation (gen 3) →
+    IVF reindex again (gen 4). Each family's root must survive the
+    others' swaps; the later IVF migration's vacuum must key grace on
+    the previous CELL root's own generation (not the shared counter —
+    keying on ptr['gen'] after interleaved bumps would delete the very
+    generation readers hold); the compaction guard must refuse all
+    three migrated families; row counts stay exact throughout (the
+    posting count too: a rotation re-keys buckets, never membership)."""
     import os
 
     import pytest
@@ -2731,7 +2734,10 @@ def test_pq_and_ivf_migrations_interleave_on_one_pointer(spark, tmp_path):
         compact_ann_index,
         read_ann_cells,
         read_ann_codes,
+        read_ann_postings,
+        read_artifact_lsh_seed,
         reindex_ann_index,
+        reindex_ann_lsh,
         reindex_ann_pq,
     )
 
@@ -2739,22 +2745,70 @@ def test_pq_and_ivf_migrations_interleave_on_one_pointer(spark, tmp_path):
     state = _ingest_reindex_state(spark, sf, tmp_path, with_pq=True)
     n_cells = read_ann_cells(spark, state).count()
     n_codes = read_ann_codes(spark, state).count()
+    n_posts = read_ann_postings(spark, state).count()
+    assert read_artifact_lsh_seed(state) is None  # bootstrap planes
     assert reindex_ann_index(spark, state)["gen"] == 1
     assert reindex_ann_pq(spark, state)["gen"] == 2
     ptr = _read_artifact_pointer(state)
     assert ptr["cells_root"] == "cellg/gen-1"  # survived the PQ swap
     assert ptr["codes_root"] == "codeg/gen-2"
-    assert reindex_ann_index(spark, state)["gen"] == 3
+    assert reindex_ann_lsh(spark, state)["gen"] == 3
     ptr = _read_artifact_pointer(state)
-    assert ptr["cells_root"] == "cellg/gen-3"
+    assert ptr["post_root"] == "postg/gen-3"
+    assert ptr["cells_root"] == "cellg/gen-1"  # survived the LSH swap
+    assert ptr["codes_root"] == "codeg/gen-2"
+    assert read_artifact_lsh_seed(state) == 43
+    assert reindex_ann_index(spark, state)["gen"] == 4
+    ptr = _read_artifact_pointer(state)
+    assert ptr["cells_root"] == "cellg/gen-4"
     assert ptr["codes_root"] == "codeg/gen-2"  # survived the IVF swap
+    assert ptr["post_root"] == "postg/gen-3"
     # grace: the PREVIOUS cell root (gen-1) must still exist — a reader
-    # that resolved the pointer just before the third swap holds it
+    # that resolved the pointer just before the fourth swap holds it
     assert os.path.isdir(os.path.join(state, "cellg", "gen-1"))
     assert os.path.isdir(os.path.join(state, "codeg", "gen-2"))
+    assert os.path.isdir(os.path.join(state, "postg", "gen-3"))
     assert read_ann_cells(spark, state).count() == n_cells
     assert read_ann_codes(spark, state).count() == n_codes
+    assert read_ann_postings(spark, state).count() == n_posts
     with pytest.raises(ValueError, match="migrated cell generation"):
         compact_ann_index(spark, state)
     with pytest.raises(ValueError, match="migrated code generation"):
         compact_ann_index(spark, state, families=("vecs", "code"))
+    with pytest.raises(ValueError, match="rotated posting generation"):
+        compact_ann_index(spark, state, families=("vecs", "post"))
+
+
+def test_lsh_rotation_crash_before_cutover_is_invisible_then_rerun(
+    spark, tmp_path
+):
+    """Crash injection at the LSH rotation's pointer swap: the rotated
+    posting root lands on disk but the pointed-at state still serves
+    the bootstrap planes — reads see NOTHING (and the sink would keep
+    hashing arrivals with the old planes). The re-run is idempotent
+    and completes the same generation; after cutover the posting state
+    re-keys (same membership, different buckets)."""
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        _read_artifact_pointer,
+        read_ann_postings,
+        read_artifact_lsh_seed,
+        reindex_ann_lsh,
+    )
+
+    sf, rows = _mini_drift_corpus(spark, tmp_path, n_per_slice=100)
+    state = _ingest_reindex_state(spark, sf, tmp_path)
+    before = {tuple(r) for r in read_ann_postings(spark, state).collect()}
+    rep = reindex_ann_lsh(spark, state, crash_before_cutover=True)
+    assert rep["committed"] is False and rep["gen"] == 1
+    ptr = _read_artifact_pointer(state)
+    assert ptr["gen"] == 0 and not ptr.get("post_root")
+    assert read_artifact_lsh_seed(state) is None
+    assert {
+        tuple(r) for r in read_ann_postings(spark, state).collect()
+    } == before, "an uncommitted rotation leaked into reads"
+    rep2 = reindex_ann_lsh(spark, state)
+    assert rep2["committed"] and rep2["gen"] == 1
+    assert read_artifact_lsh_seed(state) == 43
+    after = {tuple(r) for r in read_ann_postings(spark, state).collect()}
+    assert after and after != before
+    assert {r[0] for r in after} == {r[0] for r in before}  # membership
