@@ -1106,7 +1106,19 @@ def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
         read_state_retention,
     )
 
+    complete_found = False
     for sdir in sdirs:
+        # The sweep shares /tmp with CONCURRENT sessions (parallel
+        # parity/battery runs ingest their own ann_live_* scratch), and
+        # a dir mid-commit transiently violates the invariants (a
+        # staged manifest exists before its vacuum; "v3" doesn't exist
+        # until batch 3 commits). Assert only QUIESCENT dirs — pointer
+        # at the final batch, no further writes — which includes the
+        # 4-batch ingest THIS test just ran (round-12: a concurrent
+        # full-suite run caught the cross-process order dependency).
+        ptr = _read_pointer(sdir)
+        if ptr is None or ptr["batch_id"] < 3:
+            continue
         mdir = os.path.join(sdir, "manifests")
         retained = sorted(os.listdir(mdir))
         # each state dir is asserted against ITS configured retention
@@ -1126,6 +1138,9 @@ def test_live_ann_ingest_equals_rebuild(spark, sf_oracle, tmp_path):
         vs = sorted(os.listdir(os.path.join(sdir, "edges")))
         assert set(vs) <= live_versions, (vs, live_versions)
         assert "v3" in vs, vs
+        complete_found = True
+    # the sweep never silently degrades to vacuous
+    assert complete_found, "no completed 4-batch live state found"
 
     # replay-skip: pointer batch_id monotone, a stale batch never wins
     from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
