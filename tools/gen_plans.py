@@ -91,7 +91,41 @@ print("Generated with `df.explain(\"formatted\")` at sf0.01 (plans are scale-ind
 print("AQE may re-plan exchanges at runtime). What each plan must show — and why it")
 print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
-print("""## Bench-drift accounting (round 11)
+print("""## Bench-drift accounting (round 12)
+
+Suite wall **42.52 s (r12, 38 queries; final end-of-round BUILD-TIME
+run on a quiet machine, committed as docs/bench_r12_buildtime.json —
+the driver's BENCH_r12.json is the artifact of record and supersedes
+these numbers)** vs 40.73 s (r11 build-time, 37 queries): the growth
+is EXACTLY the one new timed entry — like-for-like `r11_37q` sums
+**40.75 s vs r11's 40.73 s wall (flat)**, and the newcomer
+`sim_ann_graph_filtered_domain_topk` (1.77 s, FULL_TIMED) prices
+IDENTICALLY to its quality-predicate twin (1.77 s) — the round's
+predicate-family parameterization costs nothing at serve time: both
+walks read their own per-(corpus, predicate) allowed/closure memos and
+run the same bounded hop joins. Other like-for-like sums: `r5_20q`
+7.87, `r6_23q` 15.70, `r7_26q` 23.99, `r8_30q` 30.69, `r9_32q` 33.83,
+`r10_36q` 38.98 — all inside the documented ±8-11% band; worst
+per-query ratio vs r11 is 1.29x on a 0.21 s multimodal entry (absolute
+noise), while `sim_knn_graph_delete` came back 3.41 -> 3.03 s (0.89x).
+Startup 4.58 s session + 0.32 s first query = **0.94x the 5.187 s JVM
+anchor** (the CDS map probe now also requires archive-engagement
+evidence before promotion and confines its deliberate crash logs to a
+scratch dir).
+
+- The round's new LIVE entries — the PQ codebook migration trio
+  (`sim_ann_reindex_pq_live` / `_crud_live` /
+  `sim_ann_search_reindexed_pq`), the LSH rotation pair
+  (`sim_ann_reindex_lsh_live` / `sim_ann_search_rotated_index`),
+  `sim_ann_search_live_adc`, `sim_ann_search_live_filtered`, and the
+  live curated export `stream_curation_export_live` — stay out of the
+  wall-clock headline with the other deliberately-serialized
+  micro-batch harnesses: their wall is harness setup, not engine
+  throughput; their cost story is the migration docstrings (one
+  compaction-class narrow map per cutover, retrains bounded by the
+  fixed 2048-row sample, never corpus-scaled).
+
+## Bench-drift accounting (round 11)
 
 Suite wall **40.73 s (r11, 37 queries; final end-of-round BUILD-TIME
 run on a quiet machine, committed as docs/bench_r11_buildtime.json —
