@@ -3543,6 +3543,31 @@ def sim_ann_search_live_filtered(
     )
 
 
+def sim_ann_search_live_filtered_domain(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 4,
+    k_edges: int = 8,
+    n_queries: int = 5,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Filtered LIVE serving on the SECOND predicate family
+    (source-domain) — the live × predicate matrix closed: the domain
+    flags ride the ingest stream into the sink's ``allow`` state
+    family and the filtered walk serves from the pointed-at snapshot,
+    exactly as the quality entry does, through the SAME
+    `sim_ann_search_live_filtered` path with only the family name
+    changed. Hash-matches the batch domain walk's oracle verbatim —
+    one sink implementation serves any predicate family a caller
+    streams in."""
+    return sim_ann_search_live_filtered(
+        spark, sf_dir, k, beam, hops, k_edges, n_queries, n_batches,
+        predicate="source_even",
+    )
+
+
 def sim_knn_graph_live_compacted(
     spark: SparkSession, sf_dir: str, k_edges: int = 8, n_batches: int = 4
 ) -> DataFrame:
@@ -4072,6 +4097,34 @@ def sim_ann_reindex_lsh_live(
     property that makes rotation safe to run live. Crash injection and
     the interleaved-families pointer test are pinned in
     tests/test_llm_ops.py."""
+    from ..streaming.ann_ingest import read_ann_postings
+
+    state = _rotate_lsh_live_state(
+        spark, sf_dir, n_batches, reindex_after, new_seed
+    )
+    return (
+        read_ann_postings(spark, state)
+        .select(
+            "vec_id",
+            F.col("tbl").cast("int").alias("tbl"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .orderBy("vec_id", "tbl")
+    )
+
+
+def _rotate_lsh_live_state(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    new_seed: int = 43,
+) -> str:
+    """The mid-stream LSH rotation lifecycle harness (ingest under the
+    bootstrap planes → rotate → keep ingesting under the rotated
+    planes) shared by `sim_ann_reindex_lsh_live` (proves the POSTING
+    state) and `sim_knn_graph_rotated_midstream` (proves the EDGE
+    state under mixed-epoch blocking)."""
     import os
 
     from .._scratch import scratch_dir
@@ -4079,7 +4132,6 @@ def sim_ann_reindex_lsh_live(
     from ..streaming.ann_ingest import (
         VEC_SCHEMA,
         ann_index_sink,
-        read_ann_postings,
         reindex_ann_lsh,
     )
 
@@ -4123,15 +4175,47 @@ def sim_ann_reindex_lsh_live(
     reindex_ann_lsh(spark, state, seed=new_seed)
     write_slices(list(range(reindex_after + 1, n_batches)))
     run_available()
-    return (
-        read_ann_postings(spark, state)
-        .select(
-            "vec_id",
-            F.col("tbl").cast("int").alias("tbl"),
-            F.col("bucket").cast("long").alias("bucket"),
-        )
-        .orderBy("vec_id", "tbl")
+    return state
+
+
+def sim_knn_graph_rotated_midstream(
+    spark: SparkSession,
+    sf_dir: str,
+    k_edges: int = 8,
+    n_batches: int = 4,
+    reindex_after: int = 1,
+    new_seed: int = 43,
+) -> DataFrame:
+    """The maintained EDGE state under a MID-STREAM LSH rotation — the
+    closed form of MIXED-EPOCH blocking, closing the residual the
+    rotation left open (docs/VERIFICATION.md §7: after a mid-stream
+    rotation the edges legitimately differ from the one-seed rebuild;
+    this entry says EXACTLY HOW they differ). The sink surfaces a
+    candidate pair (s, d) at batch max(b_s, b_d) under the blocking
+    current THEN, and the per-src top-k merge is lossless over the
+    union of surfaced candidates, so the final edge list equals the
+    top-k over:
+
+    - bootstrap-plane LSH collisions for pairs FULLY ARRIVED by the
+      rotation point (max arrival slice <= reindex_after);
+    - rotated-plane (qv-hash) collisions for pairs whose max arrival
+      is post-rotation — by then the standing postings are the
+      migrated root, so BOTH sides collide under the new planes;
+    - IVF cell collisions at ANY time (assignment under the frozen
+      slice-0 quantizer is arrival-time-invariant).
+
+    Fully hash-oracled: the DuckDB twin builds BOTH posting epochs,
+    gates each LSH collision on the pair's max arrival slice
+    (vec_id % n_batches IS the arrival batch in this harness), unions
+    the cell collisions, and re-derives the per-src integer top-k —
+    the rotation's effect on the graph is characterized, not just
+    observed."""
+    from ..streaming.ann_ingest import read_ann_index
+
+    state = _rotate_lsh_live_state(
+        spark, sf_dir, n_batches, reindex_after, new_seed
     )
+    return read_ann_index(spark, state).select("src", "dst", "d2_units")
 
 
 def sim_ann_search_rotated_index(
@@ -4990,12 +5074,14 @@ QUERIES = {
     "sim_ann_graph_filtered_domain_topk": sim_ann_graph_filtered_domain_topk,
     "sim_ann_graph_adc_filtered_topk": sim_ann_graph_adc_filtered_topk,
     "sim_ann_search_live_filtered": sim_ann_search_live_filtered,
+    "sim_ann_search_live_filtered_domain": sim_ann_search_live_filtered_domain,
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_ann_reindex_live": sim_ann_reindex_live,
     "sim_ann_reindex_crud_live": sim_ann_reindex_crud_live,
     "sim_ann_reindex_pq_live": sim_ann_reindex_pq_live,
     "sim_ann_reindex_pq_crud_live": sim_ann_reindex_pq_crud_live,
     "sim_ann_reindex_lsh_live": sim_ann_reindex_lsh_live,
+    "sim_knn_graph_rotated_midstream": sim_knn_graph_rotated_midstream,
     "sim_ann_search_rotated_index": sim_ann_search_rotated_index,
     "sim_ann_search_live_adc": sim_ann_search_live_adc,
     "sim_ann_search_reindexed_pq": sim_ann_search_reindexed_pq,
@@ -5287,6 +5373,76 @@ ORACLES["sim_ann_reindex_lsh_live"] = f"""
     FROM rot
     ORDER BY vec_id, tbl
 """
+
+
+def _rotated_midstream_edges_oracle() -> str:
+    """The mixed-epoch blocking closed form (see the entry docstring):
+    each LSH collision is gated on the pair's max arrival slice —
+    bootstrap planes for pairs fully arrived by the rotation point,
+    rotated qv-planes after — unioned with the time-invariant cell
+    collisions; the quantizer trains on slice 0 exactly as the
+    harness's generation-0 bootstrap does. All knobs derived from the
+    entry's signature."""
+    import inspect
+
+    d = {
+        p.name: p.default
+        for p in inspect.signature(
+            sim_knn_graph_rotated_midstream
+        ).parameters.values()
+    }
+    n, r = d["n_batches"], d["reindex_after"]
+    arr = f"GREATEST(a.vec_id % {n}, b.vec_id % {n})"
+    return f"""
+        WITH postings AS MATERIALIZED (
+            {_sql_lsh_postings()}
+        ),
+        rpostings AS MATERIALIZED (
+            {_sql_lsh_postings_qv(seed=d["new_seed"])}
+        ),
+        {_sql_int_kmeans("k_", m=1, where=f"WHERE vec_id % {n} = 0")},
+        {_sql_ranked_cells("k_")},
+        knnq AS MATERIALIZED (
+            SELECT vec_id, {_sql_quantize()} AS q FROM embeddings
+        ), cellposts AS MATERIALIZED (
+            SELECT vec_id, cid AS cell FROM k_ranked WHERE rn <= 2
+        ), knncand AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM postings a JOIN postings b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id <> b.vec_id
+                WHERE {arr} <= {r}
+                UNION ALL
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM rpostings a JOIN rpostings b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id <> b.vec_id
+                WHERE {arr} > {r}
+                UNION ALL
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM cellposts a JOIN cellposts b
+                  ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            )
+        ), knn_edges AS MATERIALIZED (
+            SELECT src, dst, d2 FROM (
+                SELECT src, dst, d2,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY d2, dst) AS rn
+                FROM (
+                    SELECT c.src, c.dst,
+                           {_sql_int_d2("qa.q", "qb.q", 64)} AS d2
+                    FROM knncand c
+                    JOIN knnq qa ON qa.vec_id = c.src
+                    JOIN knnq qb ON qb.vec_id = c.dst
+                )
+            ) WHERE rn <= {d["k_edges"]}
+        )
+        SELECT src, dst, CAST(d2 AS BIGINT) AS d2_units FROM knn_edges
+    """
+
+
+ORACLES["sim_knn_graph_rotated_midstream"] = _rotated_midstream_edges_oracle()
 # ADC search served from the PLAIN live snapshot (no migration): the
 # one-shot integer ADC scan under the full-corpus-trained generation-0
 # codebooks — maintained code state ≡ the one-shot code table, so the
@@ -5472,6 +5628,13 @@ ORACLES["sim_ann_search_live_index"] = _graph_topk_oracle(
 ORACLES["sim_ann_search_live_filtered"] = _graph_topk_oracle(
     filtered=True,
     **_walk_knobs(sim_ann_search_live_filtered, *_GRAPH_KNOBS),
+)
+# the live x predicate matrix: the domain family served live shares the
+# batch domain walk's oracle verbatim (knobs from its own signature)
+ORACLES["sim_ann_search_live_filtered_domain"] = _graph_topk_oracle(
+    filtered=True,
+    predicate="source_even",
+    **_walk_knobs(sim_ann_search_live_filtered_domain, *_GRAPH_KNOBS),
 )
 # Search served from the rotated snapshot: the batch walk's oracle with
 # ONLY the seed-posting CTE swapped to the rotated qv-hash (edges stay
