@@ -119,6 +119,15 @@ HEADLINE: dict[str, str] = {
     # reindex and live-export entries stay out of the bench with the
     # other micro-batch harnesses.
     "sim_ann_graph_filtered_domain_topk": "collect",
+    # round-13: the served-shape recall monitor (beam walk ∩ exact
+    # integer-L2 truth over the bounded sample — the recall-SLO query a
+    # production store runs after every maintenance cycle) and the
+    # maintenance advisor (drift TVD + recall + posting skew folded to
+    # per-family verdicts — the monitoring→action decision itself,
+    # priced). The CRUD×filtered live entry stays out with the other
+    # micro-batch harnesses.
+    "sim_ann_recall_eval_graph": "collect",
+    "sim_ann_maintenance_advisor": "collect",
 }
 
 # Queries timed from CONSTRUCTION start, not just the action: operators
@@ -139,6 +148,9 @@ FULL_TIMED = {
     "sim_ann_pq_topk",
     "sim_ann_graph_topk",
     "sim_ann_hnsw_topk",
+    # both compose eagerly-built walk/index state at construction
+    "sim_ann_recall_eval_graph",
+    "sim_ann_maintenance_advisor",
 }
 
 # Like-for-like series: the suite GROWS each round (new entries join the
@@ -268,6 +280,27 @@ LEGACY_SUITES = {
         "sim_ann_binary_topk", "sim_ann_recall_eval",
         "sim_ann_graph_adc_topk",
         "sim_ann_graph_filtered_topk",
+    ],
+    # full r12 membership = r11_37q + the domain-filtered graph walk —
+    # pinned before round 13's recall-monitor/advisor entries joined
+    "r12_38q": [
+        "agg_pricing_summary", "join_star_revenue", "join_asof",
+        "cdc_materialize", "win_running_total", "agg_top_customers",
+        "stream_session_windows", "stream_tumbling_daily", "b8_json_extract",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "qx_custdist", "agg_stats_moments", "sim_cosine_topk",
+        "sim_ann_ivf_topk", "win_topn_salted", "text_quality_score",
+        "multimodal_features", "multimodal_frame_sample",
+        "graph_pagerank", "sim_ann_pq_topk", "agg_quantile_sketch_merge",
+        "graph_pagerank_copart", "sim_knn_graph", "sim_ann_graph_topk",
+        "sim_knn_graph_incremental", "dedup_substring_spans",
+        "dq_drift_psi", "sim_ann_hnsw_topk",
+        "sim_knn_graph_delete", "dedup_substring_excised",
+        "sim_ann_filtered_topk",
+        "sim_ann_binary_topk", "sim_ann_recall_eval",
+        "sim_ann_graph_adc_topk",
+        "sim_ann_graph_filtered_topk",
+        "sim_ann_graph_filtered_domain_topk",
     ],
 }
 

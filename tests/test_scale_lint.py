@@ -69,6 +69,12 @@ BNLJ_BOUNDED = {
     "equi hash join on the |Q|*rerank shortlist",
     "sim_ann_recall_eval": "inherits sim_cosine_topk's bounded-query-set "
     "cross (the exact brute-force baseline runs on the |Q|=5 sample only)",
+    "sim_ann_recall_eval_graph": "bounded (vec_id < 5) query sample "
+    "broadcast over the quantized corpus — the exact integer-L2 truth "
+    "side; the walk side is the already-vetted bounded-hop plan",
+    "sim_ann_recall_eval_adc": "bounded (vec_id < 5) query sample "
+    "broadcast over the quantized corpus — the exact integer-L2 truth "
+    "side; the ADC walk side is the already-vetted bounded-hop plan",
 }
 
 
@@ -157,6 +163,17 @@ def test_no_unvetted_driver_collects_in_engine_source():
             1,
             "<= m=4096 distinct Bloom bit positions (never keys, never "
             "data-scaled) for the inlined runtime filter",
+        ),
+        "serving/rest_api.py": (
+            5,
+            "the REST serve loop: every collect is bounded by the "
+            "MESSAGE-TABLE serving contract — the reference's GET "
+            "/messages returns the whole table as one JSON response "
+            "(MessageController.java:17-20), so seed/find_all/find_by_id "
+            "serialize exactly that table (PK-index recovery rows "
+            "included); the entry's request script enumerates the same "
+            "PKs client-side, as the reference's own benchmark clients "
+            "do (compare_services.sh)",
         ),
     }
     root = os.path.join(os.path.dirname(__file__), "..", "cdc_cloudrun_demo_spark")

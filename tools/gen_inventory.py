@@ -29,6 +29,8 @@ groups = [
  ("File-format ingestion (CSV/JSONL)", file_formats),
  ("Schema evolution", schema_evolution),
 ]
+from cdc_cloudrun_demo_spark import serving
+groups.append(("Live serving (REST CRUD loop)", serving))
 print("### 2.3 Implemented surface (generated from the registry; regenerate via tools/gen_inventory.py)\n")
 print(f"**{len(q)} `queries()` entries, {len(o)} with DuckDB oracles** (the rest are")
 print("approximate/engine-specific → rows-only check + property tests, marked †).\n")
