@@ -1803,14 +1803,21 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
 
 
 def _exact_int_topk(
-    spark: SparkSession, sf_dir: str, k: int, n_queries: int
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    n_queries: int,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact integer-L2 top-k ground truth for the bounded standard
     query set — the brute-force baseline the SERVED walk shapes are
     measured against (`sim_ann_recall_eval_graph` / `_adc`). The walks
     rank integer L2 over quantized vectors, so their truth must too
     (`sim_cosine_topk`'s cosine truth is the IVF entry's metric, not
-    theirs). Scale shape: |Q|·N with the |Q|=``n_queries`` side
+    theirs). With ``allowed``, candidate neighbors restrict to that id
+    set (queries stay unfiltered) — the truth a FILTERED search is
+    measured against is the best allowed neighbors, not the global
+    ones. Scale shape: |Q|·N with the |Q|=``n_queries`` side
     broadcast — the standard bounded-sample pricing of production
     recall monitoring, never N²."""
     emb = load_for_compute(spark, sf_dir, "embeddings")
@@ -1820,6 +1827,8 @@ def _exact_int_topk(
     qs = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
+    if allowed is not None:
+        corpus = corpus.join(allowed, "vec_id", "semi")
     w = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("neighbor_id")
     )
@@ -1838,12 +1847,17 @@ def _exact_int_topk(
 
 
 def _recall_vs_exact(
-    spark: SparkSession, sf_dir: str, ann: DataFrame, k: int, n_queries: int
+    spark: SparkSession,
+    sf_dir: str,
+    ann: DataFrame,
+    k: int,
+    n_queries: int,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, hits, recall) of ``ann``'s top-k against the exact
     integer-L2 truth — `sim_ann_recall_eval`'s composition with the
     truth metric matched to the walks' ranking."""
-    exact = _exact_int_topk(spark, sf_dir, k, n_queries)
+    exact = _exact_int_topk(spark, sf_dir, k, n_queries, allowed=allowed)
     spine = exact.select("query_id").distinct()
     found = (
         exact.join(
@@ -1888,6 +1902,34 @@ def sim_ann_recall_eval_graph(
         k_edges=k_edges, n_queries=n_queries,
     )
     return _recall_vs_exact(spark, sf_dir, ann, k, n_queries)
+
+
+def sim_ann_recall_eval_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 4,
+    k_edges: int = 8,
+    n_queries: int = 5,
+    predicate: str = "quality_en",
+) -> DataFrame:
+    """Recall@k of the FILTERED graph walk against the exact best
+    ALLOWED neighbors — the monitor for filtered serving, where the
+    right baseline is the brute-force top-k within the predicate set
+    (comparing against global truth would charge the walk for rows the
+    filter forbids it to return). Same composition as
+    `sim_ann_recall_eval_graph` with both sides predicate-restricted;
+    hash-oracled by replaying the filtered walk's CTEs against the
+    allowed-restricted brute-force CTE."""
+    ann = sim_ann_graph_filtered_topk(
+        spark, sf_dir, k=k, beam=beam, hops=hops,
+        k_edges=k_edges, n_queries=n_queries,
+    )
+    return _recall_vs_exact(
+        spark, sf_dir, ann, k, n_queries,
+        allowed=_allowed_ids_cached(spark, sf_dir, predicate),
+    )
 
 
 def sim_ann_recall_eval_adc(
@@ -2111,17 +2153,28 @@ def sim_ann_maintenance_advisor(
     return ivf.unionByName(pq).unionByName(lsh)
 
 
-def _sql_exact_recall(ann_sql: str, k: int, n_queries: int) -> str:
+def _sql_exact_recall(
+    ann_sql: str, k: int, n_queries: int, allowed_sql: str | None = None
+) -> str:
     """The recall composition as SQL: ``ann_sql`` (a complete SELECT,
     typically an unrolled walk replay) intersected per query with the
-    brute-force integer-L2 top-k. Twin of `_recall_vs_exact`."""
+    brute-force integer-L2 top-k. With ``allowed_sql`` (a SELECT of
+    allowed vec_ids), truth candidates restrict to that set while
+    queries stay unfiltered. Twin of `_recall_vs_exact`."""
+    corpus_where = (
+        f"WHERE vec_id IN (SELECT vec_id FROM ({allowed_sql}))"
+        if allowed_sql is not None
+        else ""
+    )
     return f"""
         WITH ann AS MATERIALIZED (
             {ann_sql}
-        ), ex_corpus AS MATERIALIZED (
+        ), ex_all AS MATERIALIZED (
             SELECT vec_id, {_sql_quantize()} AS q FROM embeddings
+        ), ex_corpus AS MATERIALIZED (
+            SELECT vec_id, q FROM ex_all {corpus_where}
         ), ex_q AS MATERIALIZED (
-            SELECT vec_id AS query_id, q AS qq FROM ex_corpus
+            SELECT vec_id AS query_id, q AS qq FROM ex_all
             WHERE vec_id < {n_queries}
         ), exact AS MATERIALIZED (
             SELECT query_id, neighbor_id FROM (
@@ -5652,6 +5705,7 @@ QUERIES = {
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "sim_ann_recall_eval_graph": sim_ann_recall_eval_graph,
     "sim_ann_recall_eval_adc": sim_ann_recall_eval_adc,
+    "sim_ann_recall_eval_filtered": sim_ann_recall_eval_filtered,
     "sim_ann_maintenance_advisor": sim_ann_maintenance_advisor,
     "sim_ann_reindex_live": sim_ann_reindex_live,
     "sim_ann_reindex_crud_live": sim_ann_reindex_crud_live,
@@ -6278,6 +6332,19 @@ ORACLES["sim_ann_recall_eval_adc"] = _sql_exact_recall(
         **_walk_knobs(sim_ann_recall_eval_adc, *_ADC_KNOBS)
     ),
     **_walk_knobs(sim_ann_recall_eval_adc, "k", "n_queries"),
+)
+# filtered serving's recall: the filtered walk replay vs brute force
+# WITHIN the predicate set (global truth would charge the walk for
+# rows the filter forbids); predicate derived from the entry signature
+_RFP = _walk_knobs(sim_ann_recall_eval_filtered, "predicate")["predicate"]
+ORACLES["sim_ann_recall_eval_filtered"] = _sql_exact_recall(
+    _graph_topk_oracle(
+        filtered=True,
+        predicate=_RFP,
+        **_walk_knobs(sim_ann_recall_eval_filtered, *_GRAPH_KNOBS),
+    ),
+    allowed_sql=_PREDICATE_FAMILIES[_RFP]["sql"](),
+    **_walk_knobs(sim_ann_recall_eval_filtered, "k", "n_queries"),
 )
 
 

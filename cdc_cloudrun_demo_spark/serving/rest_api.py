@@ -135,6 +135,10 @@ class MessageServer:
                     self._reply(
                         {"status": "UP", "log_version": server._seq}
                     )
+                elif self.path.rstrip("/") == "/db-info":
+                    self._reply(server.db_info())
+                elif self.path.rstrip("/") == "/db-info/test":
+                    self._reply(server.db_test())
                 elif self.path.rstrip("/") == "/messages":
                     self._reply(server.find_all())
                 else:
@@ -239,6 +243,30 @@ class MessageServer:
             self._pending.append((mid, None, "D"))
             self._live.discard(mid)
 
+    def db_info(self) -> dict:
+        """`DatabaseInfoResource.getDatabaseInfo` analog
+        (DatabaseInfoResource.java:24-53): backend identity + record
+        counts, served from the fold (S6)."""
+        return {
+            "databaseProductName": "spark+parquet-change-log",
+            "connected": True,
+            "recordCounts": {"Message": self._state().count()},
+            "logVersion": self._seq,
+        }
+
+    def db_test(self) -> dict:
+        """`DatabaseInfoResource.testConnection` analog
+        (DatabaseInfoResource.java:56-86): count + first sample record
+        (S6 + S7). ``firstResult`` here is first-by-PK — deterministic
+        where the reference's heap order is incidental."""
+        st = self._state()
+        n = st.count()
+        out: dict = {"status": "SUCCESS", "messageCount": n}
+        if n > 0:
+            r = st.orderBy("id").first()
+            out["sampleMessage"] = {"id": r["id"], "content": r["content"]}
+        return out
+
     def close(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
@@ -323,6 +351,95 @@ def serve_message_api(
         srv.close()
 
 
+def serve_db_info(
+    spark: SparkSession,
+    sf_dir: str,
+    del_mod: int = 9,
+    del_rem: int = 2,
+    n_posts: int = 2,
+) -> DataFrame:
+    """The reference's introspection endpoint served live
+    (``DatabaseInfoResource.java:56-86``, GET /db-info/test: record
+    count + first sample record): seed the message table from the
+    customer table, mutate it over HTTP (delete every id ≡ del_rem mod
+    del_mod, then insert ``n_posts``), and return the endpoint's
+    response — (status, message_count, sample_id, sample_content) —
+    as a 1-row DataFrame. Count is S6 and the sample is S7, both
+    answered from the LWW fold of the change log the requests wrote;
+    the DuckDB oracle computes the same lifecycle in closed form."""
+    from .._scratch import scratch_dir
+    from ..catalog import load_for_compute
+
+    seed = (
+        load_for_compute(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_name").cast("string").alias("content"),
+        )
+    )
+    srv = MessageServer(spark, scratch_dir("msg_dbinfo_"), seed=seed)
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        ids = sorted(r["id"] for r in seed.select("id").collect())
+        for i in ids:
+            if i % del_mod == del_rem:
+                _http_json(f"{base}/messages/{i}", "DELETE")
+        for j in range(1, n_posts + 1):
+            _http_json(
+                f"{base}/messages", "POST", {"content": f"posted-{j}"}
+            )
+        info = _http_json(f"{base}/db-info/test")
+        sample = info.get("sampleMessage") or {}
+        return spark.createDataFrame(
+            [
+                (
+                    info["status"],
+                    info["messageCount"],
+                    sample.get("id"),
+                    sample.get("content"),
+                )
+            ],
+            "status string, message_count long, sample_id long, "
+            "sample_content string",
+        )
+    finally:
+        srv.close()
+
+
+def _db_info_oracle() -> str:
+    import inspect
+
+    d = {
+        p.name: p.default
+        for p in inspect.signature(serve_db_info).parameters.values()
+    }
+    dm, dr, np_ = d["del_mod"], d["del_rem"], d["n_posts"]
+    return f"""
+        WITH seed AS (
+            SELECT c_custkey AS id, CAST(c_name AS VARCHAR) AS content
+            FROM customer WHERE c_custkey IS NOT NULL
+        ), mx AS (
+            SELECT COALESCE(MAX(id), 0) AS m FROM seed
+        ), kept AS (
+            SELECT id, content FROM seed WHERE id % {dm} <> {dr}
+        ), posted AS (
+            SELECT m + i AS id, 'posted-' || CAST(i AS VARCHAR) AS content
+            FROM mx CROSS JOIN (
+                SELECT UNNEST(generate_series(1, {np_})) AS i
+            )
+        ), final AS (
+            SELECT id, content FROM kept
+            UNION ALL
+            SELECT id, content FROM posted
+        )
+        SELECT 'SUCCESS' AS status,
+               (SELECT COUNT(*) FROM final) AS message_count,
+               f.id AS sample_id, f.content AS sample_content
+        FROM (SELECT id, content FROM final ORDER BY id LIMIT 1) f
+    """
+
+
 def _serve_oracle() -> str:
     import inspect
 
@@ -357,5 +474,11 @@ def _serve_oracle() -> str:
     """
 
 
-QUERIES = {"serve_message_api": serve_message_api}
-ORACLES = {"serve_message_api": _serve_oracle()}
+QUERIES = {
+    "serve_message_api": serve_message_api,
+    "serve_db_info": serve_db_info,
+}
+ORACLES = {
+    "serve_message_api": _serve_oracle(),
+    "serve_db_info": _db_info_oracle(),
+}

@@ -75,6 +75,10 @@ BNLJ_BOUNDED = {
     "sim_ann_recall_eval_adc": "bounded (vec_id < 5) query sample "
     "broadcast over the quantized corpus — the exact integer-L2 truth "
     "side; the ADC walk side is the already-vetted bounded-hop plan",
+    "sim_ann_recall_eval_filtered": "bounded (vec_id < 5) query sample "
+    "broadcast over the allowed-restricted quantized corpus — the "
+    "filtered exact-truth side; the walk side is the vetted filtered "
+    "bounded-hop plan",
 }
 
 

@@ -65,6 +65,12 @@ def test_rest_crud_lifecycle_over_http(spark, tmp_path):
         # S8 health probe
         st, health = _req(base, "/healthz")
         assert st == 200 and health["status"] == "UP"
+        # S6/S7 introspection (DatabaseInfoResource.java:24-86 parity)
+        st, info = _req(base, "/db-info")
+        assert info["connected"] and info["recordCounts"]["Message"] == 4
+        st, t = _req(base, "/db-info/test")
+        assert t["status"] == "SUCCESS" and t["messageCount"] == 4
+        assert t["sampleMessage"] == {"id": 1, "content": "ONE"}
     finally:
         srv.close()
 
