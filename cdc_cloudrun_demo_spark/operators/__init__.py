@@ -91,7 +91,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         windows,
     )
     from ..functions import dedup, ml, pipeline, similarity, text
-    from ..sources import file_formats, jdbc_io, multimodal
+    from ..sources import file_formats, jdbc_io, multimodal, postgres_io
     from .. import serving
 
     # Module order sets priority WITHIN the unverified partition (and is
@@ -137,8 +137,10 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         sql_features,
         ml,
         # round-13: the live REST serve loop (the reference's one
-        # user-facing surface), appended last for the same reason.
+        # user-facing surface) and the real-PostgreSQL integration,
+        # appended last for the same reason.
         serving,
+        postgres_io,
     ]
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -168,6 +168,14 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "<= m=4096 distinct Bloom bit positions (never keys, never "
             "data-scaled) for the inlined runtime filter",
         ),
+        "sources/postgres_io.py": (
+            1,
+            "the COPY staging of the message table into the real "
+            "Postgres server — bounded by the same message-table "
+            "serving contract as serving/rest_api.py (COPY is the bulk "
+            "path; at scale the staging side is a distributed "
+            "CSV/COPY export, not a driver collect)",
+        ),
         "serving/rest_api.py": (
             5,
             "the REST serve loop: every collect is bounded by the "

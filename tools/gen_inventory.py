@@ -4,7 +4,7 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cdc_cloudrun_demo_spark.operators import registry
 from cdc_cloudrun_demo_spark.functions import dedup, ml, pipeline, similarity, text
-from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal
+from cdc_cloudrun_demo_spark.sources import file_formats, jdbc_io, multimodal, postgres_io
 from cdc_cloudrun_demo_spark.operators import (aggregates, analytics, bench_ops,
     cdc, graph, joins, layout, metrics, quality, relational, sampling,
     scalar_fns, schema_evolution, setops, sql_features, streaming_batch, windows)
@@ -31,6 +31,7 @@ groups = [
 ]
 from cdc_cloudrun_demo_spark import serving
 groups.append(("Live serving (REST CRUD loop)", serving))
+groups.append(("PostgreSQL integration (real server, COPY transport)", postgres_io))
 print("### 2.3 Implemented surface (generated from the registry; regenerate via tools/gen_inventory.py)\n")
 print(f"**{len(q)} `queries()` entries, {len(o)} with DuckDB oracles** (the rest are")
 print("approximate/engine-specific → rows-only check + property tests, marked †).\n")
