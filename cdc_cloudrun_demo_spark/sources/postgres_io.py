@@ -264,5 +264,168 @@ def _pg_roundtrip_oracle() -> str:
     """
 
 
-QUERIES = {"postgres_message_roundtrip": postgres_message_roundtrip}
-ORACLES = {"postgres_message_roundtrip": _pg_roundtrip_oracle()}
+try:  # Spark 4 Python Data Source API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _PgRange(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo, self.hi = lo, hi
+
+    class _PgCopyReader(DataSourceReader):
+        """Executor-side partitioned COPY reads: each input partition
+        issues its OWN range-bounded COPY query over the unix socket —
+        the `spark.read.jdbc(partitionColumn, lowerBound, upperBound,
+        numPartitions)` discipline (sources/jdbc_io.py), carried to
+        real Postgres without a JDBC driver. N executors stream N
+        disjoint ranges concurrently; rows never pass through the
+        driver."""
+
+        def __init__(self, options, schema_str: str):
+            self.dir = options["dir"]
+            self.user = options["user"]
+            self.table = options["table"]
+            self.col = options["partition_column"]
+            self.lo = int(options["lower_bound"])
+            self.hi = int(options["upper_bound"])  # inclusive
+            self.n = int(options["num_partitions"])
+
+        def partitions(self):
+            if self.hi < self.lo:
+                return [_PgRange(0, 0)]  # empty table: one no-op split
+            span = self.hi - self.lo + 1
+            step = max(1, -(-span // self.n))
+            return [
+                _PgRange(self.lo + i * step, self.lo + (i + 1) * step)
+                for i in range(self.n)
+            ]
+
+        def read(self, part):
+            q = (
+                f"SELECT * FROM {self.table} "
+                f"WHERE {self.col} >= {part.lo} AND {self.col} < {part.hi} "
+                f"ORDER BY {self.col}"
+            )
+            out = _run(
+                [
+                    "psql", "-h", self.dir, "-U", self.user,
+                    "-d", "postgres", "-v", "ON_ERROR_STOP=1",
+                    "-c", f"COPY ({q}) TO STDOUT",
+                ]
+            )
+            for line in out.splitlines():
+                toks = [_unesc(t) for t in line.split("\t")]
+                yield (int(toks[0]), toks[1])
+
+    class PostgresCopySource(DataSource):
+        """``spark.read.format("pg_copy")`` — a Python Data Source
+        streaming a Postgres table through per-partition COPY range
+        queries (docstring on `_PgCopyReader`)."""
+
+        @classmethod
+        def name(cls):
+            return "pg_copy"
+
+        def schema(self):
+            return self.options.get("schema", "id bigint, content string")
+
+        def reader(self, schema):
+            return _PgCopyReader(self.options, schema)
+
+    _HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAS_DATASOURCE_API = False
+
+
+_SERVERS: list[ScratchPostgres] = []
+
+
+def _keepalive(pg: ScratchPostgres) -> None:
+    """Keep a scratch server alive past the entry call (the returned
+    DataFrame is LAZY — the driver collects it after the entry
+    returns, so the server must outlive the call) and stop it at
+    interpreter exit."""
+    import atexit
+
+    if not _SERVERS:
+        atexit.register(
+            lambda: [s.close() for s in _SERVERS]
+        )
+    _SERVERS.append(pg)
+
+
+def postgres_partitioned_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """PARTITIONED parallel scan of a real Postgres table — the
+    reference's ingestion shape (Cloud SQL → engine) executed as N
+    concurrent range-bounded COPY streams through a Spark Python Data
+    Source (`PostgresCopySource`): the partitioned-read discipline
+    `jdbc_message_roundtrip` proves on Derby
+    (partitionColumn/lowerBound/upperBound/numPartitions), now against
+    the engine the reference actually deploys, driver-free on the data
+    path (each executor's reader issues its own COPY over the unix
+    socket). Seeds the ``message`` table from the customer table and
+    returns the distributed scan; hash-matches the seed's closed form,
+    proving no range boundary drops or duplicates a row. At 100 TB:
+    this IS the scale path — split the key space, stream each range at
+    COPY speed, one connection per task (pool-bounded, the
+    reference's pool=5 discipline, application-cloud-sql
+    .properties:16)."""
+    from ..catalog import load_for_compute
+
+    if not _HAS_DATASOURCE_API:
+        raise RuntimeError("Spark Python Data Source API unavailable")
+    seed = (
+        load_for_compute(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_name").cast("string").alias("content"),
+        )
+    )
+    rows = [(r["id"], r["content"]) for r in seed.collect()]  # VETTED
+    pg = ScratchPostgres()
+    _keepalive(pg)
+    pg.sql("CREATE TABLE message (id BIGINT PRIMARY KEY, content TEXT)")
+    pg.copy_in("message", rows)
+    ids = [i for i, _ in rows]
+    lo, hi = (min(ids), max(ids)) if ids else (0, -1)
+    try:
+        spark.dataSource.register(PostgresCopySource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("pg_copy")
+        .option("dir", pg.dir)
+        .option("user", pg._user)
+        .option("table", "message")
+        .option("partition_column", "id")
+        .option("lower_bound", lo)
+        .option("upper_bound", hi)
+        .option("num_partitions", n_partitions)
+        .load()
+        .select(F.col("id").cast("long"), F.col("content"))
+    )
+
+
+def _pg_scan_oracle() -> str:
+    return """
+        SELECT c_custkey AS id, CAST(c_name AS VARCHAR) AS content
+        FROM customer WHERE c_custkey IS NOT NULL
+    """
+
+
+QUERIES = {
+    "postgres_message_roundtrip": postgres_message_roundtrip,
+    "postgres_partitioned_scan": postgres_partitioned_scan,
+}
+ORACLES = {
+    "postgres_message_roundtrip": _pg_roundtrip_oracle(),
+    "postgres_partitioned_scan": _pg_scan_oracle(),
+}

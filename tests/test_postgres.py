@@ -81,6 +81,43 @@ def test_postgres_type_roundtrip(pg):
     assert out[1] == ["2", None, None, None, None, None]
 
 
+def test_partitioned_scan_ranges_are_disjoint_and_parallel(spark, sf_smoke):
+    """The Python-Data-Source scan must (a) split the key space into
+    disjoint covering ranges (no boundary row lost or duplicated — the
+    classic off-by-one of partitioned JDBC reads), and (b) actually
+    read through MULTIPLE input partitions."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.sources.postgres_io import (
+        _PgCopyReader,
+        postgres_partitioned_scan,
+    )
+
+    reader = _PgCopyReader(
+        {
+            "dir": "/x", "user": "u", "table": "t",
+            "partition_column": "id", "lower_bound": "1",
+            "upper_bound": "10", "num_partitions": "4",
+        },
+        "id bigint, content string",
+    )
+    parts = reader.partitions()
+    assert len(parts) == 4
+    bounds = [(p.lo, p.hi) for p in parts]
+    # contiguous, disjoint, covering [1, 10] inclusive
+    assert bounds[0][0] == 1 and bounds[-1][1] > 10
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b == c and a < b
+
+    df = postgres_partitioned_scan(spark, sf_smoke)
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert len(per_part) > 1, "scan ran through a single partition"
+    total = sum(r["count"] for r in per_part)
+    assert total == df.count()
+
+
 def test_crud_lifecycle_on_real_postgres(spark, sf_smoke):
     """The registry entry end-to-end at smoke scale: seed → COPY in →
     UPDATE/DELETE/INSERT executed BY Postgres → COPY out, equal to the

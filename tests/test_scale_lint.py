@@ -169,12 +169,14 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "data-scaled) for the inlined runtime filter",
         ),
         "sources/postgres_io.py": (
-            1,
+            2,
             "the COPY staging of the message table into the real "
-            "Postgres server — bounded by the same message-table "
-            "serving contract as serving/rest_api.py (COPY is the bulk "
-            "path; at scale the staging side is a distributed "
-            "CSV/COPY export, not a driver collect)",
+            "Postgres server (roundtrip + partitioned-scan entries) — "
+            "bounded by the same message-table serving contract as "
+            "serving/rest_api.py (COPY is the bulk path; at scale the "
+            "staging side is a distributed CSV/COPY export, not a "
+            "driver collect); the partitioned SCAN side is driver-free "
+            "(executor readers stream their own COPY ranges)",
         ),
         "serving/rest_api.py": (
             5,
