@@ -268,7 +268,9 @@ try:  # Spark 4 Python Data Source API
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class _PgRange(InputPartition):
@@ -320,10 +322,93 @@ try:  # Spark 4 Python Data Source API
                 toks = [_unesc(t) for t in line.split("\t")]
                 yield (int(toks[0]), toks[1])
 
+    class _PgStaged(WriterCommitMessage):
+        def __init__(self, staging: str, n_rows: int):
+            self.staging, self.n_rows = staging, n_rows
+
+    class _PgCopyWriter(DataSourceWriter):
+        """Distributed TWO-PHASE-COMMIT bulk load: each write task
+        COPYs its partition into its OWN staging table (named by the
+        partition id it is handed — a retried task overwrites the same
+        staging table, so speculative/re-run tasks cannot double-load),
+        and only the driver-side ``commit`` folds every staged table
+        into the target inside ONE transaction and drops the staging.
+        ``abort`` drops the staging tables and the target is never
+        touched — the parquet-manifest atomic-publish discipline
+        (streaming/tx_snapshot.py), expressed in the warehouse's own
+        transaction. At 100 TB this is the scale write path: N
+        concurrent COPY streams (pool-bounded) at disk speed, one
+        metadata-only transactional publish."""
+
+        def __init__(self, options, schema_str: str):
+            self.dir = options["dir"]
+            self.user = options["user"]
+            self.table = options["table"]
+
+        def _psql(self, stmt: str, input_: str | None = None) -> str:
+            return _run(
+                [
+                    "psql", "-h", self.dir, "-U", self.user,
+                    "-d", "postgres", "-v", "ON_ERROR_STOP=1",
+                    "-A", "-t", "-c", stmt,
+                ],
+                input_=input_,
+            )
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            staging = f"{self.table}__stage_{pid}"
+            self._psql(f"DROP TABLE IF EXISTS {staging}")
+            self._psql(
+                f"CREATE TABLE {staging} "
+                f"(LIKE {self.table} INCLUDING DEFAULTS)"
+            )
+            n, buf = 0, []
+            for row in iterator:
+                buf.append("\t".join(_esc(v) for v in row) + "\n")
+                n += 1
+            self._psql(f"COPY {staging} FROM STDIN", input_="".join(buf))
+            return _PgStaged(staging, n)
+
+        def _drop_all_stages(self):
+            # janitor sweep by staging-name pattern: task failures
+            # leave stages that never produced a commit message, and a
+            # failed publish transaction rolls back its own DROPs —
+            # neither is reachable through ``messages``. Safe under the
+            # writer's single-writer-per-target contract (concurrent
+            # loads into ONE table would interleave anyway).
+            names = self._psql(
+                "SELECT tablename FROM pg_tables "
+                f"WHERE tablename LIKE '{self.table}__stage_%'"
+            ).split()
+            for s in names:
+                self._psql(f"DROP TABLE IF EXISTS {s}")
+
+        def commit(self, messages):
+            stages = [m.staging for m in messages if m is not None]
+            stmts = "BEGIN; " + " ".join(
+                f"INSERT INTO {self.table} SELECT * FROM {s}; "
+                f"DROP TABLE {s};" for s in stages
+            ) + " COMMIT;"
+            try:
+                self._psql(stmts)
+            except Exception:
+                # the transaction rolled back whole: target untouched,
+                # stages rolled back into existence — sweep them
+                self._drop_all_stages()
+                raise
+
+        def abort(self, messages):
+            self._drop_all_stages()
+
     class PostgresCopySource(DataSource):
-        """``spark.read.format("pg_copy")`` — a Python Data Source
-        streaming a Postgres table through per-partition COPY range
-        queries (docstring on `_PgCopyReader`)."""
+        """``spark.read.format("pg_copy")`` / ``df.write.format(
+        "pg_copy")`` — a Python Data Source streaming a Postgres table
+        through per-partition COPY range queries on read
+        (`_PgCopyReader`) and per-partition staged COPY loads with a
+        transactional driver-side publish on write (`_PgCopyWriter`)."""
 
         @classmethod
         def name(cls):
@@ -334,6 +419,9 @@ try:  # Spark 4 Python Data Source API
 
         def reader(self, schema):
             return _PgCopyReader(self.options, schema)
+
+        def writer(self, schema, overwrite: bool):
+            return _PgCopyWriter(self.options, schema)
 
     _HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - older Spark
@@ -414,6 +502,72 @@ def postgres_partitioned_scan(
     )
 
 
+def postgres_write_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """DISTRIBUTED bulk load into real Postgres and back — the full
+    warehouse round-trip with NO driver-side data path in either
+    direction: the seed DataFrame writes through
+    ``df.write.format("pg_copy")`` (each task COPYs its partition into
+    its own staging table; the driver publishes all stages in one
+    transaction — `_PgCopyWriter`'s two-phase commit), then the table
+    reads back through the partitioned COPY scan. Hash-matches the
+    seed's closed form: N concurrent staged loads + one transactional
+    publish + N concurrent range reads lose and duplicate nothing.
+    This is the write discipline the reference's ddl-auto schema +
+    per-request transactions imply, at bulk scale."""
+    from ..catalog import load_for_compute
+
+    if not _HAS_DATASOURCE_API:
+        raise RuntimeError("Spark Python Data Source API unavailable")
+    seed = (
+        load_for_compute(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_name").cast("string").alias("content"),
+        )
+    )
+    pg = ScratchPostgres()
+    _keepalive(pg)
+    pg.sql("CREATE TABLE message (id BIGINT PRIMARY KEY, content TEXT)")
+    try:
+        spark.dataSource.register(PostgresCopySource)
+    except Exception:
+        pass
+    (
+        seed.repartition(n_partitions)
+        .write.format("pg_copy")
+        .option("dir", pg.dir)
+        .option("user", pg._user)
+        .option("table", "message")
+        .mode("append")
+        .save()
+    )
+    lo_s, hi_s = (
+        pg.sql(
+            "SELECT COALESCE(MIN(id), 0) || ',' || COALESCE(MAX(id), -1) "
+            "FROM message"
+        )
+        .strip()
+        .split(",")
+    )
+    return (
+        spark.read.format("pg_copy")
+        .option("dir", pg.dir)
+        .option("user", pg._user)
+        .option("table", "message")
+        .option("partition_column", "id")
+        .option("lower_bound", int(lo_s))
+        .option("upper_bound", int(hi_s))
+        .option("num_partitions", n_partitions)
+        .load()
+        .select(F.col("id").cast("long"), F.col("content"))
+    )
+
+
 def _pg_scan_oracle() -> str:
     return """
         SELECT c_custkey AS id, CAST(c_name AS VARCHAR) AS content
@@ -424,8 +578,12 @@ def _pg_scan_oracle() -> str:
 QUERIES = {
     "postgres_message_roundtrip": postgres_message_roundtrip,
     "postgres_partitioned_scan": postgres_partitioned_scan,
+    "postgres_write_roundtrip": postgres_write_roundtrip,
 }
 ORACLES = {
     "postgres_message_roundtrip": _pg_roundtrip_oracle(),
     "postgres_partitioned_scan": _pg_scan_oracle(),
+    # the write path round-trips the same seed, so the closed form is
+    # the scan oracle's
+    "postgres_write_roundtrip": _pg_scan_oracle(),
 }

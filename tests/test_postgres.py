@@ -118,6 +118,65 @@ def test_partitioned_scan_ranges_are_disjoint_and_parallel(spark, sf_smoke):
     assert total == df.count()
 
 
+def test_write_two_phase_commit_failure_leaves_target_untouched(spark):
+    """The distributed writer's atomicity contract: (a) a failing
+    driver-side publish (PK violation inside the BEGIN..COMMIT fold)
+    rolls the WHOLE load back — the target keeps exactly its prior
+    rows; (b) a failing write TASK triggers abort, which drops the
+    staging tables and never touches the target."""
+    from pyspark.sql import functions as F
+
+    from cdc_cloudrun_demo_spark.sources.postgres_io import (
+        PostgresCopySource,
+        ScratchPostgres,
+    )
+
+    pg = ScratchPostgres()
+    try:
+        pg.sql("CREATE TABLE message (id BIGINT PRIMARY KEY, content TEXT)")
+        pg.copy_in("message", [(1, "original")])
+        spark.dataSource.register(PostgresCopySource)
+
+        def attempt(df):
+            (
+                df.write.format("pg_copy")
+                .option("dir", pg.dir)
+                .option("user", pg._user)
+                .option("table", "message")
+                .mode("append")
+                .save()
+            )
+
+        # (a) publish-time failure: id 1 collides with the standing row
+        dup = spark.createDataFrame(
+            [(1, "dup"), (2, "two")], "id long, content string"
+        ).repartition(2)
+        with pytest.raises(Exception, match="duplicate key|psql failed"):
+            attempt(dup)
+        rows = pg.copy_out("SELECT id, content FROM message ORDER BY id")
+        assert [(int(i), c) for i, c in rows] == [(1, "original")]
+
+        # (b) task-time failure: one partition raises mid-write
+        @F.udf("long")
+        def boom(x):
+            raise ValueError("injected task failure")
+
+        bad = spark.createDataFrame(
+            [(3, "three")], "id long, content string"
+        ).select(boom(F.col("id")).alias("id"), "content")
+        with pytest.raises(Exception):
+            attempt(bad)
+        rows = pg.copy_out("SELECT id, content FROM message ORDER BY id")
+        assert [(int(i), c) for i, c in rows] == [(1, "original")]
+        leftovers = pg.sql(
+            "SELECT COUNT(*) FROM pg_tables "
+            "WHERE tablename LIKE 'message__stage%'"
+        ).strip()
+        assert leftovers == "0", "staging tables leaked after abort"
+    finally:
+        pg.close()
+
+
 def test_crud_lifecycle_on_real_postgres(spark, sf_smoke):
     """The registry entry end-to-end at smoke scale: seed → COPY in →
     UPDATE/DELETE/INSERT executed BY Postgres → COPY out, equal to the
