@@ -568,6 +568,203 @@ def postgres_write_roundtrip(
     )
 
 
+def _psql_script(pg_dir: str, user: str, script: str) -> str:
+    """Run a multi-statement psql SCRIPT on stdin (supports inline
+    ``COPY ... FROM stdin`` data blocks terminated by ``\\.``) with
+    stop-on-error — the vehicle for one-transaction batch applies."""
+    return _run(
+        [
+            "psql", "-h", pg_dir, "-U", user, "-d", "postgres",
+            "-v", "ON_ERROR_STOP=1", "-A", "-t", "-f", "-",
+        ],
+        input_=script,
+    )
+
+
+def postgres_cdc_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """The repo's NAMESAKE shape executed for real: the change-event
+    stream applied to a PostgreSQL table by Structured Streaming with
+    per-micro-batch TRANSACTIONAL exactly-once — what the reference's
+    REST mutations do to Cloud SQL one row at a time
+    (``MessageController.java:22-45`` → Hibernate → Postgres), done as
+    a streaming CDC sink at batch granularity.
+
+    Protocol per micro-batch (`foreachBatch`):
+
+    1. each PARTITION COPYs its events into its own staging table
+       (executor-side psql over the socket — rows never cross the
+       driver);
+    2. the driver applies the batch in ONE transaction: claim the
+       batch id in ``_applied`` (PRIMARY KEY — a replayed batch
+       violates it and the whole transaction rolls back, which the
+       handler recognizes and skips: the idempotent-sink discipline of
+       `streaming/tx_snapshot.py`, expressed in the warehouse's own
+       transaction), fold the staged events LWW-per-id, upsert
+       non-deletes via ``INSERT ... ON CONFLICT DO UPDATE`` and apply
+       tombstones, then drop the staging.
+
+    Batches are CONTIGUOUS seq ranges (the log-order contract of
+    `operators/cdc.py`), so in-order application needs no tombstone
+    memory: a delete removes the row, a later-seq insert resurrects
+    it. The final Postgres state hash-matches `cdc_materialize`'s
+    closed form — the streamed warehouse table IS the engine's LWW
+    materialization. At 100 TB: N staging COPYs per batch at stream
+    parallelism, one metadata-bounded merge transaction per batch
+    (cost ∝ batch keys, not table size — the ON CONFLICT upsert is
+    index-driven)."""
+    import os
+    from datetime import datetime
+
+    from .._scratch import scratch_dir
+    from ..fixtures import message_changes_df
+
+    pg = ScratchPostgres()
+    _keepalive(pg)
+    pg.sql(
+        "CREATE TABLE message_state (id BIGINT PRIMARY KEY, "
+        "content TEXT, last_seq BIGINT, updated_at TIMESTAMP)"
+    )
+    pg.sql("CREATE TABLE _applied (batch_id BIGINT PRIMARY KEY)")
+    ev = message_changes_df(spark, sf_dir).select(
+        "seq", "op", "id", "content", "ts"
+    )
+    # contiguous seq-range slices (arrival order); the global ntile is
+    # HARNESS staging simulating the source's batch boundaries, not an
+    # operator plan — production batches arrive already sliced
+    from pyspark.sql.window import Window
+
+    sliced = ev.withColumn(
+        "b", F.ntile(n_batches).over(Window.orderBy("seq")) - 1
+    )
+    tmp = scratch_dir("pg_cdc_")
+    log_dir = os.path.join(tmp, "log")
+    slices = []
+    for b in range(n_batches):
+        d = os.path.join(log_dir, f"slice_{b:03d}")
+        sliced.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        slices.append(d)
+    base = max(
+        (
+            os.path.getmtime(os.path.join(s, f))
+            for s in slices
+            for f in os.listdir(s)
+        ),
+        default=0,
+    )
+    for i, s in enumerate(slices):
+        for f in os.listdir(s):
+            t = base + i + 1
+            os.utime(os.path.join(s, f), (t, t))
+    pg_dir, pg_user = pg.dir, pg._user
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stage = f"cdc_stage_{batch_id}"
+
+        def load_partition(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            part = f"{stage}_{pid}"
+            buf = []
+            for r in it:
+                buf.append(
+                    "\t".join(
+                        _esc(v)
+                        for v in (r["seq"], r["op"], r["id"],
+                                  r["content"], r["ts"])
+                    )
+                    + "\n"
+                )
+            script = (
+                f"DROP TABLE IF EXISTS {part};\n"
+                f"CREATE TABLE {part} (seq BIGINT, op TEXT, id BIGINT, "
+                f"content TEXT, ts TIMESTAMP);\n"
+                f"COPY {part} FROM stdin;\n" + "".join(buf) + "\\.\n"
+            )
+            _psql_script(pg_dir, pg_user, script)
+
+        batch_df.foreachPartition(load_partition)
+        parts = _run(
+            [
+                "psql", "-h", pg_dir, "-U", pg_user, "-d", "postgres",
+                "-A", "-t", "-c",
+                "SELECT tablename FROM pg_tables "
+                f"WHERE tablename LIKE '{stage}\\_%'",
+            ]
+        ).split()
+        union = " UNION ALL ".join(f"SELECT * FROM {p}" for p in parts)
+        merge = f"""
+BEGIN;
+INSERT INTO _applied VALUES ({batch_id});
+CREATE TEMP TABLE batch_fold ON COMMIT DROP AS
+SELECT seq, op, id, content, ts FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) rn
+    FROM ({union}) u
+) f WHERE rn = 1;
+INSERT INTO message_state (id, content, last_seq, updated_at)
+SELECT id, content, seq, ts FROM batch_fold WHERE op <> 'DELETE'
+ON CONFLICT (id) DO UPDATE
+    SET content = EXCLUDED.content, last_seq = EXCLUDED.last_seq,
+        updated_at = EXCLUDED.updated_at;
+DELETE FROM message_state WHERE id IN
+    (SELECT id FROM batch_fold WHERE op = 'DELETE');
+{' '.join(f'DROP TABLE {p};' for p in parts)}
+COMMIT;
+"""
+        try:
+            _psql_script(pg_dir, pg_user, merge)
+        except RuntimeError as e:
+            if "_applied_pkey" not in str(e):
+                raise
+            # replayed batch: already applied transactionally — drop
+            # the re-staged tables and move on (exactly-once)
+            for p in parts:
+                pg.sql(f"DROP TABLE IF EXISTS {p}")
+
+    stream = (
+        spark.readStream.schema(
+            "seq long, op string, id long, content string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(log_dir, "slice_*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("postgres CDC sink did not finish within 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    out = pg.copy_out(
+        "SELECT id, content, last_seq, updated_at FROM message_state "
+        "ORDER BY id"
+    )
+    rows = [
+        (
+            int(i),
+            c,
+            int(s),
+            datetime.fromisoformat(u) if u is not None else None,
+        )
+        for i, c, s, u in out
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, content string, last_seq long, updated_at timestamp",
+    )
+
+
 def _pg_scan_oracle() -> str:
     return """
         SELECT c_custkey AS id, CAST(c_name AS VARCHAR) AS content
@@ -575,10 +772,19 @@ def _pg_scan_oracle() -> str:
     """
 
 
+def _cdc_sink_oracle() -> str:
+    # the streamed Postgres state must equal the engine's batch LWW
+    # materialization — cdc_materialize's own closed form, verbatim
+    from ..operators.cdc import _CTE, _FOLD_SQL
+
+    return f"{_CTE} {_FOLD_SQL.format(src='message_changes')}"
+
+
 QUERIES = {
     "postgres_message_roundtrip": postgres_message_roundtrip,
     "postgres_partitioned_scan": postgres_partitioned_scan,
     "postgres_write_roundtrip": postgres_write_roundtrip,
+    "postgres_cdc_sink": postgres_cdc_sink,
 }
 ORACLES = {
     "postgres_message_roundtrip": _pg_roundtrip_oracle(),
@@ -586,4 +792,5 @@ ORACLES = {
     # the write path round-trips the same seed, so the closed form is
     # the scan oracle's
     "postgres_write_roundtrip": _pg_scan_oracle(),
+    "postgres_cdc_sink": _cdc_sink_oracle(),
 }

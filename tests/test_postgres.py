@@ -177,6 +177,45 @@ def test_write_two_phase_commit_failure_leaves_target_untouched(spark):
         pg.close()
 
 
+def test_cdc_sink_matches_batch_fold_and_replay_is_exactly_once(
+    spark, sf_smoke
+):
+    """The streamed Postgres state equals the engine's batch LWW fold,
+    and a REPLAYED batch (same batch id re-applied — the foreachBatch
+    crash-recovery case) is recognized by the `_applied` claim inside
+    the merge transaction and leaves the state byte-identical."""
+    from cdc_cloudrun_demo_spark.operators.cdc import cdc_materialize
+    from cdc_cloudrun_demo_spark.sources.postgres_io import (
+        _SERVERS,
+        _psql_script,
+        postgres_cdc_sink,
+    )
+
+    got = {
+        tuple(r)
+        for r in postgres_cdc_sink(spark, sf_smoke).collect()
+    }
+    want = {tuple(r) for r in cdc_materialize(spark, sf_smoke).collect()}
+    assert got == want and got
+    pg = _SERVERS[-1]  # the sink's still-alive scratch server
+    before = pg.copy_out(
+        "SELECT id, content, last_seq FROM message_state ORDER BY id"
+    )
+    # replay batch 0: the _applied PRIMARY KEY aborts the whole merge
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="_applied_pkey"):
+        _psql_script(
+            pg.dir, pg._user,
+            "BEGIN;\nINSERT INTO _applied VALUES (0);\n"
+            "DELETE FROM message_state;\nCOMMIT;\n",
+        )
+    after = pg.copy_out(
+        "SELECT id, content, last_seq FROM message_state ORDER BY id"
+    )
+    assert after == before, "replayed transaction mutated the state"
+
+
 def test_crud_lifecycle_on_real_postgres(spark, sf_smoke):
     """The registry entry end-to-end at smoke scale: seed → COPY in →
     UPDATE/DELETE/INSERT executed BY Postgres → COPY out, equal to the
