@@ -294,6 +294,78 @@ try:  # Spark 4 Python Data Source API
             self.lo = int(options["lower_bound"])
             self.hi = int(options["upper_bound"])  # inclusive
             self.n = int(options["num_partitions"])
+            self.pushed: list[str] = []
+
+        @staticmethod
+        def _lit_sql(v):
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return None  # dates/decimals: leave to Spark
+
+        def _filter_sql(self, f) -> str | None:
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                IsNotNull,
+                IsNull,
+                LessThan,
+                LessThanOrEqual,
+                StringContains,
+            )
+
+            col = getattr(f, "attribute", None)
+            if col is None or len(col) != 1:
+                return None
+            c = col[0]
+            if isinstance(f, IsNull):
+                return f"{c} IS NULL"
+            if isinstance(f, IsNotNull):
+                return f"{c} IS NOT NULL"
+            ops = {
+                EqualTo: "=",
+                GreaterThan: ">",
+                GreaterThanOrEqual: ">=",
+                LessThan: "<",
+                LessThanOrEqual: "<=",
+            }
+            if type(f) in ops:
+                lit = self._lit_sql(f.value)
+                return None if lit is None else f"{c} {ops[type(f)]} {lit}"
+            if isinstance(f, In):
+                lits = [self._lit_sql(v) for v in f.value]
+                if any(x is None for x in lits) or not lits:
+                    return None
+                return f"{c} IN ({', '.join(lits)})"
+            if isinstance(f, StringContains):
+                esc = (
+                    f.value.replace("\\", "\\\\")
+                    .replace("%", "\\%")
+                    .replace("_", "\\_")
+                    .replace("'", "''")
+                )
+                return f"{c} LIKE '%{esc}%'"
+            return None
+
+        def pushFilters(self, filters):
+            """Predicate pushdown INTO Postgres (Spark 4.1 Python Data
+            Source filter API): supported conjuncts become WHERE
+            clauses in every partition's COPY query — rows the
+            predicate rejects never leave the server. Unsupported
+            filters are yielded back for Spark to apply residually, so
+            enabling pushdown can never change results, only where the
+            filtering happens (the JDBC `PushedFilters` discipline)."""
+            for f in filters:
+                sql = self._filter_sql(f)
+                if sql is None:
+                    yield f
+                else:
+                    self.pushed.append(sql)
 
         def partitions(self):
             if self.hi < self.lo:
@@ -306,9 +378,14 @@ try:  # Spark 4 Python Data Source API
             ]
 
         def read(self, part):
+            where = [
+                f"{self.col} >= {part.lo}",
+                f"{self.col} < {part.hi}",
+                *self.pushed,
+            ]
             q = (
                 f"SELECT * FROM {self.table} "
-                f"WHERE {self.col} >= {part.lo} AND {self.col} < {part.hi} "
+                f"WHERE {' AND '.join(where)} "
                 f"ORDER BY {self.col}"
             )
             out = _run(
@@ -484,6 +561,7 @@ def postgres_partitioned_scan(
     pg.copy_in("message", rows)
     ids = [i for i, _ in rows]
     lo, hi = (min(ids), max(ids)) if ids else (0, -1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(PostgresCopySource)
     except Exception:
@@ -533,6 +611,7 @@ def postgres_write_roundtrip(
     pg = ScratchPostgres()
     _keepalive(pg)
     pg.sql("CREATE TABLE message (id BIGINT PRIMARY KEY, content TEXT)")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(PostgresCopySource)
     except Exception:
@@ -566,6 +645,82 @@ def postgres_write_roundtrip(
         .load()
         .select(F.col("id").cast("long"), F.col("content"))
     )
+
+
+def postgres_pushdown_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    min_id: int = 10,
+    needle: str = "1",
+    n_partitions: int = 4,
+) -> DataFrame:
+    """Predicate pushdown INTO Postgres through the Python Data
+    Source's filter API (`_PgCopyReader.pushFilters`): the query's
+    ``id > min_id AND content CONTAINS needle`` conjuncts travel into
+    every partition's COPY statement as WHERE clauses, so rejected
+    rows never leave the server — the `PushedFilters` discipline the
+    JDBC entries plan-assert, now against the real warehouse. The
+    unsupported-filter path yields residuals back to Spark, so
+    enabling pushdown can only relocate filtering, never change the
+    answer — which is exactly what the hash oracle proves."""
+    from ..catalog import load_for_compute
+
+    if not _HAS_DATASOURCE_API:
+        raise RuntimeError("Spark Python Data Source API unavailable")
+    seed = (
+        load_for_compute(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_name").cast("string").alias("content"),
+        )
+    )
+    rows = [(r["id"], r["content"]) for r in seed.collect()]  # VETTED
+    pg = ScratchPostgres()
+    _keepalive(pg)
+    pg.sql("CREATE TABLE message (id BIGINT PRIMARY KEY, content TEXT)")
+    pg.copy_in("message", rows)
+    ids = [i for i, _ in rows]
+    lo, hi = (min(ids), max(ids)) if ids else (0, -1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(PostgresCopySource)
+    except Exception:
+        pass
+    return (
+        spark.read.format("pg_copy")
+        .option("dir", pg.dir)
+        .option("user", pg._user)
+        .option("table", "message")
+        .option("partition_column", "id")
+        .option("lower_bound", lo)
+        .option("upper_bound", hi)
+        .option("num_partitions", n_partitions)
+        .load()
+        .filter(
+            (F.col("id") > min_id) & F.col("content").contains(needle)
+        )
+        .select(F.col("id").cast("long"), F.col("content"))
+    )
+
+
+def _pg_pushdown_oracle() -> str:
+    import inspect
+
+    d = {
+        p.name: p.default
+        for p in inspect.signature(
+            postgres_pushdown_scan
+        ).parameters.values()
+    }
+    needle = d["needle"].replace("'", "''")
+    return f"""
+        SELECT c_custkey AS id, CAST(c_name AS VARCHAR) AS content
+        FROM customer
+        WHERE c_custkey IS NOT NULL
+          AND c_custkey > {d["min_id"]}
+          AND contains(CAST(c_name AS VARCHAR), '{needle}')
+    """
 
 
 def _psql_script(pg_dir: str, user: str, script: str) -> str:
@@ -785,6 +940,7 @@ QUERIES = {
     "postgres_partitioned_scan": postgres_partitioned_scan,
     "postgres_write_roundtrip": postgres_write_roundtrip,
     "postgres_cdc_sink": postgres_cdc_sink,
+    "postgres_pushdown_scan": postgres_pushdown_scan,
 }
 ORACLES = {
     "postgres_message_roundtrip": _pg_roundtrip_oracle(),
@@ -793,4 +949,5 @@ ORACLES = {
     # the scan oracle's
     "postgres_write_roundtrip": _pg_scan_oracle(),
     "postgres_cdc_sink": _cdc_sink_oracle(),
+    "postgres_pushdown_scan": _pg_pushdown_oracle(),
 }

@@ -118,6 +118,53 @@ def test_partitioned_scan_ranges_are_disjoint_and_parallel(spark, sf_smoke):
     assert total == df.count()
 
 
+def test_pushdown_translates_supported_filters_and_yields_residuals():
+    """`pushFilters` must translate the supported conjuncts into
+    Postgres WHERE clauses (so rejected rows never leave the server)
+    and yield everything else back for Spark to apply residually —
+    accepting a filter it cannot express would silently change
+    results."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+        StringContains,
+    )
+
+    from cdc_cloudrun_demo_spark.sources.postgres_io import _PgCopyReader
+
+    r = _PgCopyReader(
+        {
+            "dir": "/x", "user": "u", "table": "t",
+            "partition_column": "id", "lower_bound": "1",
+            "upper_bound": "10", "num_partitions": "2",
+        },
+        "id bigint, content string",
+    )
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThan(("id",), 10),
+                EqualTo(("content",), "o'brien"),
+                StringContains(("content",), "50%_x"),
+                In(("id",), (1, 2, 3)),
+                IsNotNull(("content",)),
+                EqualNullSafe(("id",), 5),  # unsupported -> residual
+            ]
+        )
+    )
+    assert r.pushed == [
+        "id > 10",
+        "content = 'o''brien'",
+        "content LIKE '%50\\%\\_x%'",
+        "id IN (1, 2, 3)",
+        "content IS NOT NULL",
+    ]
+    assert len(residual) == 1 and isinstance(residual[0], EqualNullSafe)
+
+
 def test_write_two_phase_commit_failure_leaves_target_untouched(spark):
     """The distributed writer's atomicity contract: (a) a failing
     driver-side publish (PK violation inside the BEGIN..COMMIT fold)
