@@ -1936,7 +1936,7 @@ def sim_ann_recall_eval_adc(
     spark: SparkSession,
     sf_dir: str,
     k: int = 10,
-    beam: int = 8,
+    beam: int = 16,
     hops: int = 4,
     k_edges: int = 8,
     n_queries: int = 5,
@@ -2084,21 +2084,42 @@ def sim_ann_maintenance_advisor(
         )
     )
 
-    def pct(recall_df: DataFrame, name: str) -> DataFrame:
-        return recall_df.agg(
+    # ONE exact-truth scan serves BOTH recall signals (identical
+    # brute-force side; pinned so the second monitor reuses it)
+    exact = _exact_int_topk(spark, sf_dir, k, n_queries).localCheckpoint(
+        eager=False
+    )
+
+    def pct(ann: DataFrame, name: str) -> DataFrame:
+        found = exact.join(
+            ann.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).agg(F.count("*").alias("hits"))
+        return found.select(
             F.coalesce(
-                F.expr(f"sum(hits) * 100 div {k * n_queries}"), F.lit(0)
+                F.expr(f"hits * 100 div {k * n_queries}"), F.lit(0)
             )
             .cast("long")
             .alias(name)
         )
 
+    # walk knobs derive from the recall MONITOR entries' signatures —
+    # the advisor watches exactly what those monitors measure, and the
+    # oracle derives from the same source, so a retune desyncs loudly
+    gk = _walk_knobs(sim_ann_recall_eval_graph, "beam", "hops", "k_edges")
+    ak = _walk_knobs(
+        sim_ann_recall_eval_adc, "beam", "hops", "k_edges", "m", "ksub"
+    )
     gpct = pct(
-        sim_ann_recall_eval_graph(spark, sf_dir, k=k, n_queries=n_queries),
+        sim_ann_graph_topk(
+            spark, sf_dir, k=k, n_queries=n_queries, **gk
+        ),
         "graph_pct",
     )
     apct = pct(
-        sim_ann_recall_eval_adc(spark, sf_dir, k=k, n_queries=n_queries),
+        sim_ann_graph_adc_topk(
+            spark, sf_dir, k=k, n_queries=n_queries, **ak
+        ),
         "adc_pct",
     )
     skew = (
