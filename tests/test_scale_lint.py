@@ -79,6 +79,11 @@ BNLJ_BOUNDED = {
     "broadcast over the allowed-restricted quantized corpus — the "
     "filtered exact-truth side; the walk side is the vetted filtered "
     "bounded-hop plan",
+    "sim_ann_maintenance_advisor": "1-row signal aggregates (drift TVD, "
+    "per-family recall percent, posting skew) crossJoined into the "
+    "3-row verdict relation, plus the inherited bounded-query-sample "
+    "cross of the shared exact-truth scan — every broadcast side is a "
+    "scalar aggregate or the |Q|=5 sample",
 }
 
 

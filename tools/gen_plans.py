@@ -83,6 +83,8 @@ COMMENTARY = {
  "sim_ann_recall_eval": "Recall@k monitoring as a relational operator: composes the IVF probe (broadcast-only, see sim_ann_ivf_topk) with the exact brute-force baseline over the BOUNDED query sample (sim_cosine_topk's vetted cross), intersects by equi join on (query_id, neighbor_id) and folds to |Q| rows. The exact side is |sample| x N by construction - the production recall-SLO query prices truth on a sample, never the corpus square.",
  "sim_ann_graph_adc_topk": "DiskANN-shaped serving: the beam walk's per-hop rescore joins visited nodes to their 8-byte PQ code vectors and sums m integer table lookups (per-query ADC tables broadcast) - the float corpus is joined exactly once, for the bounded final exact rerank. Like the exact-steered walk, the returned plan is a shallow join+window over checkpointed hop state (the iterative work ran hop-bounded at construction, FULL_TIMED); what changed is WHAT each hop reads: codes at 8 bytes/node instead of 512-byte vectors - the RAM story for serving when vectors live in cold storage. Recall cost of compressed steering is bought back with a wider beam (round-11 sweep over beam in {8,16,24,32}: default now 16, the knee - recall@10 0.86 at sf0.01 / 0.70 at sf0.1 vs 0.74/0.50 at beam=8, warm wall flat because per-hop cost is scheduling-dominated; floor test asserts >=0.8 at the default).",
  "sim_ann_graph_filtered_topk": "Filtered search on the GRAPH index (round-11): the quality+lang predicate pushed INTO the beam walk - entry point is the min allowed node, seed mates come from the allowed-filtered postings, and each hop expands through the predicate-filtered effective edge set: direct allowed dsts UNION allowed two-hop dsts reached via a blocked intermediate (the Filtered-DiskANN waypoint closure; dst-filtering alone leaves the allowed subgraph too sparse to route - measured recall@10 0.32 -> 0.70). Both the allowed-id set (ingest-time document metadata) and the closure (derivable once per predicate from the standing edge list) are per-corpus disk memos like the edge list itself, so per-query cost is the walk's bounded hop joins - same plan shape as the unfiltered walk, 2.3 s vs 2.4 s at sf0.1.",
+ "sim_ann_recall_eval_graph": "The recall-SLO query as a relational operator (round-13): the beam walk side is the already-audited shallow join+window over checkpointed hop state (its iterative work ran at construction, FULL_TIMED); the exact-truth side broadcasts the |Q|=5 query sample over the quantized corpus (vetted BNLJ - |Q| x N integer L2, the bounded-sample pricing of production recall monitoring, never N^2); the intersection is an equi join folding to |Q| rows. At 100 TB the truth scan is the only corpus-sized term and it is one narrow pass.",
+ "sim_ann_maintenance_advisor": "The monitoring-to-action decision priced as a plan (round-13): ONE shared pinned exact-truth scan feeds both recall signals (graph + ADC walks, each the audited bounded-hop serving plan); drift is one narrow pass over the embeddings folding to <= n_bins grouped counts with 1-row totals broadcast (integer ppm TVD - the dq_drift_psi zone-map shape); posting skew is one grouped count over the memoized posting list; the three verdict rows are integer CASEs over crossJoined 1-row aggregates. Total cost: two serving walks + one truth scan + two metadata-sized scans - amortized over a maintenance cycle, and every signal integer-exact so the verdicts hash-match.",
  "sim_ann_graph_filtered_domain_topk": "The SECOND predicate family (source-domain) through the round-12 parameterized closure machinery - the entry differs from the quality walk only in the family name; the allowed-id and waypoint-closure memos carry the predicate identity in their keys and fingerprint the documents table they derive from, so the two families build and serve disjoint artifacts over the ONE frozen full-corpus graph. Plan shape identical to sim_ann_graph_filtered_topk: adding a predicate family costs one dict entry and its own memo build, never a second closure implementation or an index rebuild - the Filtered-DiskANN arbitrary-label-predicate contract.",
 }
 
