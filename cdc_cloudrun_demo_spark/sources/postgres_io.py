@@ -508,17 +508,24 @@ except ImportError:  # pragma: no cover - older Spark
 _SERVERS: list[ScratchPostgres] = []
 
 
-def _keepalive(pg: ScratchPostgres) -> None:
+def _keepalive(pg: ScratchPostgres, max_servers: int = 8) -> None:
     """Keep a scratch server alive past the entry call (the returned
     DataFrame is LAZY — the driver collects it after the entry
     returns, so the server must outlive the call) and stop it at
-    interpreter exit."""
+    interpreter exit. The pool is CAPPED: when a new server would
+    exceed ``max_servers``, the oldest is stopped — a long-running
+    driver session sweeping the registry would otherwise accumulate
+    one server per pg entry call. Contract: collect a pg_copy
+    DataFrame before issuing ``max_servers`` further pg entry calls
+    (every known consumer collects immediately)."""
     import atexit
 
     if not _SERVERS:
         atexit.register(
             lambda: [s.close() for s in _SERVERS]
         )
+    while len(_SERVERS) >= max_servers:
+        _SERVERS.pop(0).close()
     _SERVERS.append(pg)
 
 
