@@ -274,8 +274,12 @@ try:  # Spark 4 Python Data Source API
     )
 
     class _PgRange(InputPartition):
-        def __init__(self, lo: int, hi: int):
+        def __init__(self, lo: int, hi: int, include_nulls: bool = False):
             self.lo, self.hi = lo, hi
+            # the FIRST range also claims NULL partition keys (the
+            # spark.read.jdbc convention) — a pure range split would
+            # silently drop null-keyed rows
+            self.include_nulls = include_nulls
 
     class _PgCopyReader(DataSourceReader):
         """Executor-side partitioned COPY reads: each input partition
@@ -286,7 +290,7 @@ try:  # Spark 4 Python Data Source API
         disjoint ranges concurrently; rows never pass through the
         driver."""
 
-        def __init__(self, options, schema_str: str):
+        def __init__(self, options, schema):
             self.dir = options["dir"]
             self.user = options["user"]
             self.table = options["table"]
@@ -295,6 +299,36 @@ try:  # Spark 4 Python Data Source API
             self.hi = int(options["upper_bound"])  # inclusive
             self.n = int(options["num_partitions"])
             self.pushed: list[str] = []
+            if isinstance(schema, str):
+                from pyspark.sql.types import _parse_datatype_string
+
+                schema = _parse_datatype_string(schema)
+            # schema-driven COPY-text decoding: one converter per field
+            # (the source serves ANY flat typed table, not just the
+            # demo's (id, content) shape)
+            self.convs = [
+                self._converter(f.dataType.typeName())
+                for f in schema.fields
+            ]
+
+        @staticmethod
+        def _converter(type_name: str):
+            from datetime import date, datetime
+            from decimal import Decimal
+
+            if type_name in ("long", "integer", "short", "byte"):
+                return int
+            if type_name in ("double", "float"):
+                return float
+            if type_name == "boolean":
+                return lambda s: s == "t"
+            if type_name == "timestamp":
+                return datetime.fromisoformat
+            if type_name == "date":
+                return date.fromisoformat
+            if type_name.startswith("decimal"):
+                return Decimal
+            return lambda s: s  # string and friends pass through
 
         @staticmethod
         def _lit_sql(v):
@@ -369,20 +403,24 @@ try:  # Spark 4 Python Data Source API
 
         def partitions(self):
             if self.hi < self.lo:
-                return [_PgRange(0, 0)]  # empty table: one no-op split
+                # empty key range: one split that still claims NULLs
+                return [_PgRange(0, 0, include_nulls=True)]
             span = self.hi - self.lo + 1
             step = max(1, -(-span // self.n))
             return [
-                _PgRange(self.lo + i * step, self.lo + (i + 1) * step)
+                _PgRange(
+                    self.lo + i * step,
+                    self.lo + (i + 1) * step,
+                    include_nulls=(i == 0),
+                )
                 for i in range(self.n)
             ]
 
         def read(self, part):
-            where = [
-                f"{self.col} >= {part.lo}",
-                f"{self.col} < {part.hi}",
-                *self.pushed,
-            ]
+            rng = f"{self.col} >= {part.lo} AND {self.col} < {part.hi}"
+            if getattr(part, "include_nulls", False):
+                rng = f"({rng} OR {self.col} IS NULL)"
+            where = [rng, *self.pushed]
             q = (
                 f"SELECT * FROM {self.table} "
                 f"WHERE {' AND '.join(where)} "
@@ -397,7 +435,10 @@ try:  # Spark 4 Python Data Source API
             )
             for line in out.splitlines():
                 toks = [_unesc(t) for t in line.split("\t")]
-                yield (int(toks[0]), toks[1])
+                yield tuple(
+                    None if t is None else conv(t)
+                    for conv, t in zip(self.convs, toks)
+                )
 
     class _PgStaged(WriterCommitMessage):
         def __init__(self, staging: str, n_rows: int):
@@ -453,9 +494,15 @@ try:  # Spark 4 Python Data Source API
             # janitor sweep by staging-name pattern: task failures
             # leave stages that never produced a commit message, and a
             # failed publish transaction rolls back its own DROPs —
-            # neither is reachable through ``messages``. Safe under the
-            # writer's single-writer-per-target contract (concurrent
-            # loads into ONE table would interleave anyway).
+            # neither is reachable through ``messages``. A straggler
+            # task can even re-create its stage AFTER abort's sweep
+            # (it was already inside write() when the job failed), so
+            # the sweep ALSO runs at the next write job's driver-side
+            # setup (`PostgresCopySource.writer`): debris is bounded
+            # to one failed job and never reaches the target. Safe
+            # under the writer's single-writer-per-target contract
+            # (concurrent loads into ONE table would interleave
+            # anyway).
             names = self._psql(
                 "SELECT tablename FROM pg_tables "
                 f"WHERE tablename LIKE '{self.table}__stage_%'"
@@ -498,7 +545,12 @@ try:  # Spark 4 Python Data Source API
             return _PgCopyReader(self.options, schema)
 
         def writer(self, schema, overwrite: bool):
-            return _PgCopyWriter(self.options, schema)
+            w = _PgCopyWriter(self.options, schema)
+            # pre-clean staging debris a previously ABORTED job's
+            # straggler tasks may have re-created after abort's sweep
+            # (no tasks of THIS job have started yet — driver-side)
+            w._drop_all_stages()
+            return w
 
     _HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - older Spark
@@ -709,6 +761,85 @@ def postgres_pushdown_scan(
         )
         .select(F.col("id").cast("long"), F.col("content"))
     )
+
+
+def postgres_events_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """TYPED warehouse round-trip — the events table (BIGINT + TEXT +
+    TIMESTAMP + DOUBLE PRECISION, with injected NULLs in the value
+    column under the degenerate-input sweep) written to real Postgres
+    through the distributed two-phase-commit COPY writer and read back
+    through the schema-driven partitioned scan: per-field COPY-text
+    converters decode exactly what the declared Spark schema says
+    (`_PgCopyReader._converter`), so the source serves ANY flat typed
+    table, not just the demo's (id, content) shape. Hash-matching the
+    parquet closed form proves microsecond-timestamp, shortest-repr
+    double and NULL fidelity across BOTH transport directions on the
+    reference's actual database engine."""
+    from ..catalog import load_for_compute
+
+    if not _HAS_DATASOURCE_API:
+        raise RuntimeError("Spark Python Data Source API unavailable")
+    ev = load_for_compute(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    pg = ScratchPostgres()
+    _keepalive(pg)
+    pg.sql(
+        "CREATE TABLE events_pg (event_id BIGINT, event_type TEXT, "
+        "ts TIMESTAMP, value DOUBLE PRECISION)"
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(PostgresCopySource)
+    except Exception:
+        pass
+    (
+        ev.repartition(n_partitions)
+        .write.format("pg_copy")
+        .option("dir", pg.dir)
+        .option("user", pg._user)
+        .option("table", "events_pg")
+        .mode("append")
+        .save()
+    )
+    lo_s, hi_s = (
+        pg.sql(
+            "SELECT COALESCE(MIN(event_id), 0) || ',' || "
+            "COALESCE(MAX(event_id), -1) FROM events_pg"
+        )
+        .strip()
+        .split(",")
+    )
+    return (
+        spark.read.format("pg_copy")
+        .option("dir", pg.dir)
+        .option("user", pg._user)
+        .option("table", "events_pg")
+        .option(
+            "schema",
+            "event_id bigint, event_type string, ts timestamp, "
+            "value double",
+        )
+        .option("partition_column", "event_id")
+        .option("lower_bound", int(lo_s))
+        .option("upper_bound", int(hi_s))
+        .option("num_partitions", n_partitions)
+        .load()
+    )
+
+
+def _pg_events_oracle() -> str:
+    return """
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+    """
 
 
 def _pg_pushdown_oracle() -> str:
@@ -948,6 +1079,7 @@ QUERIES = {
     "postgres_write_roundtrip": postgres_write_roundtrip,
     "postgres_cdc_sink": postgres_cdc_sink,
     "postgres_pushdown_scan": postgres_pushdown_scan,
+    "postgres_events_scan": postgres_events_scan,
 }
 ORACLES = {
     "postgres_message_roundtrip": _pg_roundtrip_oracle(),
@@ -957,4 +1089,5 @@ ORACLES = {
     "postgres_write_roundtrip": _pg_scan_oracle(),
     "postgres_cdc_sink": _cdc_sink_oracle(),
     "postgres_pushdown_scan": _pg_pushdown_oracle(),
+    "postgres_events_scan": _pg_events_oracle(),
 }

@@ -165,6 +165,42 @@ def test_pushdown_translates_supported_filters_and_yields_residuals():
     assert len(residual) == 1 and isinstance(residual[0], EqualNullSafe)
 
 
+def test_partitioned_scan_claims_null_keys_exactly_once(spark):
+    """A NULL partition key falls outside every range predicate — the
+    first split claims NULLs (the spark.read.jdbc convention), so the
+    row is neither dropped nor read twice."""
+    from cdc_cloudrun_demo_spark.sources.postgres_io import (
+        PostgresCopySource,
+        ScratchPostgres,
+    )
+
+    pg = ScratchPostgres()
+    try:
+        pg.sql("CREATE TABLE t_nk (id BIGINT, content TEXT)")
+        pg.copy_in("t_nk", [(1, "a"), (None, "null-key"), (9, "z")])
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(PostgresCopySource)
+        rows = (
+            spark.read.format("pg_copy")
+            .option("dir", pg.dir)
+            .option("user", pg._user)
+            .option("table", "t_nk")
+            .option("partition_column", "id")
+            .option("lower_bound", 1)
+            .option("upper_bound", 9)
+            .option("num_partitions", 3)
+            .load()
+            .collect()
+        )
+        got = sorted(
+            ((r["id"], r["content"]) for r in rows),
+            key=lambda t: (t[0] is not None, t[0] or 0),
+        )
+        assert got == [(None, "null-key"), (1, "a"), (9, "z")]
+    finally:
+        pg.close()
+
+
 def test_write_two_phase_commit_failure_leaves_target_untouched(spark):
     """The distributed writer's atomicity contract: (a) a failing
     driver-side publish (PK violation inside the BEGIN..COMMIT fold)
@@ -215,11 +251,24 @@ def test_write_two_phase_commit_failure_leaves_target_untouched(spark):
             attempt(bad)
         rows = pg.copy_out("SELECT id, content FROM message ORDER BY id")
         assert [(int(i), c) for i, c in rows] == [(1, "original")]
+        # a straggler task may re-create its stage after abort's sweep
+        # (it was mid-write when the job died); the NEXT write job's
+        # driver-side setup pre-cleans that debris, and a successful
+        # load lands exactly its own rows with zero stages left
+        ok = spark.createDataFrame(
+            [(5, "five")], "id long, content string"
+        )
+        attempt(ok)
+        rows = pg.copy_out("SELECT id, content FROM message ORDER BY id")
+        assert [(int(i), c) for i, c in rows] == [
+            (1, "original"),
+            (5, "five"),
+        ]
         leftovers = pg.sql(
             "SELECT COUNT(*) FROM pg_tables "
             "WHERE tablename LIKE 'message__stage%'"
         ).strip()
-        assert leftovers == "0", "staging tables leaked after abort"
+        assert leftovers == "0", "staging tables leaked after commit"
     finally:
         pg.close()
 
