@@ -2017,9 +2017,9 @@ def sim_ann_maintenance_advisor(
       SERVED shapes' recall evals (`sim_ann_recall_eval_graph` for the
       cell/graph family, `sim_ann_recall_eval_adc` for the compressed
       family) against k·|Q|.
-    - **skew_ppm**: the fullest LSH bucket's share (ppm) of all
-      postings — rotation's trigger is occupancy skew, not drift (the
-      planes are data-independent).
+    - **skew_ppm**: the fullest LSH bucket's share (ppm) of ITS
+      table's postings — rotation's trigger is occupancy skew, not
+      drift (the planes are data-independent).
 
     Non-applicable signals report -1 (stable schema). Scale shape: ONE
     narrow scan + tiny grouped aggregates for drift/skew; the recall
@@ -2122,13 +2122,20 @@ def sim_ann_maintenance_advisor(
         ),
         "adc_pct",
     )
-    skew = (
+    # occupancy skew per TABLE: the fullest bucket's share of ITS
+    # table's postings (dividing by the grand total across tables
+    # would dilute a hot bucket by n_tables and mask real skew)
+    per = (
         _lsh_postings_cached(spark, sf_dir)
         .groupBy("tbl", "bucket")
         .agg(F.count("*").alias("cnt"))
-        .agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("tot"))
-        .select(
-            F.coalesce(F.expr("mx * 1000000 div tot"), F.lit(0))
+    )
+    tbl_tot = per.groupBy("tbl").agg(F.sum("cnt").alias("tot"))
+    skew = (
+        per.join(tbl_tot, "tbl")
+        .select(F.expr("cnt * 1000000 div tot").alias("share"))
+        .agg(
+            F.coalesce(F.max("share"), F.lit(0))
             .cast("long")
             .alias("skew_ppm")
         )
@@ -6438,10 +6445,14 @@ def _advisor_oracle() -> str:
         ), adv_post AS MATERIALIZED (
             {_sql_lsh_postings()}
         ), adv_skew AS (
-            SELECT CAST(COALESCE(MAX(cnt) * 1000000 // SUM(cnt), 0)
-                        AS BIGINT) AS skew_ppm
+            SELECT CAST(COALESCE(MAX(share), 0) AS BIGINT) AS skew_ppm
             FROM (
-                SELECT COUNT(*) AS cnt FROM adv_post GROUP BY tbl, bucket
+                SELECT cnt * 1000000
+                       // SUM(cnt) OVER (PARTITION BY tbl) AS share
+                FROM (
+                    SELECT tbl, COUNT(*) AS cnt FROM adv_post
+                    GROUP BY tbl, bucket
+                )
             )
         ), adv_g AS (
             SELECT CAST(COALESCE(SUM(hits) * 100 // {denom}, 0)

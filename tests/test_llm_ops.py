@@ -2425,6 +2425,62 @@ def test_drift_flips_advisor_decision_and_drives_reindex(spark, tmp_path):
     assert after["ivf_cells"] == "hold", (drift_ppm, r_after)
 
 
+def test_skew_flips_rotation_verdict_and_drives_rotation(spark, tmp_path):
+    """The advisor's THIRD family closed: on a corpus whose hot
+    direction packs one LSH bucket past the occupancy threshold, the
+    skew signal crosses and the policy verdicts 'rotate' for the
+    plane family (drift/recall play no part — rotation is an
+    occupancy response); the verdict then DRIVES `reindex_ann_lsh` on
+    a live state built from the same corpus: the rotated generation
+    cuts over (seed recorded, postings re-keyed, membership count
+    preserved). The stable sf corpus sits far under the threshold
+    (skew_ppm ≈ 3k at sf0.01 vs the 125k default), so the verdict is
+    corpus-driven, not constant."""
+    import numpy as np
+
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        _ingest_live_state,
+        sim_ann_maintenance_advisor,
+    )
+    from cdc_cloudrun_demo_spark.streaming.ann_ingest import (
+        read_ann_postings,
+        read_artifact_lsh_seed,
+        reindex_ann_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_hot, n_cold = 64, 160, 240
+    hot_dir = rng.uniform(-1.0, 1.0, size=dim)
+    rows = []
+    for i in range(n_hot):  # tight cluster: one bucket per table
+        rows.append((i, (hot_dir + rng.normal(0, 0.01, dim)).tolist()))
+    for i in range(n_hot, n_hot + n_cold):
+        rows.append((i, rng.uniform(-1.0, 1.0, size=dim).tolist()))
+    sf = str(tmp_path / "skew_sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    adv = {
+        r["family"]: r.asDict()
+        for r in sim_ann_maintenance_advisor(spark, sf).collect()
+    }
+    lsh = adv["lsh_planes"]
+    assert lsh["skew_ppm"] >= 125_000, lsh
+    assert lsh["action"] == "rotate", lsh
+    # the verdict drives the rotation on the live state
+    state = _ingest_live_state(spark, sf, 8, 2)
+    n_posts = read_ann_postings(spark, state).count()
+    rep = reindex_ann_lsh(spark, state)
+    assert rep["committed"] and rep["gen"] == 1
+    assert read_artifact_lsh_seed(state) == 43
+    # rotation re-keys buckets, never membership
+    assert read_ann_postings(spark, state).count() == n_posts
+
+
 def test_reindex_crash_before_cutover_is_invisible_then_rerun_completes(
     spark, tmp_path
 ):
