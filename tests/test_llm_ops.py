@@ -2839,15 +2839,39 @@ def test_pq_reindex_recall_improves_on_drifted_corpus(spark, tmp_path):
         reindex_ann_pq,
     )
 
+    from cdc_cloudrun_demo_spark.functions.similarity import (
+        maintenance_actions,
+        sim_ann_maintenance_advisor,
+    )
+
     sf, rows = _mini_drift_corpus(spark, tmp_path)
     state = _ingest_reindex_state(spark, sf, tmp_path, with_pq=True)
     query_ids = [i for i in range(41, 121) if i % 4 != 0][:20]
     r_before = _adc_recall_at_10(spark, state, rows, query_ids)
+    # the PQ family's DECISION path (third of three): high drift +
+    # decayed state-served ADC recall under the caller's 95% serving
+    # SLO (the rerank-backed ADC path decays more gently than raw IVF
+    # — ~0.92 here vs ~0.87 — so its alarm level sits higher) → the
+    # shared policy verdicts 'reindex' for pq_codes
+    drift_ppm = {
+        r["family"]: r["drift_ppm"]
+        for r in sim_ann_maintenance_advisor(spark, sf).collect()
+    }["pq_codes"]
+    assert drift_ppm >= 200_000, drift_ppm
+    verdicts = maintenance_actions(
+        drift_ppm, 100, int(r_before * 100), 0, recall_pct_min=95
+    )
+    assert verdicts["pq_codes"] == "reindex", (drift_ppm, r_before)
     rep = reindex_ann_pq(spark, state)
     assert rep["committed"] and rep["gen"] == 1
     r_after = _adc_recall_at_10(spark, state, rows, query_ids)
     assert r_after >= r_before + 0.05, (r_before, r_after)
     assert r_after >= 0.98, (r_before, r_after)
+    # restored recall flips the verdict back to 'hold'
+    after = maintenance_actions(
+        drift_ppm, 100, int(r_after * 100), 0, recall_pct_min=95
+    )
+    assert after["pq_codes"] == "hold", (drift_ppm, r_after)
     # both generations' books remain readable (asof discipline), and
     # the retrain actually changed them
     b0, b1 = read_artifact_books(state, 0), read_artifact_books(state, 1)
