@@ -69,9 +69,14 @@ class MessageServer:
         host: str = "127.0.0.1",
         port: int = 0,
     ):
+        import time
+
+        t_boot = time.monotonic()
         self.spark = spark
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
+        self._requests = 0
+        self._flushes = 0
         self._pending: list[tuple] = []
         self._state_df: DataFrame | None = None
         batches = [
@@ -112,6 +117,7 @@ class MessageServer:
                 pass
 
             def _reply(self, obj, status=200):
+                server._requests += 1
                 body = json.dumps(obj).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
@@ -135,6 +141,8 @@ class MessageServer:
                     self._reply(
                         {"status": "UP", "log_version": server._seq}
                     )
+                elif self.path.rstrip("/") == "/metrics":
+                    self._reply(server.metrics())
                 elif self.path.rstrip("/") == "/db-info":
                     self._reply(server.db_info())
                 elif self.path.rstrip("/") == "/db-info/test":
@@ -162,6 +170,9 @@ class MessageServer:
             target=self._httpd.serve_forever, daemon=True
         )
         self._thread.start()
+        self._t0_monotonic = time.monotonic()
+        # recovery + bind time — the reference's applicationStartupMillis
+        self._startup_ms = int((self._t0_monotonic - t_boot) * 1000)
 
     # -- engine side -------------------------------------------------
     def _log_df(self) -> DataFrame:
@@ -193,6 +204,7 @@ class MessageServer:
         )
         self._pending.clear()
         self._seq += 1
+        self._flushes += 1
         if self._state_df is not None:
             self._state_df.unpersist()
         self._state_df = None
@@ -242,6 +254,46 @@ class MessageServer:
         if mid is not None and mid in self._live:
             self._pending.append((mid, None, "D"))
             self._live.discard(mid)
+
+    def metrics(self) -> dict:
+        """`MetricsController.getMetrics` analog
+        (MetricsController.java:34-88): startup/uptime, memory with
+        the reference's exact formatting discipline (%.3f seconds,
+        %.2f MB, %.1f%% usage — the M1 derived-metric shapes), nested
+        sub-maps (M2) and an ISO timestamp — computed from THIS serve
+        loop's runtime instead of a JVM MXBean, plus the serving
+        counters a data-engine process actually monitors (log version,
+        request and flush counts)."""
+        import resource
+        import time
+        from datetime import datetime, timezone
+
+        up_ms = int((time.monotonic() - self._t0_monotonic) * 1000)
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        used_mb = ru.ru_maxrss / 1024.0  # linux reports KiB
+        budget_mb = 128 * 1024.0  # the local[32] harness's heap budget
+        return {
+            "application": "spark-cdc-engine",
+            "profile": "local",
+            "imageType": "JVM (Spark driver)",
+            "connectionPool": "parquet-change-log",
+            "startupTimeMs": self._startup_ms,
+            "startupTimeSeconds": f"{self._startup_ms / 1000.0:.3f}",
+            "uptimeMs": up_ms,
+            "uptimeSeconds": f"{up_ms / 1000.0:.3f}",
+            "memory": {
+                "usedMB": f"{used_mb:.2f}",
+                "maxMB": f"{budget_mb:.2f}",
+                "usagePercent": f"{used_mb * 100.0 / budget_mb:.1f}%",
+            },
+            "serving": {
+                "logVersion": self._seq,
+                "requests": self._requests,
+                "flushes": self._flushes,
+                "liveMessages": len(self._live),
+            },
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+        }
 
     def db_info(self) -> dict:
         """`DatabaseInfoResource.getDatabaseInfo` analog

@@ -75,6 +75,41 @@ def test_rest_crud_lifecycle_over_http(spark, tmp_path):
         srv.close()
 
 
+def test_metrics_endpoint_reference_shapes(spark, tmp_path):
+    """`/metrics` carries the reference's derived-metric shapes
+    (MetricsController.java:34-88): %.3f-second strings, %.2f MB
+    memory sub-map with a %.1f%% usage, nested sub-maps, ISO
+    timestamp — plus the serve loop's own counters, which must move
+    with traffic (requests) and with landed write batches (flushes /
+    logVersion)."""
+    import re
+
+    from cdc_cloudrun_demo_spark.serving import MessageServer
+
+    srv = MessageServer(spark, str(tmp_path / "log"))
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        st, m = _req(base, "/metrics")
+        assert st == 200
+        assert m["application"] == "spark-cdc-engine"
+        assert m["startupTimeMs"] >= 0 and m["uptimeMs"] >= 0
+        assert re.fullmatch(r"\d+\.\d{3}", m["uptimeSeconds"])
+        assert re.fullmatch(r"\d+\.\d{2}", m["memory"]["usedMB"])
+        assert re.fullmatch(r"\d+\.\d%", m["memory"]["usagePercent"])
+        assert "T" in m["timestamp"]
+        v0, r0 = m["serving"]["logVersion"], m["serving"]["requests"]
+        _req(base, "/messages", "POST", {"content": "x"})
+        _req(base, "/messages")  # forces the flush
+        st, m2 = _req(base, "/metrics")
+        assert m2["serving"]["requests"] > r0
+        assert m2["serving"]["logVersion"] == v0 + 1
+        assert m2["serving"]["flushes"] >= 1
+        assert m2["serving"]["liveMessages"] == 1
+        assert m2["uptimeMs"] >= m["uptimeMs"]
+    finally:
+        srv.close()
+
+
 def test_rest_state_recovers_from_durable_log(spark, tmp_path):
     """Restart the serve loop over the same change log: the recovered
     state (content via the LWW fold, PK index and the IDENTITY
