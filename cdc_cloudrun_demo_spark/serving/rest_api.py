@@ -26,9 +26,16 @@ Architecture (Spark-first, not a toy dict):
   id set would move to a state store / bloom probe — the contract
   documented in docs/SCALE.md; the fold itself is already the
   distributed path.
-- **Single-writer.** The stdlib ``HTTPServer`` handles requests
-  serially, which IS the sink's single-writer contract; concurrent
-  readers belong on fair-scheduler pools (`session.scoped_pool`).
+- **Concurrent reads, single-writer state.** The loop is a
+  ``ThreadingHTTPServer`` (the reference's Cloud Run envelope is 80
+  concurrent requests per container, ``terraform/cloud_run.tf`` /
+  ``README.md:293``): requests overlap at the HTTP layer, while ONE
+  mutex serializes exactly the state transitions (WAL append, flush,
+  fold refresh, PK-index/counter updates). Readers leave the lock
+  BEFORE their Spark action — they collect from an immutable
+  already-pinned fold snapshot, so N concurrent GETs run N concurrent
+  Spark jobs against one state version (pair with fair-scheduler
+  pools, `session.scoped_pool`, for isolation).
 
 Endpoint map (reference parity):
 
@@ -46,7 +53,7 @@ from __future__ import annotations
 import json
 import os
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +84,9 @@ class MessageServer:
         os.makedirs(log_dir, exist_ok=True)
         self._requests = 0
         self._flushes = 0
+        # ONE mutex serializes state transitions; readers collect from
+        # immutable fold snapshots OUTSIDE it (module docstring)
+        self._mu = threading.RLock()
         self._pending: list[tuple] = []
         self._state_df: DataFrame | None = None
         batches = [
@@ -117,7 +127,8 @@ class MessageServer:
                 pass
 
             def _reply(self, obj, status=200):
-                server._requests += 1
+                with server._mu:
+                    server._requests += 1
                 body = json.dumps(obj).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
@@ -164,7 +175,7 @@ class MessageServer:
                 server.delete(self._id())
                 self._reply(None)
 
-        self._httpd = HTTPServer((host, port), Handler)
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
@@ -189,7 +200,13 @@ class MessageServer:
         """Land the WAL buffer as ONE parquet micro-batch (ordinal
         within the batch rides the fractional part of seq via row
         position — LWW needs total order, and a PUT after an INSERT of
-        the same id in one buffer must win)."""
+        the same id in one buffer must win). Caller holds or takes
+        the state mutex; an in-flight reader's snapshot stays valid
+        (batch dirs are append-only and unpersist only drops cache)."""
+        with self._mu:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         if not self._pending:
             return
         rows = [
@@ -212,7 +229,11 @@ class MessageServer:
     def _state(self) -> DataFrame:
         """The LWW materialization of the full change log, cached per
         log version — `cdc_materialize`'s fold serving reads."""
-        self.flush()
+        with self._mu:
+            return self._state_locked()
+
+    def _state_locked(self) -> DataFrame:
+        self._flush_locked()
         if self._state_df is None:
             log = self._log_df()
             w = Window.partitionBy("id").orderBy(F.desc("seq"))
@@ -226,34 +247,40 @@ class MessageServer:
 
     # -- repository operations (MessageController.java parity) ------
     def find_all(self) -> list[dict]:
+        st = self._state()  # snapshot pinned under the mutex
         return [
             {"id": r["id"], "content": r["content"]}
-            for r in self._state().orderBy("id").collect()
+            for r in st.orderBy("id").collect()  # collected outside it
         ]
 
     def find_by_id(self, mid) -> dict | None:
-        if mid is None or mid not in self._live:
-            return None  # reference returns a null body, status 200
-        r = self._state().filter(F.col("id") == mid).first()
+        with self._mu:
+            if mid is None or mid not in self._live:
+                return None  # reference returns a null body, status 200
+            st = self._state_locked()
+        r = st.filter(F.col("id") == mid).first()
         return None if r is None else {"id": r["id"], "content": r["content"]}
 
     def create(self, content) -> dict:
-        mid = self._next_id
-        self._next_id += 1
-        self._pending.append((mid, content, "I"))
-        self._live.add(mid)
+        with self._mu:
+            mid = self._next_id
+            self._next_id += 1
+            self._pending.append((mid, content, "I"))
+            self._live.add(mid)
         return {"id": mid, "content": content}
 
     def update(self, mid, content) -> dict | None:
-        if mid is None or mid not in self._live:
-            return None  # PUT never creates (findById().map)
-        self._pending.append((mid, content, "U"))
+        with self._mu:
+            if mid is None or mid not in self._live:
+                return None  # PUT never creates (findById().map)
+            self._pending.append((mid, content, "U"))
         return {"id": mid, "content": content}
 
     def delete(self, mid) -> None:
-        if mid is not None and mid in self._live:
-            self._pending.append((mid, None, "D"))
-            self._live.discard(mid)
+        with self._mu:
+            if mid is not None and mid in self._live:
+                self._pending.append((mid, None, "D"))
+                self._live.discard(mid)
 
     def metrics(self) -> dict:
         """`MetricsController.getMetrics` analog

@@ -145,6 +145,78 @@ def test_rest_state_recovers_from_durable_log(spark, tmp_path):
         srv2.close()
 
 
+def test_threaded_serving_under_concurrent_load(spark, tmp_path):
+    """The reference's Cloud Run envelope is concurrent requests per
+    container; the serve loop must survive overlapping readers and
+    writers: 6 reader threads hammer GET /messages and point lookups
+    while two writers mutate DISJOINT id domains (updates on the seed,
+    posts+deletes elsewhere). Every response must be a consistent
+    snapshot (each returned id carries a complete row), no request may
+    error, and the final state must equal the deterministic merge of
+    both writers' work — the single-writer mutex serializes state
+    transitions while Spark actions overlap."""
+    import threading
+
+    from cdc_cloudrun_demo_spark.serving import MessageServer
+
+    seed = spark.createDataFrame(
+        [(i, f"seed-{i}") for i in range(1, 11)], "id long, content string"
+    )
+    srv = MessageServer(spark, str(tmp_path / "log"), seed=seed)
+    base = f"http://127.0.0.1:{srv.port}"
+    errors: list = []
+
+    def reader():
+        try:
+            for _ in range(12):
+                _st, rows = _req(base, "/messages")
+                assert all(
+                    set(r) == {"id", "content"} and r["id"] is not None
+                    for r in rows
+                )
+                _req(base, "/messages/3")
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    def writer_updates():
+        try:
+            for rnd in range(3):
+                for i in range(1, 6):
+                    _req(
+                        base, f"/messages/{i}", "PUT",
+                        {"content": f"u{rnd}-{i}"},
+                    )
+        except Exception as e:
+            errors.append(e)
+
+    def writer_churn():
+        try:
+            for i in range(6, 11):
+                _req(base, f"/messages/{i}", "DELETE")
+            for j in range(3):
+                _req(base, "/messages", "POST", {"content": f"new-{j}"})
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(6)] + [
+        threading.Thread(target=writer_updates),
+        threading.Thread(target=writer_churn),
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors, errors
+        _st, rows = _req(base, "/messages")
+        got = {r["id"]: r["content"] for r in rows}
+        want = {i: f"u2-{i}" for i in range(1, 6)}
+        want.update({11 + j: f"new-{j}" for j in range(3)})
+        assert got == want, got
+    finally:
+        srv.close()
+
+
 def test_rest_lww_within_one_buffer(spark, tmp_path):
     """Insert → update → delete → re-insert of one id inside a SINGLE
     un-flushed WAL buffer must fold in request order (the fractional
