@@ -39,13 +39,17 @@ Architecture (Spark-first, not a toy dict):
 
 Endpoint map (reference parity):
 
-    GET    /messages         → findAll()        (S1)
-    POST   /messages         → save(new)        (S3, generated key)
-    GET    /messages/{id}    → findById()       (S2; null body if absent)
-    PUT    /messages/{id}    → update content   (S4; null if absent,
-                                                 never creates)
-    DELETE /messages/{id}    → deleteById()     (S5, tombstone)
-    GET    /healthz          → liveness + log version (S8)
+    GET    /messages          → findAll()        (S1)
+    POST   /messages          → save(new)        (S3, generated key)
+    GET    /messages/{id}     → findById()       (S2; null body if absent)
+    PUT    /messages/{id}     → update content   (S4; null if absent,
+                                                  never creates)
+    DELETE /messages/{id}     → deleteById()     (S5, tombstone)
+    GET    /healthz           → liveness + log version (S8)
+    GET    /db-info[/test]    → DatabaseInfoResource.java (S6 count,
+                                S7 first-row, S9 backend identity)
+    GET    /metrics[/startup|/memory] → MetricsController.java
+                                (M1 derived scalars, M2 nested maps)
 """
 
 from __future__ import annotations
@@ -154,6 +158,21 @@ class MessageServer:
                     )
                 elif self.path.rstrip("/") == "/metrics":
                     self._reply(server.metrics())
+                elif self.path.rstrip("/") == "/metrics/startup":
+                    # MetricsController.java:89-100 sub-view
+                    m = server.metrics()
+                    self._reply(
+                        {
+                            k: m[k]
+                            for k in (
+                                "imageType", "startupTimeMs",
+                                "startupTimeSeconds", "profile",
+                            )
+                        }
+                    )
+                elif self.path.rstrip("/") == "/metrics/memory":
+                    # MetricsController.java:102-118 sub-view
+                    self._reply(server.metrics()["memory"])
                 elif self.path.rstrip("/") == "/db-info":
                     self._reply(server.db_info())
                 elif self.path.rstrip("/") == "/db-info/test":

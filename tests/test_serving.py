@@ -106,6 +106,14 @@ def test_metrics_endpoint_reference_shapes(spark, tmp_path):
         assert m2["serving"]["flushes"] >= 1
         assert m2["serving"]["liveMessages"] == 1
         assert m2["uptimeMs"] >= m["uptimeMs"]
+        # the reference's sub-views (MetricsController.java:89-118)
+        st, sub = _req(base, "/metrics/startup")
+        assert set(sub) == {
+            "imageType", "startupTimeMs", "startupTimeSeconds", "profile",
+        }
+        st, mem = _req(base, "/metrics/memory")
+        assert re.fullmatch(r"\d+\.\d{2}", mem["usedMB"])
+        assert re.fullmatch(r"\d+\.\d%", mem["usagePercent"])
     finally:
         srv.close()
 
