@@ -151,6 +151,20 @@ class MessageServer:
                 n = int(self.headers.get("Content-Length", 0))
                 return json.loads(self.rfile.read(n) or b"{}")
 
+            def handle_one_request(self):
+                # a malformed request must answer with a status, not
+                # kill the connection with a traceback (Spring returns
+                # 400 for unparseable bodies)
+                try:
+                    super().handle_one_request()
+                except json.JSONDecodeError:
+                    self._reply({"error": "malformed JSON body"}, 400)
+                except Exception as e:  # pragma: no cover - defensive
+                    try:
+                        self._reply({"error": str(e)[:200]}, 500)
+                    except Exception:
+                        pass
+
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(

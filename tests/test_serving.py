@@ -65,6 +65,24 @@ def test_rest_crud_lifecycle_over_http(spark, tmp_path):
         # S8 health probe
         st, health = _req(base, "/healthz")
         assert st == 200 and health["status"] == "UP"
+        # malformed body answers 400, the connection survives, and the
+        # state is untouched
+        import urllib.error
+        import urllib.request
+
+        bad = urllib.request.Request(
+            base + "/messages",
+            data=b"{not json",
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("malformed body was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        st, after_bad = _req(base, "/messages")
+        assert st == 200 and len(after_bad) == 4
         # S6/S7 introspection (DatabaseInfoResource.java:24-86 parity)
         st, info = _req(base, "/db-info")
         assert info["connected"] and info["recordCounts"]["Message"] == 4
