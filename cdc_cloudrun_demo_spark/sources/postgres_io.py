@@ -1065,6 +1065,83 @@ def _pg_scan_oracle() -> str:
     """
 
 
+def postgres_incremental_pull(
+    spark: SparkSession,
+    sf_dir: str,
+    n_pulls: int = 3,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """The OTHER integration direction — Postgres as a CDC SOURCE: the
+    change log lives in a warehouse WAL table (``message_log``, the
+    outbox/polling pattern a system without logical-replication access
+    uses), and the engine syncs by WATERMARK PULLS: each round asks
+    only for ``seq > watermark`` (here ``n_pulls`` contiguous seq
+    windows, each fetched through the partitioned COPY scan — N
+    concurrent range streams per pull), unions the increments and
+    folds them LWW-per-id (`operators/cdc._fold`). The final
+    materialization hash-matches `cdc_materialize`'s closed form:
+    pulling the log in increments through a real warehouse loses
+    nothing vs folding it whole. At 100 TB: each pull moves only the
+    delta since the stored watermark; the fold is the CDC
+    materializer's one keyed window."""
+    from ..catalog import load_for_compute  # noqa: F401  (parity of imports)
+    from ..fixtures import message_changes_df
+    from ..operators.cdc import _fold
+
+    if not _HAS_DATASOURCE_API:
+        raise RuntimeError("Spark Python Data Source API unavailable")
+    ev = message_changes_df(spark, sf_dir).select(
+        "seq", "op", "id", "content", "ts"
+    )
+    rows = [
+        (r["seq"], r["op"], r["id"], r["content"], r["ts"])
+        for r in ev.collect()
+    ]  # WAL-table staging — bounded by the same serving contract
+    pg = ScratchPostgres()
+    _keepalive(pg)
+    pg.sql(
+        "CREATE TABLE message_log (seq BIGINT, op TEXT, id BIGINT, "
+        "content TEXT, ts TIMESTAMP)"
+    )
+    pg.copy_in("message_log", rows)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(PostgresCopySource)
+    except Exception:
+        pass
+    seqs = [s for s, *_ in rows]
+    lo, hi = (min(seqs), max(seqs)) if seqs else (0, -1)
+    span = hi - lo + 1
+    marks = [lo - 1] + [
+        lo - 1 + span * k // n_pulls for k in range(1, n_pulls + 1)
+    ]
+    if seqs:
+        marks[-1] = hi  # the last pull reaches the current head
+
+    def pull(wm: int, nxt: int) -> DataFrame:
+        return (
+            spark.read.format("pg_copy")
+            .option("dir", pg.dir)
+            .option("user", pg._user)
+            .option("table", "message_log")
+            .option(
+                "schema",
+                "seq long, op string, id long, content string, "
+                "ts timestamp",
+            )
+            .option("partition_column", "seq")
+            .option("lower_bound", wm + 1)
+            .option("upper_bound", nxt)
+            .option("num_partitions", n_partitions)
+            .load()
+        )
+
+    changes = pull(marks[0], marks[1])
+    for wm, nxt in zip(marks[1:], marks[2:]):
+        changes = changes.unionByName(pull(wm, nxt))
+    return _fold(changes)
+
+
 def _cdc_sink_oracle() -> str:
     # the streamed Postgres state must equal the engine's batch LWW
     # materialization — cdc_materialize's own closed form, verbatim
@@ -1080,6 +1157,7 @@ QUERIES = {
     "postgres_cdc_sink": postgres_cdc_sink,
     "postgres_pushdown_scan": postgres_pushdown_scan,
     "postgres_events_scan": postgres_events_scan,
+    "postgres_incremental_pull": postgres_incremental_pull,
 }
 ORACLES = {
     "postgres_message_roundtrip": _pg_roundtrip_oracle(),
@@ -1090,4 +1168,7 @@ ORACLES = {
     "postgres_cdc_sink": _cdc_sink_oracle(),
     "postgres_pushdown_scan": _pg_pushdown_oracle(),
     "postgres_events_scan": _pg_events_oracle(),
+    # incremental watermark pulls union to the whole log, so the
+    # materialization shares cdc_materialize's closed form
+    "postgres_incremental_pull": _cdc_sink_oracle(),
 }

@@ -174,7 +174,7 @@ def test_no_unvetted_driver_collects_in_engine_source():
             "data-scaled) for the inlined runtime filter",
         ),
         "sources/postgres_io.py": (
-            3,
+            4,
             "the COPY staging of the message table into the real "
             "Postgres server (roundtrip + partitioned-scan entries) — "
             "bounded by the same message-table serving contract as "
