@@ -881,8 +881,22 @@ def dedup_substring_spans(
     occ = tok.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
-    dup = occ.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    hits = occ.join(dup, "h").select("doc_id", "pos")
+    # occurrence counting as ONE window over the gram hash instead of
+    # groupBy(h) + join-back (round-13): the agg+join shape scanned the
+    # documents and recomputed the md5 gram projection TWICE (once for
+    # the counts, once for the positions — two RoundRobin exchanges +
+    # two Generate stages in the before-plan); the count-over-partition
+    # keeps every position row in hand, so the corpus is read and the
+    # grams hashed exactly once, with the same single hash(h) exchange.
+    # Hot grams cost the same either way — the join side already
+    # carried every occurrence row of a duplicated gram.
+    hits = (
+        occ.withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("doc_id", "pos")
+    )
     win = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + w).over(
         win.rowsBetween(Window.unboundedPreceding, -1)

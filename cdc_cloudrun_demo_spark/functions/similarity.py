@@ -1784,13 +1784,20 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     ann = sim_ann_ivf_topk(spark, sf_dir, k=k)
     exact = sim_cosine_topk(spark, sf_dir, k=k).select("query_id", "neighbor_id")
     spine = exact.select("query_id").distinct()
+    # both sides are |Q|·k-bounded, but the planner sees only unknown
+    # post-window stats and falls back to SortMergeJoin (two exchanges
+    # + sorts); the explicit broadcast is the scale-correct shape for a
+    # knob-bounded side (round-13, guide §3.1)
     found = (
-        exact.join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        exact.join(
+            F.broadcast(ann.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+        )
         .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
     )
     return (
-        spine.join(found, "query_id", "left")
+        spine.join(F.broadcast(found), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
@@ -1853,21 +1860,27 @@ def _recall_vs_exact(
     k: int,
     n_queries: int,
     allowed: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, hits, recall) of ``ann``'s top-k against the exact
     integer-L2 truth — `sim_ann_recall_eval`'s composition with the
-    truth metric matched to the walks' ranking."""
-    exact = _exact_int_topk(spark, sf_dir, k, n_queries, allowed=allowed)
+    truth metric matched to the walks' ranking. ``exact``, when given,
+    is an already-pinned truth table (the monitors pin it concurrently
+    with the walk's construction — guide §2.6)."""
+    if exact is None:
+        exact = _exact_int_topk(spark, sf_dir, k, n_queries, allowed=allowed)
     spine = exact.select("query_id").distinct()
+    # the walk side is |Q|·k-bounded: broadcast it instead of letting
+    # unknown post-window stats force a SortMergeJoin (round-13)
     found = (
         exact.join(
-            ann.select("query_id", "neighbor_id"),
+            F.broadcast(ann.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
         )
         .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
     )
-    return spine.join(found, "query_id", "left").select(
+    return spine.join(F.broadcast(found), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
         (
@@ -1897,11 +1910,23 @@ def sim_ann_recall_eval_graph(
     whose decay `ann_maintenance_advisor` acts on. Scale: the walk is
     the already-priced bounded-hop serving plan; the exact side is
     |Q|·N with the query sample broadcast."""
-    ann = sim_ann_graph_topk(
-        spark, sf_dir, k=k, beam=beam, hops=hops,
-        k_edges=k_edges, n_queries=n_queries,
-    )
-    return _recall_vs_exact(spark, sf_dir, ann, k, n_queries)
+    # the walk's eager hop pins and the truth scan are independent —
+    # build them concurrently so the truth job back-fills the walk's
+    # per-hop scheduling gaps (guide §2.6) instead of serializing into
+    # the first action
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a_fut = pool.submit(
+            sim_ann_graph_topk, spark, sf_dir, k=k, beam=beam, hops=hops,
+            k_edges=k_edges, n_queries=n_queries,
+        )
+        e_fut = pool.submit(
+            lambda: _exact_int_topk(spark, sf_dir, k, n_queries)
+            .localCheckpoint(eager=True)
+        )
+        ann, exact = a_fut.result(), e_fut.result()
+    return _recall_vs_exact(spark, sf_dir, ann, k, n_queries, exact=exact)
 
 
 def sim_ann_recall_eval_filtered(
@@ -1922,14 +1947,23 @@ def sim_ann_recall_eval_filtered(
     `sim_ann_recall_eval_graph` with both sides predicate-restricted;
     hash-oracled by replaying the filtered walk's CTEs against the
     allowed-restricted brute-force CTE."""
-    ann = sim_ann_graph_filtered_topk(
-        spark, sf_dir, k=k, beam=beam, hops=hops,
-        k_edges=k_edges, n_queries=n_queries,
-    )
-    return _recall_vs_exact(
-        spark, sf_dir, ann, k, n_queries,
-        allowed=_allowed_ids_cached(spark, sf_dir, predicate),
-    )
+    # concurrent walk construction + truth pin (see
+    # sim_ann_recall_eval_graph); the truth restricts to the allowed set
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a_fut = pool.submit(
+            sim_ann_graph_filtered_topk, spark, sf_dir, k=k, beam=beam,
+            hops=hops, k_edges=k_edges, n_queries=n_queries,
+        )
+        e_fut = pool.submit(
+            lambda: _exact_int_topk(
+                spark, sf_dir, k, n_queries,
+                allowed=_allowed_ids_cached(spark, sf_dir, predicate),
+            ).localCheckpoint(eager=True)
+        )
+        ann, exact = a_fut.result(), e_fut.result()
+    return _recall_vs_exact(spark, sf_dir, ann, k, n_queries, exact=exact)
 
 
 def sim_ann_recall_eval_adc(
@@ -1949,11 +1983,21 @@ def sim_ann_recall_eval_adc(
     restore. Same composition as `sim_ann_recall_eval_graph` with the
     ADC walk as the approximate side; hash-oracled by replaying the
     code-steered walk CTEs against the brute-force CTE."""
-    ann = sim_ann_graph_adc_topk(
-        spark, sf_dir, k=k, beam=beam, hops=hops, k_edges=k_edges,
-        n_queries=n_queries, m=m, ksub=ksub,
-    )
-    return _recall_vs_exact(spark, sf_dir, ann, k, n_queries)
+    # concurrent walk construction + truth pin (see
+    # sim_ann_recall_eval_graph)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a_fut = pool.submit(
+            sim_ann_graph_adc_topk, spark, sf_dir, k=k, beam=beam,
+            hops=hops, k_edges=k_edges, n_queries=n_queries, m=m, ksub=ksub,
+        )
+        e_fut = pool.submit(
+            lambda: _exact_int_topk(spark, sf_dir, k, n_queries)
+            .localCheckpoint(eager=True)
+        )
+        ann, exact = a_fut.result(), e_fut.result()
+    return _recall_vs_exact(spark, sf_dir, ann, k, n_queries, exact=exact)
 
 
 def maintenance_actions(
@@ -2085,14 +2129,22 @@ def sim_ann_maintenance_advisor(
     )
 
     # ONE exact-truth scan serves BOTH recall signals (identical
-    # brute-force side; pinned so the second monitor reuses it)
-    exact = _exact_int_topk(spark, sf_dir, k, n_queries).localCheckpoint(
-        eager=False
-    )
+    # brute-force side; pinned so the second monitor reuses it); the
+    # eager pin runs in the overlapped construction pool below, beside
+    # the walks, instead of serializing into the first action
+    exact_holder: list[DataFrame] = []
+
+    def _pin_exact() -> DataFrame:
+        df = _exact_int_topk(spark, sf_dir, k, n_queries).localCheckpoint(
+            eager=True
+        )
+        exact_holder.append(df)
+        return df
 
     def pct(ann: DataFrame, name: str) -> DataFrame:
+        exact = exact_holder[0]
         found = exact.join(
-            ann.select("query_id", "neighbor_id"),
+            F.broadcast(ann.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
         ).agg(F.count("*").alias("hits"))
         return found.select(
@@ -2110,18 +2162,29 @@ def sim_ann_maintenance_advisor(
     ak = _walk_knobs(
         sim_ann_recall_eval_adc, "beam", "hops", "k_edges", "m", "ksub"
     )
-    gpct = pct(
-        sim_ann_graph_topk(
-            spark, sf_dir, k=k, n_queries=n_queries, **gk
-        ),
-        "graph_pct",
-    )
-    apct = pct(
-        sim_ann_graph_adc_topk(
-            spark, sf_dir, k=k, n_queries=n_queries, **ak
-        ),
-        "adc_pct",
-    )
+    # The two monitored walks and the exact-truth pin are INDEPENDENT
+    # jobs whose eager work runs at construction; built serially, each
+    # one's bounded jobs leave the cluster idle while the driver
+    # schedules the next (guide §2.6 — overlap independent jobs).
+    # Constructing them from three driver threads lets each job's tasks
+    # back-fill the others' scheduling gaps: measured 8.1 s → 5.1 s
+    # advisor total at sf0.1, identical results (walks and truth are
+    # pure functions of their frozen artifacts; the shared memo builds
+    # are serialized per key by _disk_memoized's build locks).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        e_fut = pool.submit(_pin_exact)
+        g_fut = pool.submit(
+            sim_ann_graph_topk, spark, sf_dir, k=k, n_queries=n_queries, **gk
+        )
+        a_fut = pool.submit(
+            sim_ann_graph_adc_topk,
+            spark, sf_dir, k=k, n_queries=n_queries, **ak,
+        )
+        e_fut.result()
+        gpct = pct(g_fut.result(), "graph_pct")
+        apct = pct(a_fut.result(), "adc_pct")
     # occupancy skew per TABLE: the fullest bucket's share of ITS
     # table's postings (dividing by the grand total across tables
     # would dilute a hot bucket by n_tables and mask real skew)
@@ -2436,7 +2499,7 @@ def knn_graph_edges(
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    cand = lsh_cand.union(cell_cand).dropDuplicates(["src", "dst"])
+    cand = lsh_cand.union(cell_cand)
     if src_pred is not None:
         # incremental-ingest shape (`sim_knn_graph_incremental`): keep
         # only the arriving batch's sources. The filter sits ABOVE the
@@ -2444,6 +2507,15 @@ def knn_graph_edges(
         # both blocking joins' probe sides, so the heavy posting-list
         # self-joins run batch × (corpus ∪ batch), not N × N.
         cand = cand.filter(src_pred(F.col("src")))
+    # ONE exchange for the whole dedup→score→top-k tail (round-13,
+    # guide §2.4): the candidate-pair table — the biggest shuffle in the
+    # ANN family, corpus-scaled at 100 TB — repartitions by src once;
+    # hash(src) satisfies both the dedup's clustering on (src, dst) and
+    # the top-k window's on (src), and the broadcast qv joins preserve
+    # it, so the former second full-table exchange (hash(src, dst) for
+    # dedup, then hash(src) for the window) is gone. The window already
+    # keyed everything by src, so this adds no new skew exposure.
+    cand = cand.repartition(F.col("src")).dropDuplicates(["src", "dst"])
     scored = (
         cand.join(qcorp.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa")), "src")
         .join(qcorp.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb")), "dst")
@@ -2863,8 +2935,28 @@ def _beam_walk(
     are drawn from while query postings still come from ``post`` — the
     filtered-search entry passes the allowed-filtered postings here so
     a disallowed query can still locate its neighborhood but only ever
-    seeds allowed nodes. Determinism, per-hop pinning and the seeding
-    cap are as documented on `sim_ann_graph_topk`."""
+    seeds allowed nodes. Determinism and the seeding cap are as
+    documented on `sim_ann_graph_topk`.
+
+    Per-hop plan shape (round-13 optimization; guide §2.4 — two
+    operations keyed the same way share one exchange): the pinned hop
+    state carries (node, d2_units, beam-rank[, answer-rank]) instead of
+    bare visited ids, so each hop is ONE exchange — the unioned state
+    repartitions by query_id once, and the dedup, the ranking window(s)
+    and (exact mode) the final top-k all reuse that partitioning
+    (hash(query_id) satisfies the dedup's ClusteredDistribution on
+    (query_id, node) AND the window's on (query_id)). Scoring touches
+    only each hop's NEW expansion rows — d2 is a deterministic pure
+    function of (query, node), so previously scored rows carry their
+    value through the union and dedup may keep either copy. The beam is
+    a free filter on the carried rank, and in exact mode the answer
+    rank among non-self rows rides the same sorted pass as a running
+    conditional count, so the final action is a filter over the last
+    pinned state: zero joins, zero exchanges. The r8 pinning discipline
+    is unchanged underneath — ONE eager pin per hop, because hop state
+    feeds both the next hop and the answer and a lazy chain re-executes
+    exponentially in hops (measured 17.8 s vs 2.2 s at hops=4 in r8;
+    re-confirmed 5.4 s vs 3.1 s on the round-13 tree)."""
     qpost = post.filter(F.col("vec_id") < n_queries).select(
         "tbl", "bucket", F.col("vec_id").alias("query_id")
     )
@@ -2874,19 +2966,20 @@ def _beam_walk(
                    ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("node"))
+        .repartition(F.col("query_id"))
         .dropDuplicates(["query_id", "node"])
         .withColumn("rnk", F.row_number().over(wseed))
         .filter(F.col("rnk") <= 16)
         .select("query_id", "node")
     )
     entry = nodes.agg(F.min("vec_id").alias("node"))
-    visited = (
+    visited0 = (
         qs.select("query_id")
         .crossJoin(F.broadcast(entry))
         .union(seeds)
+        .repartition(F.col("query_id"))
         .dropDuplicates(["query_id", "node"])
     )
-    beam_df = visited
 
     def rescored(vis):
         return (
@@ -2900,34 +2993,50 @@ def _beam_walk(
         )
 
     steered = steer or rescored
+    exact = steer is None
     w = Window.partitionBy("query_id").orderBy(F.asc("d2_units"), F.asc("node"))
+    rnk = F.row_number().over(w)
+    # answer rank among non-self rows, from the SAME sorted pass: the
+    # self node, when visited, must stay in the state (its out-edges
+    # route the walk) but never in the answer
+    rnk_ns = F.sum(
+        F.when(F.col("node") != F.col("query_id"), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def ranked(scored):
+        cols = [F.col("query_id"), F.col("node"), F.col("d2_units"),
+                rnk.alias("rnk")]
+        if exact:
+            cols.append(rnk_ns.alias("rnk_ns"))
+        return scored.select(*cols)
+
+    state = ranked(steered(visited0)).localCheckpoint(eager=True)
     for _h in range(hops):
-        nbrs = beam_df.join(edges, beam_df.node == edges.src).select(
+        # the first hop expands the WHOLE seeded state (the beam cap
+        # applies only after the first ranking — the r7 semantics);
+        # later hops expand the carried beam rank, a free filter
+        frontier = (
+            state if _h == 0 else state.filter(F.col("rnk") <= beam)
+        ).select("query_id", "node")
+        nbrs = frontier.join(edges, frontier.node == edges.src).select(
             "query_id", F.col("dst").alias("node")
         )
-        # ONE eager pin per hop, on `visited` only (see docstring):
-        # without it the final rescore re-executes every hop's subtree —
-        # visited_h is referenced by both visited_{h+1} and beam_h, so a
-        # lazy DAG re-evaluates exponentially in hops (17.8 s at hops=4
-        # unpinned vs 2.2 s with the pins + the posting-index memo,
-        # round-7 verdict item 1). beam_df stays LAZY: it is consumed
-        # exactly once — inside the NEXT hop's pin job, at depth 1 over
-        # the already-pinned visited — so pinning it would buy nothing
-        # and cost a job per hop, and the last hop's never-consumed beam
-        # is never executed at all.
-        visited = (
-            visited.union(nbrs)
+        merged = (
+            state.select("query_id", "node", "d2_units")
+            .union(steered(nbrs))
+            .repartition(F.col("query_id"))
             .dropDuplicates(["query_id", "node"])
-            .localCheckpoint(eager=True)
         )
-        beam_df = (
-            steered(visited)
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= beam)
-            .select("query_id", "node")
-        )
+        state = ranked(merged).localCheckpoint(eager=True)
+    if exact:
+        return state.filter(
+            (F.col("node") != F.col("query_id")) & (F.col("rnk_ns") <= k)
+        ).select("query_id", F.col("node").alias("neighbor_id"), "d2_units")
+    # steered (DiskANN) mode: the carried d2 is the compressed ADC
+    # distance — the answer always re-ranks EXACT over the visited set,
+    # touching the full-precision vectors exactly once
     return (
-        rescored(visited)
+        rescored(state.select("query_id", "node"))
         .filter(F.col("node") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
@@ -3583,54 +3692,58 @@ def sim_ann_hnsw_topk(
         )
 
     w = Window.partitionBy("query_id").orderBy(F.asc("d2_units"), F.asc("node"))
+    rnk = F.row_number().over(w)
+    rnk_ns = F.sum(
+        F.when(F.col("node") != F.col("query_id"), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    def walk(visited, edges, n_hops, beam_n):
-        # the eager-pin loop of sim_ann_graph_topk (see its docstring)
-        beam_df = visited
-        for _ in range(n_hops):
-            nbrs = beam_df.join(edges, beam_df.node == edges.src).select(
+    def ranked(scored):
+        return scored.select(
+            "query_id", "node", "d2_units",
+            rnk.alias("rnk"), rnk_ns.alias("rnk_ns"),
+        )
+
+    def walk(state, edges, n_hops, beam_n):
+        # the fused-exchange eager-pin loop of `_beam_walk` (see its
+        # docstring): state carries (node, d2, beam-rank, answer-rank);
+        # each hop is one repartition(query_id) shared by the dedup and
+        # the ranking windows, scoring only the NEW expansion rows; the
+        # first hop expands the whole seeded state
+        for h in range(n_hops):
+            frontier = (
+                state if h == 0 else state.filter(F.col("rnk") <= beam_n)
+            ).select("query_id", "node")
+            nbrs = frontier.join(edges, frontier.node == edges.src).select(
                 "query_id", F.col("dst").alias("node")
             )
-            visited = (
-                visited.union(nbrs)
+            merged = (
+                state.select("query_id", "node", "d2_units")
+                .union(rescored(nbrs))
+                .repartition(F.col("query_id"))
                 .dropDuplicates(["query_id", "node"])
-                .localCheckpoint(eager=True)
             )
-            beam_df = (
-                rescored(visited)
-                .withColumn("rnk", F.row_number().over(w))
-                .filter(F.col("rnk") <= beam_n)
-                .select("query_id", "node")
-            )
-        return visited
+            state = ranked(merged).localCheckpoint(eager=True)
+        return state
 
     entry1 = _l1_nodes_cached(spark, sf_dir, layer_mod, m_per_cell).agg(
         F.min("vec_id").alias("node")
     )
-    visited1 = walk(
-        qs.select("query_id")
-        .crossJoin(F.broadcast(entry1))
-        .dropDuplicates(["query_id", "node"]),
-        edges1,
-        l1_hops,
-        l1_beam,
-    )
-    seeds0 = (
-        rescored(visited1)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n_entries)
-        .select("query_id", "node")
-    )
-    visited0 = walk(
-        seeds0.dropDuplicates(["query_id", "node"]), edges0, hops, beam
-    )
-    return (
-        rescored(visited0)
-        .filter(F.col("node") != F.col("query_id"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", F.col("node").alias("neighbor_id"), "d2_units")
-    )
+    init1 = ranked(
+        rescored(
+            qs.select("query_id")
+            .crossJoin(F.broadcast(entry1))
+            .dropDuplicates(["query_id", "node"])
+        )
+    ).localCheckpoint(eager=True)
+    state1 = walk(init1, edges1, l1_hops, l1_beam)
+    # layer-0 seeds are a FREE filter on layer 1's pinned state: its
+    # carried rank IS the old seeds0 rescore+window (self included),
+    # and the carried d2 seeds layer 0's state without re-scoring
+    seeds0 = state1.filter(F.col("rnk") <= n_entries)
+    state0 = walk(seeds0, edges0, hops, beam)
+    return state0.filter(
+        (F.col("node") != F.col("query_id")) & (F.col("rnk_ns") <= k)
+    ).select("query_id", F.col("node").alias("neighbor_id"), "d2_units")
 
 
 def sim_knn_graph_incremental(
@@ -3709,6 +3822,9 @@ def sim_knn_graph_upsert(
                 (is_batch(F.col("src")) & is_seen(F.col("dst")))
                 | (is_seen(F.col("src")) & is_batch(F.col("dst")))
             )
+            # hash(src) serves this dedup AND the downstream merge
+            # dedup + top-k window (the knn_graph_edges fusion)
+            .repartition(F.col("src"))
             .dropDuplicates(["src", "dst"])
             .join(
                 qcorp.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa")),
@@ -3720,8 +3836,10 @@ def sim_knn_graph_upsert(
             )
             .select("src", "dst", _int_dist2(F.col("qa"), F.col("qb")).alias("d2_units"))
         )
-        merged = step if state is None else state.unionByName(step).dropDuplicates(
-            ["src", "dst"]
+        merged = step if state is None else (
+            state.unionByName(step)
+            .repartition(F.col("src"))
+            .dropDuplicates(["src", "dst"])
         )
         state = (
             merged.withColumn("rnk", F.row_number().over(w))
@@ -5210,8 +5328,11 @@ def _ann_delete_repair(
         .select("src", "dst")
     )
     w = Window.partitionBy("src").orderBy(F.asc("d2_units"), F.asc("dst"))
+    # one exchange for dedup + top-k window (the knn_graph_edges fusion,
+    # round-13): hash(src) serves both
     repaired = (
         lsh_cand.union(cell_cand)
+        .repartition(F.col("src"))
         .dropDuplicates(["src", "dst"])
         .join(
             qcorp.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa")),

@@ -1634,6 +1634,9 @@ def ann_index_sink(
                 merged = (
                     old_tb.join(touched_src, "src", "semi")
                     .unionByName(scored)
+                    # hash(src) serves the dedup AND the top-k window
+                    # (the knn_graph_edges exchange fusion, round-13)
+                    .repartition(F.col("src"))
                     .dropDuplicates(["src", "dst"])
                     .withColumn("rnk", F.row_number().over(w))
                     .filter(F.col("rnk") <= k_edges)

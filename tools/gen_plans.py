@@ -71,20 +71,20 @@ COMMENTARY = {
  "graph_bfs_hops": "Bounded multi-source BFS: the edge list pins once via lazy localCheckpoint (PageRank's discipline), then each of the 4 constant-bound relaxations is one src-keyed join + one node-keyed min-fold - the full-vector fold is a pure function of the previous vector, which is exactly what the unrolled-CTE oracle replays. At cluster scale the contribution join co-hash-partitions ranks and edges on src; nothing broadcasts at data scale.",
  "text_bm25_search": "BM25 retrieval: the query-term filter sits BELOW the tf aggregate, so only posting rows for the 3 query terms ever shuffle (the corpus-wide work is one per-doc length count). All scoring is integer-rational (idf micro-nats x denominator-cleared tf normalization); the top-k plans as TakeOrderedAndProject (plan-pinned) - per-partition heaps, never a global sort.",
  "multimodal_audio_vad": "Voice-activity segmentation: payload bytes stream through ONE ArrowEvalPython pass (never shuffled); only the 64-sample frame FEATURE rows shuffle once on doc_id for the gaps-and-islands run window, and the output is segment-sized. The activity predicate is exact-integer (sum_sq >= T*n), so segment boundaries cannot flip across engines.",
- "sim_ann_graph_topk": "NSW-style beam search over the memoized on-disk indexes (edge list + LSH posting list, both built once per corpus at ingest). Round-8 rework: `visited` is EAGERLY pinned once per hop (localCheckpoint(eager=True) - the Spark twin of the oracle's MATERIALIZED CTEs), so the final rescore is one depth-1 join over the pinned state instead of re-executing every hop's subtree; `beam` stays lazy because it is consumed exactly once inside the next hop's pin job. The returned plan is therefore a shallow join+window over checkpointed RDD scans - the iterative work already ran, hop-bounded, during construction (FULL_TIMED in bench.py). Walk state is O(|Q| x visited) rows at ANY corpus size; per-query cost collapses at batch |Q| (bench.py batch_ann: ~13 ms/query at |Q|=500 vs ~440 ms/query at |Q|=5 - pure per-stage scheduling amortization, measured not argued).",
+ "sim_ann_graph_topk": "NSW-style beam search over the memoized on-disk indexes (edge list + LSH posting list, both built once per corpus at ingest). Round-13 rework of the r8 pin discipline: the eagerly pinned per-hop state now carries (node, d2, beam-rank, answer-rank) instead of bare visited ids, so each hop is ONE exchange - the unioned state repartitions by query_id once and the dedup, the ranking windows and the final top-k all reuse that partitioning (hash(query_id) satisfies every one of their clustering requirements); scoring touches only the hop's NEW expansion rows (d2 is deterministic per (query, node)), and the answer rank among non-self rows rides the same sorted pass as a running conditional count. The returned plan is therefore a bare Filter+Project over the last checkpointed RDD scan - ZERO joins, ZERO exchanges in the action - and the iterative work ran, hop-bounded, during construction (FULL_TIMED in bench.py). Walk state is O(|Q| x visited) rows at ANY corpus size; per-query cost collapses at batch |Q| (bench.py batch_ann: ~13 ms/query at |Q|=500 vs ~440 ms/query at |Q|=5 - pure per-stage scheduling amortization, measured not argued).",
  "sim_knn_graph_incremental": "Incremental ANN-index ingest: candidates for the arriving batch (odd vec_ids) come from the memoized posting index probed by the batch's own postings - the src filter pushes through the candidate union into both blocking joins' probe sides, so the heavy self-joins run batch x (corpus + batch), never N x N - then one per-src top-k window. Edges equal the full rebuild's rows for batch sources (property-pinned), so the standing index is APPENDED to, never recomputed; per-ingest cost scales with |batch| x candidates-per-vector regardless of corpus size.",
- "dedup_substring_spans": "Exact-substring dedup (Lee et al. 2022 reformulated map-reduce): the token array materializes once per doc, a narrow transform emits (pos, md5-of-w-token-window) structs, ONE hash shuffle on the gram counts occurrences (map-side partials), duplicated grams join back to their positions, and a per-doc gaps-and-islands window merges [pos, pos+w) intervals. No pair join anywhere - a gram repeated k times costs k posting rows, never k^2, so hot boilerplate cannot go quadratic. The gram table is ~1 row per corpus token position: the same budget as an inverted-index build, embarrassingly scalable.",
- "sim_knn_graph_delete": "The delete half of ANN-index maintenance: the standing memoized edge list filters out tombstoned sources narrowly; the AFFECTED survivor set (lists referencing a dead dst) is a small distinct + eager pin, semi-joined into the survivor-filtered posting/cell indexes so the repair's blocking joins run |affected| x bucket-mates, never corpus^2; unaffected lists pass through a left-anti join untouched (provably already correct: top-k(C and survivors) = top-k(C) when the whole top-k survives). At 100 TB a delete batch touches the few thousand lists that referenced it - the index is repaired, never rebuilt.",
+ "dedup_substring_spans": "Exact-substring dedup (Lee et al. 2022 reformulated map-reduce): the token array materializes once per doc, a narrow transform emits (pos, md5-of-w-token-window) structs, occurrence counting is ONE window over the gram hash (round-13: the former groupBy(h) + join-back shape scanned the documents and recomputed the md5 gram projection TWICE - two RoundRobin exchanges + two Generate stages in the before-plan; the count-over-partition keeps every position row in hand, so the corpus is read and hashed exactly once with the same single hash(h) exchange), and a per-doc gaps-and-islands window merges [pos, pos+w) intervals. No pair join anywhere - a gram repeated k times costs k posting rows, never k^2, so hot boilerplate cannot go quadratic. The gram table is ~1 row per corpus token position: the same budget as an inverted-index build, embarrassingly scalable.",
+ "sim_knn_graph_delete": "The delete half of ANN-index maintenance: the standing memoized edge list filters out tombstoned sources narrowly; the AFFECTED survivor set (lists referencing a dead dst) is a small distinct + eager pin, semi-joined into the survivor-filtered posting/cell indexes so the repair's blocking joins run |affected| x bucket-mates, never corpus^2; unaffected lists pass through a left-anti join untouched (provably already correct: top-k(C and survivors) = top-k(C) when the whole top-k survives). Round-13: the repair's candidate-pair dedup and its top-k window share ONE hash(src) exchange (repartition before dropDuplicates - the knn_graph_edges fusion), dropping the second full exchange of the pair table. At 100 TB a delete batch touches the few thousand lists that referenced it - the index is repaired, never rebuilt.",
  "dedup_substring_excised": "Span excision emits the Lee et al. training product: the per-doc span set collects into ONE bounded sorted array (spans are disjoint, <= n_tokens/w per doc), left-joins back to the token arrays, and the kept positions + kept text are a single JVM higher-order filter/transform chain - no UDF, no explode of token positions, no shuffle beyond the spans op's own posting pass. Cost above the spans op is one |docs-with-spans| join + narrow array work.",
  "sim_ann_filtered_topk": "Metadata-filtered ANN (the production retrieval query): the quality+lang predicate is evaluated scan-side over documents (narrow integer scoring, no shuffle) and SEMI-JOINED into the corpus BEFORE the probe join, so the inverted lists the probe sees are already filtered - candidate volume scales with the allowed share of the probed cells, and a restrictive filter makes the query CHEAPER, not silently smaller-than-k. Cell assignment stays the inlined-literal integer argmin (zero exchanges); the probe is a BroadcastHashJoin against the bounded query set; the only shuffle is the final per-query top-k window. At 100 TB the allowed-id set rides the semi-join's runtime filter into the corpus scan.",
  "dq_drift_psi": "PSI drift gate: one scan of events; the reference segment's (min, max) is a 1-row bounds aggregate broadcast back (vetted BNLJ - the zone-map pattern), bin assignment is a narrow clamped projection, and ONE groupBy(bin) yields both segments' counts via conditional sums; the 10-row spine + totals are 1-row-aggregate crossJoins. Output is n_bins rows at any table size. The single transcendental (ln of the smoothed ratio) uses the micro-nat round-then-floor discipline, so the gate is hash-oracled despite libm.",
  "sim_quantize_binary": "Binary (sign-bit) quantization: 32x vector compression in one NARROW pass - two per-row integer folds (JVM aggregate over sequence(0,31), no UDF, no shuffle, zero exchanges) pack 64 dims into two positive BIGINT halves. At 100 TB this runs at scan speed; the sketch table it emits is what sim_ann_binary_topk scans instead of the float corpus.",
  "sim_ann_binary_topk": "Binary-quantized ANN serving: the Hamming scan is the bounded query set BROADCAST over the two-BIGINT sketch projection (XOR+popcount per comparison - the vetted BNLJ, 17 bytes/vector so the 'scan everything' pass costs ~1/32 of a float scan), per-query shortlist via one top-rerank window over skinny (query, id, ham) rows, then the exact integer-L2 rerank joins ONLY |Q| x rerank rows back to the quantized corpus by key (BroadcastHashJoin). The full-precision vectors are touched for 100 rows per query, never N.",
  "sim_ann_recall_eval": "Recall@k monitoring as a relational operator: composes the IVF probe (broadcast-only, see sim_ann_ivf_topk) with the exact brute-force baseline over the BOUNDED query sample (sim_cosine_topk's vetted cross), intersects by equi join on (query_id, neighbor_id) and folds to |Q| rows. The exact side is |sample| x N by construction - the production recall-SLO query prices truth on a sample, never the corpus square.",
- "sim_ann_graph_adc_topk": "DiskANN-shaped serving: the beam walk's per-hop rescore joins visited nodes to their 8-byte PQ code vectors and sums m integer table lookups (per-query ADC tables broadcast) - the float corpus is joined exactly once, for the bounded final exact rerank. Like the exact-steered walk, the returned plan is a shallow join+window over checkpointed hop state (the iterative work ran hop-bounded at construction, FULL_TIMED); what changed is WHAT each hop reads: codes at 8 bytes/node instead of 512-byte vectors - the RAM story for serving when vectors live in cold storage. Recall cost of compressed steering is bought back with a wider beam (round-11 sweep over beam in {8,16,24,32}: default now 16, the knee - recall@10 0.86 at sf0.01 / 0.70 at sf0.1 vs 0.74/0.50 at beam=8, warm wall flat because per-hop cost is scheduling-dominated; floor test asserts >=0.8 at the default).",
+ "sim_ann_graph_adc_topk": "DiskANN-shaped serving: the beam walk's per-hop rescore joins visited nodes to their 8-byte PQ code vectors and sums m integer table lookups (per-query ADC tables broadcast) - the float corpus is joined exactly once, for the bounded final exact rerank. Like the exact-steered walk, the iterative work ran hop-bounded at construction (FULL_TIMED) through the round-13 fused one-exchange-per-hop state (see sim_ann_graph_topk); the returned plan is the bounded exact rerank join over the last pinned state (steered mode always re-ranks exact). What changed vs the exact walk is WHAT each hop reads: codes at 8 bytes/node instead of 512-byte vectors - the RAM story for serving when vectors live in cold storage. Recall cost of compressed steering is bought back with a wider beam (round-11 sweep over beam in {8,16,24,32}: default now 16, the knee - recall@10 0.86 at sf0.01 / 0.70 at sf0.1 vs 0.74/0.50 at beam=8, warm wall flat because per-hop cost is scheduling-dominated; floor test asserts >=0.8 at the default).",
  "sim_ann_graph_filtered_topk": "Filtered search on the GRAPH index (round-11): the quality+lang predicate pushed INTO the beam walk - entry point is the min allowed node, seed mates come from the allowed-filtered postings, and each hop expands through the predicate-filtered effective edge set: direct allowed dsts UNION allowed two-hop dsts reached via a blocked intermediate (the Filtered-DiskANN waypoint closure; dst-filtering alone leaves the allowed subgraph too sparse to route - measured recall@10 0.32 -> 0.70). Both the allowed-id set (ingest-time document metadata) and the closure (derivable once per predicate from the standing edge list) are per-corpus disk memos like the edge list itself, so per-query cost is the walk's bounded hop joins - same plan shape as the unfiltered walk, 2.3 s vs 2.4 s at sf0.1.",
- "sim_ann_recall_eval_graph": "The recall-SLO query as a relational operator (round-13): the beam walk side is the already-audited shallow join+window over checkpointed hop state (its iterative work ran at construction, FULL_TIMED); the exact-truth side broadcasts the |Q|=5 query sample over the quantized corpus (vetted BNLJ - |Q| x N integer L2, the bounded-sample pricing of production recall monitoring, never N^2); the intersection is an equi join folding to |Q| rows. At 100 TB the truth scan is the only corpus-sized term and it is one narrow pass.",
- "sim_ann_maintenance_advisor": "The monitoring-to-action decision priced as a plan (round-13): ONE shared pinned exact-truth scan feeds both recall signals (graph + ADC walks, each the audited bounded-hop serving plan); drift is one narrow pass over the embeddings folding to <= n_bins grouped counts with 1-row totals broadcast (integer ppm TVD - the dq_drift_psi zone-map shape); posting skew is one grouped count over the memoized posting list; the three verdict rows are integer CASEs over crossJoined 1-row aggregates. Total cost: two serving walks + one truth scan + two metadata-sized scans - amortized over a maintenance cycle, and every signal integer-exact so the verdicts hash-match.",
+ "sim_ann_recall_eval_graph": "The recall-SLO query as a relational operator (round-13): the beam walk side is the audited fused-exchange hop plan whose iterative work ran at construction (FULL_TIMED), and the exact-truth side — the |Q|=5 query sample broadcast over the quantized corpus (vetted BNLJ, the bounded-sample pricing of production recall monitoring, never N^2) — is eagerly pinned from a SECOND driver thread concurrently with the walk's construction (guide 2.6), so neither serializes behind the other; the intersection broadcasts the |Q|*k walk answer (explicit broadcast - unknown post-window stats otherwise force a SortMergeJoin) and folds to |Q| rows. At 100 TB the truth scan is the only corpus-sized term and it is one narrow pass.",
+ "sim_ann_maintenance_advisor": "The monitoring-to-action decision priced as a plan (round-13): ONE shared pinned exact-truth scan feeds both recall signals (graph + ADC walks, each the audited bounded-hop serving plan); drift is one narrow pass over the embeddings folding to <= n_bins grouped counts with 1-row totals broadcast (integer ppm TVD - the dq_drift_psi zone-map shape); posting skew is one grouped count over the memoized posting list; the three verdict rows are integer CASEs over crossJoined 1-row aggregates. The two walks and the truth pin are independent jobs, so their eager construction runs from THREE driver threads (guide 2.6 - overlap independent jobs; measured 8.1 -> 5.1 s at sf0.1, identical results since all three are pure functions of frozen artifacts). Total cost: two serving walks + one truth scan + two metadata-sized scans - amortized over a maintenance cycle, and every signal integer-exact so the verdicts hash-match.",
  "sim_ann_graph_filtered_domain_topk": "The SECOND predicate family (source-domain) through the round-12 parameterized closure machinery - the entry differs from the quality walk only in the family name; the allowed-id and waypoint-closure memos carry the predicate identity in their keys and fingerprint the documents table they derive from, so the two families build and serve disjoint artifacts over the ONE frozen full-corpus graph. Plan shape identical to sim_ann_graph_filtered_topk: adding a predicate family costs one dict entry and its own memo build, never a second closure implementation or an index rebuild - the Filtered-DiskANN arbitrary-label-predicate contract.",
 }
 
@@ -93,7 +93,37 @@ print("Generated with `df.explain(\"formatted\")` at sf0.01 (plans are scale-ind
 print("AQE may re-plan exchanges at runtime). What each plan must show — and why it")
 print("survives a 100x scale-up — is noted above each dump. Regenerate with")
 print("`python tools/gen_plans.py > docs/PLANS.md`.\n")
-print("""## Bench-drift accounting (round 13)
+print("""## Bench-drift accounting (round 13 OPTIMIZATION pass)
+
+Round 13's optimization pass (OPTIMIZATION_r13.md is the full record)
+reworked plan shapes only — no query's results changed (331/331 oracle
+parity re-proven; full suite green). Same-host best-of-two quiet runs,
+before → after: suite total **64.97 → 48.01 s (0.74×)**, `r12_38q`
+like-for-like 53.88 → 40.95 s; vs the committed pre-optimization
+quiet-machine run (docs/bench_r13_buildtime.json, identical code) the
+optimized tree reads 51.82 → 48.01 s with every touched entry at
+0.66-0.94×. The levers, per plans/r13/*_{before,after}.txt:
+
+- **Beam walks** (`_beam_walk`, hnsw): one exchange per hop (the
+  repartition(query_id) shared by dedup + ranking windows), scoring
+  only new expansion rows, answer rank carried in the pinned state —
+  final plans collapse 8 Exchange / 4 BHJ → 0 / 0 (exact mode);
+  batch_ann 13.0 → 7.1 ms/query.
+- **Candidate-pair fusion** (`knn_graph_edges`, delete repair, upsert,
+  live sink): hash(src) serves dedup AND top-k window — one full
+  exchange of the pair table dropped; `sim_knn_graph_incremental`
+  0.70×, `sim_knn_graph_delete` 0.86×.
+- **Advisor/monitors**: independent eager constructions (two walks +
+  exact-truth pin) overlap from driver threads (guide §2.6) —
+  `sim_ann_maintenance_advisor` 8.10 → 5.09 s, SMJ 12 → 0 via
+  broadcast of the knob-bounded intersect sides.
+- **dedup_substring_spans**: occurrence counting as one window over the
+  gram hash — corpus scanned once instead of twice (0.58×).
+- Examined-and-left: pagerank pair (cadence swept — wash), pq_topk,
+  jaccard (AQE stage reuse verified), multimodal (single Arrow pass),
+  all sub-second entries (plans audited). No config-only wins taken.
+
+## Bench-drift accounting (round 13)
 
 Suite wall **51.82 s (r13, 40 queries; final end-of-round BUILD-TIME
 run on a quiet machine, committed as docs/bench_r13_buildtime.json —
