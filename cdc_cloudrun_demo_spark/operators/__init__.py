@@ -70,6 +70,48 @@ def driver_verified_names() -> frozenset[str]:
     return frozenset(driver_verified_rounds())
 
 
+# Entries whose EXECUTING code was rewritten in an optimization round
+# AFTER some of them last faced the driver's oracle (r13 verdict
+# "What's wrong" #3: hnsw/adc/filtered walks were last hash-verified on
+# the pre-fusion walk). A green row older than the rewrite round no
+# longer proves the code that now runs, so ``registry()`` rotates these
+# names ahead of the long-stable green tail until the driver re-greens
+# them (their row's round reaches the rewrite round and the entry falls
+# back to the normal least-recently-verified rotation automatically).
+# value = round whose optimization rewrote the entry's plan-producing
+# code (r14: two-hops-per-pin `_beam_walk`/hnsw fusion — every walk
+# consumer; AQE-proof keyed edge pin — both pageranks).
+_REWRITTEN_IN: dict[str, int] = {
+    **{
+        n: 14
+        for n in (
+            "sim_ann_graph_topk",
+            "sim_ann_graph_batch",
+            "sim_ann_graph_adc_topk",
+            "sim_ann_graph_adc_batch",
+            "sim_ann_graph_adc_filtered_topk",
+            "sim_ann_graph_filtered_topk",
+            "sim_ann_graph_filtered_domain_topk",
+            "sim_ann_hnsw_topk",
+            "sim_ann_search_live_index",
+            "sim_ann_search_live_filtered",
+            "sim_ann_search_live_filtered_domain",
+            "sim_ann_search_live_filtered_crud",
+            "sim_ann_search_live_adc",
+            "sim_ann_search_rotated_index",
+            "sim_ann_search_reindexed_pq",
+            "sim_ann_search_reindexed_index",
+            "sim_ann_recall_eval_graph",
+            "sim_ann_recall_eval_adc",
+            "sim_ann_recall_eval_filtered",
+            "sim_ann_maintenance_advisor",
+            "graph_pagerank",
+            "graph_pagerank_copart",
+        )
+    },
+}
+
+
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from . import (
         aggregates,
@@ -169,11 +211,16 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         if n not in detail:
             return (0, -1)  # never driver-green: head of the window
         rnd, hash_green = detail[n]
+        if rnd < _REWRITTEN_IN.get(n, 0):
+            # Green row predates a rewrite of the entry's executing
+            # code — the proof is stale; re-sweep before the stable tail
+            # (oldest proof first within the tier).
+            return (1, rnd)
         if not hash_green and n in oracles:
             # Last green row was rows-only but an oracle now exists —
             # the stronger hash check has never run; sweep these next.
-            return (1, rnd)
-        return (2, rnd)
+            return (2, rnd)
+        return (3, rnd)
 
     ordered = sorted(queries, key=sort_key)
     queries = {n: queries[n] for n in ordered}

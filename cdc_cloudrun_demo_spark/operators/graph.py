@@ -49,13 +49,50 @@ RANK_BROADCAST_MAX_NODES = 50_000_000
 
 # Lineage-truncation cadence for iterative rank/distance loops: one giant
 # AQE plan re-optimizes the whole logical plan after every finished stage
-# (quadratic in stage count — measured ~2× slower across 10 iterations),
-# while checkpointing every iteration materializes needlessly. 3 measured
-# best at sf0.1 (see docs/PLANS.md drift notes).
-CHECKPOINT_EVERY = 3
+# (quadratic in stage count — measured ~2× slower across 10 iterations on
+# the r6 shape), while checkpointing every iteration materializes
+# needlessly. Re-swept in r14 on the keyed-pin shape (per-iteration edge
+# exchange gone): broadcast mode still prefers short segments (3), but
+# copart now runs FASTER with no intermediate pins at all (ce=10: 5.26 →
+# 4.37 s best-of-6 at sf0.1 — each AQE rank pin serializes a segment's
+# pre-execution, and with only one slim exchange left per iteration the
+# replan containment no longer pays for that). Env-overridable for
+# experiments.
+CHECKPOINT_EVERY = int(os.environ.get("SPARK_GRAFT_PR_CE", "3"))
+CHECKPOINT_EVERY_COPART = int(os.environ.get("SPARK_GRAFT_PR_CE_COPART", "10"))
 
 
 _RANK_MODE_MEMO: dict[tuple[str, int], str] = {}
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _static_pin_plan(spark: SparkSession):
+    """Compile the enclosed ``localCheckpoint`` pins WITHOUT adaptive
+    execution so the checkpointed RDD keeps its hash partitioning.
+
+    Under AQE, ``Dataset.checkpoint`` reads the partitioning off the
+    ``AdaptiveSparkPlanExec`` wrapper before any final plan exists, so
+    every pinned RDD comes back ``UnknownPartitioning`` (verified on
+    4.1.2: ``repartition(k).localCheckpoint().groupBy(k)`` re-shuffles;
+    with AQE off the same pin preserves ``hashpartitioning(k)`` and the
+    groupBy plans exchange-free). The iterative rank loops live and die
+    by that preservation — it is the difference between one edge-list
+    shuffle at build and one per iteration — so the PIN subtrees
+    compile statically; the surrounding query (and the final action)
+    still run under AQE, which adds no exchange when the pinned
+    partitioning already satisfies the distribution. Scoped + restored
+    in ``finally``; construction is driver-side single-threaded, so the
+    session-wide toggle cannot leak into a concurrent caller's plan
+    beyond this window."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _rank_join_mode(spark: SparkSession, sf_dir: str, mode: str) -> str:
@@ -164,12 +201,30 @@ def graph_pagerank(
     edges = raw.join(dst_deg, "dst").crossJoin(F.broadcast(consts)).select(
         "src", "dst", "dst_outdeg", "init", "base"
     )
-    if mode == "copartition":
-        # Pin the edge list hash-partitioned on the per-iteration join
-        # key; localCheckpoint preserves the partitioning, so every
-        # iteration's rank join reuses it exchange-free.
-        edges = edges.repartition(F.col("src"))
-    edges = edges.localCheckpoint(eager=False)
+    # Round-14 two-step pin (guide §2.4): derive the edge CONTENT under
+    # AQE (runtime broadcast conversion + coalescing for the li⋈o joins),
+    # then re-pin it hash-partitioned on the per-iteration key through a
+    # TRIVIAL static plan (scan→exchange — nothing for AQE to improve)
+    # so the partitioning survives into the LogicalRDD (see
+    # _static_pin_plan: under AQE every checkpoint pins as
+    # UnknownPartitioning, which silently re-shuffled the FULL edge list
+    # inside every copart iteration and re-shuffled the agg input every
+    # broadcast-mode iteration in the r13 plans). copartition pins on
+    # src (the rank join key: join needs no exchange, the agg pays the
+    # iteration's one slim shuffle); broadcast pins on dst (the agg key:
+    # contribs is broadcast, so ALL per-iteration exchanges vanish).
+    # (eager: the re-pin below reads the materialized partition count)
+    edges = edges.localCheckpoint(eager=True)
+    # Partition count for the keyed pin comes from AQE's OWN coalescing
+    # decision on the materialized content (bytes-derived: ~advisory
+    # partition size each) — scale-adaptive with zero constants: ~1
+    # partition at sf0.1, hundreds on a cluster-sized edge list. A fixed
+    # spark.sql.shuffle.partitions here would price 10 iterations of
+    # near-empty tasks locally and undersize the cluster run.
+    n_parts = max(edges.rdd.getNumPartitions(), 1)
+    key = F.col("src") if mode == "copartition" else F.col("dst")
+    with _static_pin_plan(spark):
+        edges = edges.repartition(n_parts, key).localCheckpoint(eager=False)
     # rank vector: (node, outdeg, base, rank); seeded from the annotated
     # edges so an empty corpus yields an empty, correctly-typed result
     ranks = edges.groupBy(F.col("dst").alias("node")).agg(
@@ -206,7 +261,15 @@ def graph_pagerank(
         # small. FULL_TIMED in bench.py times this query from
         # construction start, so the work these checkpoints execute
         # early is still measured.
-        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < n_iter:
+        ce = CHECKPOINT_EVERY if mode == "broadcast" else CHECKPOINT_EVERY_COPART
+        if (i + 1) % ce == 0 and i + 1 < n_iter:
+            # rank-segment pins stay AQE-planned: a static segment
+            # serializes 3 iterations of work into the final action's
+            # single classic job (measured 5.1 → 7.5 s on copart), and
+            # the only thing the static compile would preserve — the
+            # rank vector's hash(node) at the segment boundary — guards
+            # a contribs-sized (node-scaled, slim) re-shuffle, not the
+            # fact-scaled edge list.
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",

@@ -1,11 +1,14 @@
-"""Capture `.explain("formatted")` for the queries touched in the r13
+"""Capture `.explain("formatted")` for the queries touched in an
 optimization round. Usage:
 
-    python tools/capture_plans.py before|after [query ...]
+    PLANS_DIR=r14 python tools/capture_plans.py before|after [query ...]
 
-Writes plans/r13/<query>_<tag>.txt for each named query (default: the
-full touched list). Plans are captured at sf0.1 — the bench scale — so
-exchange counts and join strategies match what the bench times.
+Writes plans/$PLANS_DIR/<query>_<tag>.txt for each named query (default:
+the round's touched list). Plans are captured at sf0.1 — the bench
+scale — so exchange counts and join strategies match what the bench
+times. For BEFORE plans, check out the previous round's tree in a git
+worktree and run this script from there with PLANS_OUT pointing at the
+main checkout's plans dir.
 """
 import os
 import sys
@@ -26,26 +29,20 @@ DEFAULT = [
     "sim_ann_hnsw_topk",
     "sim_ann_recall_eval_graph",
     "sim_ann_maintenance_advisor",
-    "sim_knn_graph_delete",
-    "sim_knn_graph_incremental",
     "graph_pagerank",
     "graph_pagerank_copart",
-    "sim_ann_pq_topk",
-    "dedup_substring_spans",
-    "multimodal_frame_sample",
-    "sim_ann_recall_eval",
     "dedup_ngram_jaccard",
-    "win_topn_salted",
-    "join_star_revenue",
-    "agg_pricing_summary",
-    "sim_ann_binary_topk",
 ]
 
 names = sys.argv[2:] or DEFAULT
 q, _ = registry()
 spark = get_spark(app_name="plancap")
 spark.sparkContext.setLogLevel("ERROR")
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+out_dir = os.environ.get("PLANS_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_DIR", "r14"),
+)
 os.makedirs(out_dir, exist_ok=True)
 
 for name in names:
