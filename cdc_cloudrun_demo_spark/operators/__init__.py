@@ -107,6 +107,13 @@ _REWRITTEN_IN: dict[str, int] = {
             "sim_ann_maintenance_advisor",
             "graph_pagerank",
             "graph_pagerank_copart",
+            # r14 second pass: the keyed-pin fix (pin count must match
+            # the join side) plus the same two-step pin applied to the
+            # BFS relaxation loops and the components propagation loop.
+            "graph_bfs_hops",
+            "graph_bfs_copart",
+            "graph_bfs_frontier",
+            "graph_components",
         )
     },
 }

@@ -51,15 +51,15 @@ RANK_BROADCAST_MAX_NODES = 50_000_000
 # AQE plan re-optimizes the whole logical plan after every finished stage
 # (quadratic in stage count — measured ~2× slower across 10 iterations on
 # the r6 shape), while checkpointing every iteration materializes
-# needlessly. Re-swept in r14 on the keyed-pin shape (per-iteration edge
-# exchange gone): broadcast mode still prefers short segments (3), but
-# copart now runs FASTER with no intermediate pins at all (ce=10: 5.26 →
-# 4.37 s best-of-6 at sf0.1 — each AQE rank pin serializes a segment's
-# pre-execution, and with only one slim exchange left per iteration the
-# replan containment no longer pays for that). Env-overridable for
-# experiments.
+# needlessly. Re-swept twice in r14: on the reuse-dependent shape ce=10
+# won (one plan let ExchangeReuse dedup the edge shuffles), but once the
+# keyed pin actually matches the join's partition count (see below) the
+# edge side never shuffles in ANY segment, reuse is moot, and the sweep
+# flips — ce=5 wins both measured windows (6.8 vs 11.7/7.1 s best-of-6;
+# middle ground between replan containment and pin-job overhead).
+# Env-overridable for experiments.
 CHECKPOINT_EVERY = int(os.environ.get("SPARK_GRAFT_PR_CE", "3"))
-CHECKPOINT_EVERY_COPART = int(os.environ.get("SPARK_GRAFT_PR_CE_COPART", "10"))
+CHECKPOINT_EVERY_COPART = int(os.environ.get("SPARK_GRAFT_PR_CE_COPART", "5"))
 
 
 _RANK_MODE_MEMO: dict[tuple[str, int], str] = {}
@@ -215,14 +215,27 @@ def graph_pagerank(
     # contribs is broadcast, so ALL per-iteration exchanges vanish).
     # (eager: the re-pin below reads the materialized partition count)
     edges = edges.localCheckpoint(eager=True)
-    # Partition count for the keyed pin comes from AQE's OWN coalescing
-    # decision on the materialized content (bytes-derived: ~advisory
-    # partition size each) — scale-adaptive with zero constants: ~1
-    # partition at sf0.1, hundreds on a cluster-sized edge list. A fixed
-    # spark.sql.shuffle.partitions here would price 10 iterations of
-    # near-empty tasks locally and undersize the cluster run.
-    n_parts = max(edges.rdd.getNumPartitions(), 1)
-    key = F.col("src") if mode == "copartition" else F.col("dst")
+    # Partition count for the keyed pin: the two modes have DIFFERENT
+    # partitioning contracts to satisfy. Broadcast mode only needs the
+    # per-iteration aggregate's ClusteredDistribution(dst) — count-
+    # agnostic — so it reuses AQE's own coalescing decision from the
+    # content pin (bytes-derived: ~1 partition at sf0.1, hundreds on a
+    # cluster edge list; fewest tasks that hold the data). Copartition
+    # mode's shuffle-hash join demands BOTH sides hash-partitioned with
+    # the SAME count, and the rank side exits its aggregate at
+    # spark.sql.shuffle.partitions — pinning at any other count (the
+    # AQE-coalesced 1, say) leaves hashpartitioning(src, 1) that can
+    # never satisfy the join, and the executed plan silently re-shuffles
+    # the full edge list again (observed: 2 executed src exchanges + 8
+    # ReusedExchange; with the matching count, zero). shuffle.partitions
+    # is session-scale-parameterized (session.py: cpus locally,
+    # thousands on a cluster), so the pin stays scale-adaptive.
+    if mode == "copartition":
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        key = F.col("src")
+    else:
+        n_parts = max(edges.rdd.getNumPartitions(), 1)
+        key = F.col("dst")
     with _static_pin_plan(spark):
         edges = edges.repartition(n_parts, key).localCheckpoint(eager=False)
     # rank vector: (node, outdeg, base, rank); seeded from the annotated
@@ -534,11 +547,19 @@ def graph_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Da
         .filter(F.col("n_orders") >= 2)
         .select("a", "b")
     )
+    # Pinned hash(src) via the two-step discipline (see graph_pagerank)
+    # so the per-round propagation join never re-shuffles the edge list:
+    # a bare .persist() caches the ROWS but leaves them unpartitioned,
+    # and every round's join paid a full sym shuffle anyway.
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    with _static_pin_plan(spark):
+        sym = sym.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("src")
+        ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -546,8 +567,11 @@ def graph_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Da
         .persist()
     )
     for _ in range(max_iter):
+        # shuffle_hash: keeps the propagation join from demoting to
+        # sort-merge at scale (which would sort the pinned edge side
+        # every round); the labels build side is node-scaled.
         nbr_min = (
-            sym.join(labels, sym.src == labels.node)
+            sym.join(labels.hint("shuffle_hash"), sym.src == labels.node)
             .groupBy("dst")
             .agg(F.min("component_id").alias("nbr_min"))
         )
@@ -619,8 +643,19 @@ def graph_bfs_hops(
     mode = _rank_join_mode(spark, sf_dir, rank_join)
     edges = _trade_edges(spark, sf_dir)
     if mode == "copartition":
-        edges = edges.repartition(F.col("src"))
-    edges = edges.localCheckpoint(eager=False)
+        # Same two-step pin as graph_pagerank: under AQE a checkpoint
+        # pins UnknownPartitioning, so the plain repartition(src) this
+        # used to do was silently discarded and every hop re-shuffled
+        # the edge list. Derive content under AQE, then statically
+        # re-pin at the relaxation join's partition count.
+        edges = edges.localCheckpoint(eager=True)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        with _static_pin_plan(spark):
+            edges = edges.repartition(n_parts, F.col("src")).localCheckpoint(
+                eager=False
+            )
+    else:
+        edges = edges.localCheckpoint(eager=False)
     cust = load_table(spark, sf_dir, "customer")
     seeds = (
         cust.filter(F.col("c_nationkey") == BFS_SEED_NATION)
@@ -710,11 +745,14 @@ def graph_bfs_frontier(
     the frontier exits its dedup partitioned on node; each discovered
     layer is checkpointed so the accumulated distance table is a
     shallow union of materialized layers, not an iteration-deep plan."""
-    edges = (
-        _trade_edges(spark, sf_dir)
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=False)
-    )
+    # Two-step pin (see graph_pagerank): a one-step repartition+checkpoint
+    # loses its partitioning under AQE and the hop joins re-shuffle the
+    # edge list every round.
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    with _static_pin_plan(spark):
+        edges = edges.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("src")
+        ).localCheckpoint(eager=False)
     cust = load_table(spark, sf_dir, "customer")
     seeds = (
         cust.filter(F.col("c_nationkey") == BFS_SEED_NATION)

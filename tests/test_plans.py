@@ -556,6 +556,50 @@ def test_bfs_copart_never_broadcasts_distance_vector(spark, sf_smoke):
     assert "ShuffledHashJoin" in plan, plan
 
 
+def _executed_final_plan(df) -> str:
+    """Run the frame and return its EXECUTED final plan (AQE-resolved),
+    with the appended '== Initial Plan ==' echo stripped."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("Initial Plan")[0]
+
+
+def test_pagerank_copart_pinned_edges_never_reshuffled(spark, sf_smoke):
+    """The keyed edge pin must hold AT RUNTIME, not just in the static
+    plan: under AQE a localCheckpoint pins UnknownPartitioning, and a pin
+    whose partition count differs from the rank aggregate's can never
+    satisfy the shuffle-hash join's co-partitioning — either way the
+    executed plan silently re-shuffles the fact-scaled edge list every
+    iteration (the r13 regression this guards against). With the
+    matching-count static pin the only executed exchanges are the
+    dst-keyed rank aggregates: zero Exchange on the edge key."""
+    import re
+
+    from cdc_cloudrun_demo_spark.operators.graph import graph_pagerank
+
+    df = graph_pagerank(spark, sf_smoke, n_iter=3, rank_join="copartition")
+    final = _executed_final_plan(df)
+    src_shuffles = re.findall(
+        r"(?<!Reused)Exchange hashpartitioning\(src", final
+    )
+    assert not src_shuffles, final[:2000]
+
+
+def test_bfs_copart_pinned_edges_never_reshuffled(spark, sf_smoke):
+    """Runtime counterpart of the BFS pin (same failure mode as
+    pagerank's: the pre-r14 one-step repartition+checkpoint lost its
+    partitioning under AQE and every hop re-shuffled the edge list)."""
+    import re
+
+    from cdc_cloudrun_demo_spark.operators.graph import graph_bfs_hops
+
+    df = graph_bfs_hops(spark, sf_smoke, max_hops=2, rank_join="copartition")
+    final = _executed_final_plan(df)
+    assert not re.findall(
+        r"(?<!Reused)Exchange hashpartitioning\(src", final
+    ), final[:2000]
+
+
 def test_cbo_stats_driven_join_reorder(spark, sf_smoke):
     """Cost-based join reorder: with table+column statistics in the
     catalog and CBO on, a 3-way join WRITTEN fact-first must be
