@@ -51,15 +51,14 @@ RANK_BROADCAST_MAX_NODES = 50_000_000
 # AQE plan re-optimizes the whole logical plan after every finished stage
 # (quadratic in stage count — measured ~2× slower across 10 iterations on
 # the r6 shape), while checkpointing every iteration materializes
-# needlessly. Re-swept twice in r14: on the reuse-dependent shape ce=10
-# won (one plan let ExchangeReuse dedup the edge shuffles), but once the
-# keyed pin actually matches the join's partition count (see below) the
-# edge side never shuffles in ANY segment, reuse is moot, and the sweep
-# flips — ce=5 wins both measured windows (6.8 vs 11.7/7.1 s best-of-6;
-# middle ground between replan containment and pin-job overhead).
-# Env-overridable for experiments.
+# needlessly. Re-swept in r14 on the final runtime-verified pin shape
+# (edge side never shuffles in any segment, iterations run at the pin's
+# bytes-derived width): with iterations this slim, replan containment
+# dominates again and ce=3 wins the sweep (best-of-6 at sf0.1: 4.39 vs
+# 5.13 @5 vs 6.93 @10), matching broadcast mode's long-standing value.
+# Kept as a separate env knob for experiments.
 CHECKPOINT_EVERY = int(os.environ.get("SPARK_GRAFT_PR_CE", "3"))
-CHECKPOINT_EVERY_COPART = int(os.environ.get("SPARK_GRAFT_PR_CE_COPART", "5"))
+CHECKPOINT_EVERY_COPART = int(os.environ.get("SPARK_GRAFT_PR_CE_COPART", "3"))
 
 
 _RANK_MODE_MEMO: dict[tuple[str, int], str] = {}
@@ -215,27 +214,22 @@ def graph_pagerank(
     # contribs is broadcast, so ALL per-iteration exchanges vanish).
     # (eager: the re-pin below reads the materialized partition count)
     edges = edges.localCheckpoint(eager=True)
-    # Partition count for the keyed pin: the two modes have DIFFERENT
-    # partitioning contracts to satisfy. Broadcast mode only needs the
-    # per-iteration aggregate's ClusteredDistribution(dst) — count-
-    # agnostic — so it reuses AQE's own coalescing decision from the
-    # content pin (bytes-derived: ~1 partition at sf0.1, hundreds on a
-    # cluster edge list; fewest tasks that hold the data). Copartition
-    # mode's shuffle-hash join demands BOTH sides hash-partitioned with
-    # the SAME count, and the rank side exits its aggregate at
-    # spark.sql.shuffle.partitions — pinning at any other count (the
-    # AQE-coalesced 1, say) leaves hashpartitioning(src, 1) that can
-    # never satisfy the join, and the executed plan silently re-shuffles
-    # the full edge list again (observed: 2 executed src exchanges + 8
-    # ReusedExchange; with the matching count, zero). shuffle.partitions
-    # is session-scale-parameterized (session.py: cpus locally,
-    # thousands on a cluster), so the pin stays scale-adaptive.
-    if mode == "copartition":
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        key = F.col("src")
-    else:
-        n_parts = max(edges.rdd.getNumPartitions(), 1)
-        key = F.col("dst")
+    # Keyed-pin width = AQE's own coalescing decision on the materialized
+    # content (bytes-derived: ~1-2 partitions at sf0.1, hundreds on a
+    # cluster edge list) — scale-adaptive with zero constants. A fixed
+    # spark.sql.shuffle.partitions here was tried and costs locally:
+    # the pinned side blocks AQE coalescing through every iteration
+    # join, so 10 iterations ran at 32 near-empty partitions (suite
+    # copart 7.0 → 11.3 s). Floor of 2: hashpartitioning(k, 1)
+    # canonicalizes to SinglePartition and no longer reports as
+    # hash-compatible to the iteration join's co-partitioning check, so
+    # a 1-partition pin silently re-shuffles the edge list every
+    # iteration (measured; n>=2 never does). The copart loop re-keys
+    # its slim contribs vector to this exact width each iteration (see
+    # below), so the join is co-partitioned at the pin's width by
+    # construction at any scale.
+    n_parts = max(edges.rdd.getNumPartitions(), 2)
+    key = F.col("src") if mode == "copartition" else F.col("dst")
     with _static_pin_plan(spark):
         edges = edges.repartition(n_parts, key).localCheckpoint(eager=False)
     # rank vector: (node, outdeg, base, rank); seeded from the annotated
@@ -248,11 +242,22 @@ def graph_pagerank(
     for i in range(n_iter):
         contribs = ranks.select("node", F.expr("rank div outdeg").alias("c"))
         if mode == "copartition":
-            # contribs exits the previous groupBy hash-partitioned on
-            # node; the shuffle_hash hint keeps AQE from demoting the
-            # join to broadcast (defeating the gate) or sort-merge
-            # (adding per-iteration sorts).
-            contribs = contribs.hint("shuffle_hash")
+            # Explicitly co-partition the slim contribution vector to
+            # the pin's count: a shuffle-hash join demands both sides
+            # hash-partitioned with the SAME count, and the aggregate's
+            # spark.sql.shuffle.partitions never equals the pin's
+            # bytes-derived count, so without this the executed plan
+            # silently re-shuffled the FULL edge list every iteration
+            # (hashpartitioning(src, 1) satisfies nothing at 32). The
+            # repartition moves ~24 bytes/node — node-scaled, the slim
+            # side — while the edge side (fact-scaled) never moves; it
+            # also frees AQE to coalesce the aggregate reads (nothing
+            # downstream requires their width), so local iterations run
+            # at the bytes-derived width instead of a fixed 32. The
+            # shuffle_hash hint keeps AQE from demoting the join to
+            # broadcast (defeating the gate) or sort-merge (adding
+            # per-iteration sorts).
+            contribs = contribs.repartition(n_parts, "node").hint("shuffle_hash")
         else:
             contribs = F.broadcast(contribs)
         ranks = (
